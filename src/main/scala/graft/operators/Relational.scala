@@ -1,0 +1,437 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface (SURVEY.md §2.2–§2.8).
+  *
+  * Re-derives the reference's acceptance-query semantics
+  * (`/root/reference/README.MD:277-327`) and batch operators
+  * (`/root/reference/libs/scd2_spark_processor.py`) over the driver star
+  * schema. Every query has a DuckDB oracle with identical column names
+  * and a total ORDER BY for deterministic comparison.
+  *
+  * Cross-engine exactness rules used throughout:
+  *  - SUM/AVG over doubles goes through DECIMAL(18,4): exact, associative,
+  *    order-insensitive, so a 32-partition Spark sum and a single-threaded
+  *    DuckDB sum agree bit-for-bit. Final values are cast back to DOUBLE
+  *    (same decimal → double conversion in both engines).
+  *  - Hash inputs (md5) use only string/integer columns — float→string
+  *    formatting is engine-specific, int→string is not.
+  *  - Timestamp comparisons go through CAST(ts AS DATE) or exact literals.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact money arithmetic: double → decimal(18,4). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  // ---------------------------------------------------------------- A5/A1/A4
+  // TPC-H Q1-shaped pricing summary: grouped agg with multiple sums/avgs.
+  // Reference analog: revenue rollup README.MD:281-286 + op breakdown
+  // scd2_spark_processor.py:221.
+  private val pricingSummary: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate".cast("date") <= lit(java.sql.Date.valueOf("1998-09-01")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).cast("double").as("sum_disc_price"),
+        (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- A5 (J4)
+  // Category revenue rollup: the README.MD:281-286 acceptance query shape —
+  // filter + join + grouped revenue + ORDER BY revenue DESC. `part` is the
+  // small dimension → broadcast (no shuffle of lineitem for the join).
+  private val revenueRollup: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).filter($"l_returnflag" =!= "R")
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"p_brand")
+  }
+  private val revenueRollupSql =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_returnflag <> 'R'
+      |GROUP BY p_brand
+      |ORDER BY revenue DESC, p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  // Filtered count+sum grouped — README.MD:318-327 federated aggregate shape.
+  private val filteredCountSum: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"),
+           sum(dec($"o_totalprice")).cast("double").as("total_revenue"))
+      .orderBy($"total_revenue".desc, $"o_orderpriority")
+  }
+  private val filteredCountSumSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority
+      |ORDER BY total_revenue DESC, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- O1–O4
+  // Ordered limit → Catalyst plans TakeOrderedAndProject (no global sort).
+  private val topkOrders: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+  // Inner 3-way dimension join (customer ⨝ nation ⨝ region) — broadcast both
+  // dims; at 100 TB the fact side streams through unshuffled.
+  private val joinInner: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"r_name")
+      .orderBy($"c_custkey")
+  }
+  private val joinInnerSql =
+    """SELECT c_custkey, c_name, n_name, r_name
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // Left outer join + grouped count (null-generating side aggregated).
+  private val joinLeftCounts: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+           coalesce(sum(dec($"o_totalprice")).cast("double"), lit(0.0)).as("spend"))
+      .orderBy($"c_custkey")
+  }
+  private val joinLeftCountsSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // Left-semi join: EXISTS semantics.
+  private val joinSemi: Q = (s, d) => {
+    import s.implicits._
+    val big = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+    Tables.customer(s, d)
+      .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+  private val joinSemiSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Left-anti join: NOT EXISTS semantics (customers with no large order —
+  // the filtered right side keeps the result non-empty at every SF).
+  private val joinAnti: Q = (s, d) => {
+    import s.implicits._
+    val big = Tables.orders(s, d).filter($"o_totalprice" > 450000.0)
+    Tables.customer(s, d)
+      .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+  private val joinAntiSql =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Star join across the full dimension chain (J4 federation analog):
+  // fact ⨝ orders shuffles on the join key once; all dims broadcast.
+  private val starJoin: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).cast("double").as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  private val starJoinSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- W1
+  // lead() over keyed event-time order — the SCD2 next-version pointer
+  // (scd2_spark_processor.py:322-331). Tie-broken by event_id so the frame
+  // is total (SURVEY §7.4.7).
+  private val windowLead: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        lead($"event_type", 1).over(w).as("next_type"),
+        lead($"event_id", 1).over(w).as("next_event_id"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val windowLeadSql =
+    """SELECT user_id, event_id, event_type, value,
+      |  LEAD(event_type, 1) OVER w AS next_type,
+      |  LEAD(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- W2/J3
+  // Arg-max per key — Pinot upsert "last-write-wins by comparison column"
+  // (pinot_tables.yaml:32-36) as row_number over desc order.
+  private val argmaxLatest: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+  private val argmaxLatestSql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- U1
+  // Union of two shaped streams with an operation_type tag —
+  // scd2_spark_processor.py:253-258 (engine uses unionByName, SURVEY §2.7).
+  private val unionOps: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val upserts = ev.filter($"event_type".isin("click", "view", "purchase"))
+      .select($"event_id", $"user_id", lit("UPSERT").as("operation_type"))
+    val deletes = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", lit("DELETE").as("operation_type"))
+    upserts.unionByName(deletes).orderBy($"event_id")
+  }
+  private val unionOpsSql =
+    """SELECT event_id, user_id, 'UPSERT' AS operation_type FROM events
+      |WHERE event_type IN ('click','view','purchase')
+      |UNION ALL
+      |SELECT event_id, user_id, 'DELETE' AS operation_type FROM events
+      |WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  private val distinctPairs: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"event_type").distinct()
+      .orderBy($"user_id", $"event_type")
+  }
+  private val distinctPairsSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- F1–F3
+  // Record fingerprint: md5(concat_ws('|', coalesce(...))) — the exact
+  // SCD2 hash recipe (scd2_spark_processor.py:306-314) incl. the '|'
+  // separator and empty-string coalesce. String/int inputs only (§ header).
+  private val hashFingerprint: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select($"c_custkey",
+        md5(concat_ws("|",
+          coalesce($"c_name", lit("")),
+          coalesce($"c_mktsegment", lit("")),
+          coalesce($"c_custkey".cast("string"), lit("")),
+          coalesce($"c_nationkey".cast("string"), lit("")))).as("record_hash"))
+      .orderBy($"c_custkey")
+  }
+  private val hashFingerprintSql =
+    """SELECT c_custkey,
+      |  md5(concat_ws('|', COALESCE(c_name,''), COALESCE(c_mktsegment,''),
+      |      COALESCE(CAST(c_custkey AS VARCHAR),''), COALESCE(CAST(c_nationkey AS VARCHAR),''))) AS record_hash
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- F9/F10
+  // Date bucketing + epoch math — dt partition key derivation
+  // (cdc_to_parquet.py:202) and ts_ms→timestamp (F9).
+  private val dateBuckets: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("ym"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        $"o_orderkey")
+      .groupBy($"ym")
+      .agg(count(lit(1)).as("n_orders"),
+           min($"epoch_s").as("min_epoch"),
+           max($"epoch_s").as("max_epoch"))
+      .orderBy($"ym")
+  }
+  private val dateBucketsSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders,
+      |  MIN(epoch(o_orderdate)) AS min_epoch, MAX(epoch(o_orderdate)) AS max_epoch
+      |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
+
+  // ---------------------------------------------------------------- F6/F7
+  // CASE WHEN op decode (cdc_to_pinot_current.py:258-264) + boolean flag
+  // derivation (op='d' → is_delete, :216).
+  private val caseDecode: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        when($"event_type" === "click", "CLICKED")
+          .when($"event_type" === "view", "VIEWED")
+          .when($"event_type" === "purchase", "PURCHASED")
+          .when($"event_type" === "signup", "SIGNED_UP")
+          .otherwise("OTHER").as("decoded"),
+        ($"event_type" === "error").as("is_error"))
+      .groupBy($"decoded", $"is_error")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"decoded", $"is_error")
+  }
+  private val caseDecodeSql =
+    """SELECT CASE WHEN event_type = 'click' THEN 'CLICKED'
+      |            WHEN event_type = 'view' THEN 'VIEWED'
+      |            WHEN event_type = 'purchase' THEN 'PURCHASED'
+      |            WHEN event_type = 'signup' THEN 'SIGNED_UP'
+      |            ELSE 'OTHER' END AS decoded,
+      |       (event_type = 'error') AS is_error,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY decoded, is_error""".stripMargin
+
+  // ---------------------------------------------------------------- A2/A3
+  // Global max/min/count — checkpoint advance scan
+  // (scd2_spark_processor.py:496-499).
+  private val globalAggs: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"),
+        max(unix_timestamp($"ts")).as("max_epoch_s"),
+        countDistinct($"user_id").as("n_users"))
+  }
+  private val globalAggsSql =
+    """SELECT COUNT(*) AS n_events, MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id, CAST(MAX(epoch(ts)) AS BIGINT) AS max_epoch_s,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- A1
+  private val opBreakdown: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d).groupBy($"event_type").count().orderBy($"event_type")
+  }
+  private val opBreakdownSql =
+    """SELECT event_type, COUNT(*) AS count FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- P6
+  // Incremental checkpoint predicate: strictly-greater event-time filter
+  // (scd2_spark_processor.py:211-213) — pushed to the parquet scan.
+  private val incrementalFilter: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val incrementalFilterSql =
+    """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "rel_pricing_summary"    -> pricingSummary,
+    "rel_revenue_rollup"     -> revenueRollup,
+    "rel_filtered_count_sum" -> filteredCountSum,
+    "rel_topk_orders"        -> topkOrders,
+    "rel_join_inner"         -> joinInner,
+    "rel_join_left_counts"   -> joinLeftCounts,
+    "rel_join_semi"          -> joinSemi,
+    "rel_join_anti"          -> joinAnti,
+    "rel_star_join"          -> starJoin,
+    "rel_window_lead"        -> windowLead,
+    "rel_argmax_latest"      -> argmaxLatest,
+    "rel_union_ops"          -> unionOps,
+    "rel_distinct_pairs"     -> distinctPairs,
+    "rel_hash_fingerprint"   -> hashFingerprint,
+    "rel_date_buckets"       -> dateBuckets,
+    "rel_case_decode"        -> caseDecode,
+    "rel_global_aggs"        -> globalAggs,
+    "rel_op_breakdown"       -> opBreakdown,
+    "rel_incremental_filter" -> incrementalFilter,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary"    -> pricingSummarySql,
+    "rel_revenue_rollup"     -> revenueRollupSql,
+    "rel_filtered_count_sum" -> filteredCountSumSql,
+    "rel_topk_orders"        -> topkOrdersSql,
+    "rel_join_inner"         -> joinInnerSql,
+    "rel_join_left_counts"   -> joinLeftCountsSql,
+    "rel_join_semi"          -> joinSemiSql,
+    "rel_join_anti"          -> joinAntiSql,
+    "rel_star_join"          -> starJoinSql,
+    "rel_window_lead"        -> windowLeadSql,
+    "rel_argmax_latest"      -> argmaxLatestSql,
+    "rel_union_ops"          -> unionOpsSql,
+    "rel_distinct_pairs"     -> distinctPairsSql,
+    "rel_hash_fingerprint"   -> hashFingerprintSql,
+    "rel_date_buckets"       -> dateBucketsSql,
+    "rel_case_decode"        -> caseDecodeSql,
+    "rel_global_aggs"        -> globalAggsSql,
+    "rel_op_breakdown"       -> opBreakdownSql,
+    "rel_incremental_filter" -> incrementalFilterSql,
+  )
+}
