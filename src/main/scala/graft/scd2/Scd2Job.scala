@@ -1,0 +1,96 @@
+package graft.scd2
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Checkpoint bookkeeping (`scd2_spark_processor.py:167-201, 491-516`):
+  * an append-only table consumed as `MAX(last_processed_timestamp)`.
+  * The strict-`>` read boundary lives in [[Scd2Processor.incremental]].
+  */
+final class Checkpoints(spark: SparkSession, root: String, clock: () => Timestamp) {
+  private val table = new VersionedTable(spark, root)
+
+  val schema: StructType = StructType(Seq(
+    StructField("last_processed_timestamp", TimestampType),
+    StructField("last_processed_lsn", LongType),
+    StructField("processed_at", TimestampType),
+    StructField("records_processed", LongType)))
+
+  def lastProcessed: Option[Timestamp] =
+    if (!table.exists) None
+    else Option(table.read().agg(max("last_processed_timestamp")).first().getTimestamp(0))
+
+  def lastLsn: Option[Long] =
+    if (!table.exists) None
+    else Option(table.read().agg(max("last_processed_lsn")).first())
+      .filterNot(_.isNullAt(0)).map(_.getLong(0))
+
+  /** Advance: append (max ts, max lsn, clock, count) — one aggregation
+    * pass over the (cached) batch, not the reference's repeated
+    * `count()` jobs (anti-pattern noted at :534-538, SURVEY §4). */
+  def advance(batch: DataFrame): Unit = {
+    val agg = batch.agg(
+      max("event_timestamp").as("max_ts"),
+      max("lsn").as("max_lsn"),
+      count(lit(1)).as("n")).first()
+    if (!agg.isNullAt(0)) {
+      val row = Row(agg.getTimestamp(0), agg.get(1), clock(), agg.getLong(2))
+      table.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema))
+    }
+  }
+}
+
+/** End-to-end incremental SCD2 batch run — the reference's `run()`
+  * (`scd2_spark_processor.py:518-567`) as a library function:
+  * checkpoint read → incremental bronze scan → SCD2 transform → merge →
+  * snapshot commit → checkpoint advance. An Airflow-style pre-flight
+  * check (`dags/cdc_scd2_dag.py:37-50`) is `stagingNonEmpty` — with an
+  * honest short-circuit (SURVEY §3.3).
+  */
+final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
+                    checkpointRoot: String,
+                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  // Partitioned like the reference's days(effective_start_ts) hidden
+  // transform: explicit derived date column (SURVEY D2).
+  val table = new VersionedTable(spark, tableRoot, Seq("effective_start_date"))
+  val checkpoints = new Checkpoints(spark, checkpointRoot, clock)
+
+  def stagingNonEmpty: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(stagingPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  private def withPartitionCol(df: DataFrame): DataFrame =
+    df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
+
+  def currentState: DataFrame =
+    table.read().drop("effective_start_date")
+
+  /** One incremental run; returns number of bronze rows processed. */
+  def run(): Long = {
+    if (!stagingNonEmpty) return 0L
+    val bronze = spark.read.parquet(stagingPath)
+    val batch = Scd2Processor.incremental(bronze, checkpoints.lastProcessed)
+      .persist() // single materialization feeds transform + checkpoint (SURVEY §4)
+    try {
+      val n = batch.count()
+      if (n == 0) return 0L
+      val scd2Batch = Scd2Processor.processBatch(batch)
+      // First run: the table is "created empty" (reference DDL) — only the
+      // INSERT_UPDATE lane is appended; DELETE rows are merge sources with
+      // WHEN MATCHED semantics and match nothing in an empty table.
+      val merged =
+        if (table.exists) Scd2Processor.merge(currentState, scd2Batch)
+        else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+          .drop("operation_type")
+      table.overwrite(withPartitionCol(merged))
+      checkpoints.advance(batch)
+      n
+    } finally batch.unpersist()
+  }
+}

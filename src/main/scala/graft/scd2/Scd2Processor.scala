@@ -1,0 +1,167 @@
+package graft.scd2
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampType
+
+/** SCD Type 2 engine — re-derivation of
+  * `/root/reference/libs/scd2_spark_processor.py` (the reference's
+  * data-processing brain), Spark-first and table-format-agnostic.
+  *
+  * Semantics preserved exactly (golden-tested), including the quirks
+  * documented in SURVEY §7.4:
+  *  - hash covers only (product_name, category, price-as-STRING,
+  *    quantity) — `sale_date`/`created_at` changes are invisible (:306-314)
+  *  - price is cast to double AFTER hashing (:317)
+  *  - in-batch dedup by `lead` only; cross-batch no-op updates still open
+  *    spurious versions (:322-342)
+  *  - a version run A(h1) B(h1) C(h2) keeps B with end=C.ts; A(h1) B(h2)
+  *    C(h2) keeps A[end=B.ts] and C[start=C.ts] — the dropped row's span
+  *    is a gap (faithful to the lead-before-filter order)
+  *  - deletes close the stored current row in place, `record_hash`
+  *    literal 'DELETED' on the (unused) merge source (:371-402, :438-450)
+  *  - deletes for unseen keys are silent no-ops (WHEN MATCHED only)
+  *
+  * Documented deviations (SURVEY §7.4.3/7.4.7): window order adds `lsn`
+  * as tiebreaker (reference is nondeterministic on second-precision
+  * ties), and merge sources are pre-aggregated per id so multiple
+  * deletes per key in one batch cannot multi-match.
+  */
+object Scd2Processor {
+
+  val tableColumns: Seq[String] = Seq(
+    "id", "product_name", "category", "price", "quantity", "sale_date",
+    "created_at", "effective_start_ts", "effective_end_ts", "is_current",
+    "record_hash", "is_deleted")
+
+  /** `record_hash` recipe, bit-identical to :306-314: md5 over pipe-joined
+    * null-coalesced PRE-CAST string forms ("10" ≠ "10.0", SURVEY §7.4.2). */
+  def recordHash(productName: org.apache.spark.sql.Column,
+                 category: org.apache.spark.sql.Column,
+                 priceString: org.apache.spark.sql.Column,
+                 quantity: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat_ws("|",
+      coalesce(productName, lit("")),
+      coalesce(category, lit("")),
+      coalesce(priceString, lit("")),
+      coalesce(quantity.cast("string"), lit(""))))
+
+  /** Inserts/updates lane (:278-369): after-image rename → hash → cast →
+    * lead window → change filter → SCD2 shaping. One shuffle
+    * (hash-partition by id, sort by event time) — the only shuffle this
+    * pipeline needs at any scale. */
+  def processInsertsUpdates(batch: DataFrame): DataFrame = {
+    val renamed = batch
+      .filter(col("op").isin("c", "r", "u"))
+      .select(
+        col("after_id").as("id"),
+        col("after_product_name").as("product_name"),
+        col("after_category").as("category"),
+        col("after_price").as("price"),
+        col("after_quantity").as("quantity"),
+        col("after_sale_date").as("sale_date"),
+        col("after_created_at").as("created_at"),
+        col("event_timestamp"), col("lsn"), col("op"))
+      .withColumn("record_hash",
+        recordHash(col("product_name"), col("category"), col("price"), col("quantity")))
+      .withColumn("price", col("price").cast("double"))
+
+    // Deviation §7.4.7: lsn tiebreak makes lead deterministic on
+    // second-precision event-time ties.
+    val w = Window.partitionBy("id").orderBy(col("event_timestamp"), col("lsn"))
+    val withNext = renamed
+      .withColumn("next_hash", lead(col("record_hash"), 1).over(w))
+      .withColumn("next_timestamp", lead(col("event_timestamp"), 1).over(w))
+
+    withNext
+      .filter(col("next_hash").isNull || col("record_hash") =!= col("next_hash"))
+      .select(
+        col("id"), col("product_name"), col("category"), col("price"),
+        col("quantity"), col("sale_date"), col("created_at"),
+        col("event_timestamp").as("effective_start_ts"),
+        when(col("next_hash").isNotNull, col("next_timestamp"))
+          .otherwise(lit(null).cast(TimestampType)).as("effective_end_ts"),
+        col("next_hash").isNull.as("is_current"),
+        col("record_hash"),
+        lit(false).as("is_deleted"),
+        lit("INSERT_UPDATE").as("operation_type"))
+  }
+
+  /** Deletes lane (:371-402): before-image rename + literal flags; the
+    * output is only a merge source, never appended. */
+  def processDeletes(batch: DataFrame): DataFrame =
+    batch.filter(col("op") === "d")
+      .select(
+        col("before_id").as("id"),
+        col("before_product_name").as("product_name"),
+        col("before_category").as("category"),
+        col("before_price").cast("double").as("price"),
+        col("before_quantity").as("quantity"),
+        col("before_sale_date").as("sale_date"),
+        col("before_created_at").as("created_at"),
+        col("event_timestamp").as("effective_start_ts"),
+        lit(null).cast(TimestampType).as("effective_end_ts"),
+        lit(false).as("is_current"),
+        lit("DELETED").as("record_hash"),
+        lit(true).as("is_deleted"),
+        lit("DELETE").as("operation_type"))
+
+  /** Full batch: union of both lanes (:253-258; engine uses unionByName). */
+  def processBatch(batch: DataFrame): DataFrame =
+    processInsertsUpdates(batch).unionByName(processDeletes(batch))
+
+  /** The two MERGEs + append (:404-489) expressed relationally over the
+    * whole target — the table-format-agnostic core. With Delta/Iceberg
+    * present, the same `mergeSources` drive two `MERGE INTO` statements
+    * that touch only matched files; here the new table contents are
+    * returned and the caller persists them (VersionedTable keeps the
+    * rewrite per-partition and versioned for time travel).
+    *
+    * Ordering parity: the delete-merge runs (logically) before the
+    * close-old merge, so a key that is both deleted and re-inserted in
+    * one batch gets its stored row flagged deleted, then the new
+    * versions appended — exactly like the reference's sequential MERGEs.
+    */
+  def merge(target: DataFrame, scd2Batch: DataFrame): DataFrame = {
+    val deletes = scd2Batch.filter(col("operation_type") === "DELETE")
+    val newRecords = scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+
+    // Pre-aggregated merge sources (deviation §7.4.3): last delete wins;
+    // close-old uses the single is_current=true row per id (:459-465's
+    // SELECT DISTINCT is already unique per id by construction).
+    val deleteSrc = deletes.groupBy(col("id").as("d_id"))
+      .agg(max("effective_start_ts").as("delete_ts"))
+    val closeSrc = newRecords.filter(col("is_current"))
+      .select(col("id").as("c_id"), col("effective_start_ts").as("close_ts"))
+      .distinct()
+
+    val updated = target
+      .join(deleteSrc, col("id") === col("d_id"), "left")
+      .join(closeSrc, col("id") === col("c_id"), "left")
+      .select(
+        col("id"), col("product_name"), col("category"), col("price"),
+        col("quantity"), col("sale_date"), col("created_at"),
+        col("effective_start_ts"),
+        when(col("is_current") && col("delete_ts").isNotNull, col("delete_ts"))
+          .when(col("is_current") && col("close_ts").isNotNull, col("close_ts"))
+          .otherwise(col("effective_end_ts")).as("effective_end_ts"),
+        when(col("is_current") && (col("delete_ts").isNotNull || col("close_ts").isNotNull), lit(false))
+          .otherwise(col("is_current")).as("is_current"),
+        col("record_hash"),
+        when(col("is_current") && col("delete_ts").isNotNull, lit(true))
+          .otherwise(col("is_deleted")).as("is_deleted"))
+
+    updated.unionByName(newRecords.drop("operation_type"))
+  }
+
+  /** Incremental read predicate — strict `>` boundary (:211-213,
+    * SURVEY §7.4.5 records the dropped-ties hazard; LSN mode below). */
+  def incremental(bronze: DataFrame, lastTs: Option[java.sql.Timestamp]): DataFrame =
+    lastTs.fold(bronze)(ts => bronze.filter(col("event_timestamp") > lit(ts)))
+
+  /** Scale-ready alternative (SURVEY §7.4.5): LSN checkpointing — exact,
+    * tie-free, and monotonic even at >1 event/sec. */
+  def incrementalByLsn(bronze: DataFrame, lastLsn: Option[Long]): DataFrame =
+    lastLsn.fold(bronze)(l => bronze.filter(col("lsn") > lit(l)))
+}

@@ -1,0 +1,111 @@
+package graft.scd2
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampType
+
+/** Oracle-checkable projections of the SCD2 core onto the driver's
+  * `events` table (`user_id` as business key, `ts` as event time,
+  * `event_type` as the hashed payload). The full CDC pipeline semantics
+  * (before/after images, deletes, merges) are golden-tested in
+  * `Scd2Spec`; these queries put the window/lead/change-filter/shaping
+  * path (`scd2_spark_processor.py:322-367`) under the DuckDB hash gate.
+  */
+object Scd2Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // SCD2 versioning: md5 payload hash, lead pointers, change filter,
+  // version shaping — byte-for-byte the Scd2Processor recipe.
+  private val versions: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("record_hash", md5(coalesce($"event_type", lit(""))))
+      .withColumn("next_hash", lead($"record_hash", 1).over(w))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_hash".isNull || $"record_hash" =!= $"next_hash")
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".as("effective_start_ts"),
+        when($"next_hash".isNotNull, $"next_ts")
+          .otherwise(lit(null).cast(TimestampType)).as("effective_end_ts"),
+        $"next_hash".isNull.as("is_current"),
+        $"record_hash")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val versionsSql =
+    """WITH h AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         md5(COALESCE(event_type,'')) AS record_hash,
+      |         LEAD(md5(COALESCE(event_type,''))) OVER w AS next_hash,
+      |         LEAD(ts) OVER w AS next_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_id, event_type,
+      |       ts AS effective_start_ts,
+      |       CASE WHEN next_hash IS NOT NULL THEN next_ts END AS effective_end_ts,
+      |       (next_hash IS NULL) AS is_current,
+      |       record_hash
+      |FROM h
+      |WHERE next_hash IS NULL OR record_hash <> next_hash
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // Current-state slice (is_current filter, P8) + checkpoint-style max.
+  private val current: Q = (s, d) => {
+    val v = versions(s, d)
+    v.filter(col("is_current"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("effective_start_ts"))
+      .orderBy(col("user_id"))
+  }
+  private val currentSql =
+    """WITH h AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         md5(COALESCE(event_type,'')) AS record_hash,
+      |         LEAD(md5(COALESCE(event_type,''))) OVER w AS next_hash
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_id, event_type, ts AS effective_start_ts
+      |FROM h WHERE next_hash IS NULL
+      |ORDER BY user_id""".stripMargin
+
+  // Version-count audit (README.MD:297-303 history-scan shape): how many
+  // versions each key accumulated, when the first/last started.
+  private val versionStats: Q = (s, d) => {
+    val v = versions(s, d)
+    v.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("effective_start_ts")).as("first_start"),
+        max(col("effective_start_ts")).as("last_start"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
+      .orderBy(col("user_id"))
+  }
+  private val versionStatsSql =
+    """WITH h AS (
+      |  SELECT user_id, ts,
+      |         md5(COALESCE(event_type,'')) AS record_hash,
+      |         LEAD(md5(COALESCE(event_type,''))) OVER w AS next_hash
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, COUNT(*) AS n_versions,
+      |       MIN(ts) AS first_start, MAX(ts) AS last_start,
+      |       CAST(SUM(CASE WHEN next_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current
+      |FROM h
+      |WHERE next_hash IS NULL OR record_hash <> next_hash
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "scd2_versions" -> versions,
+    "scd2_current" -> current,
+    "scd2_version_stats" -> versionStats)
+
+  val oracles: Map[String, String] = Map(
+    "scd2_versions" -> versionsSql,
+    "scd2_current" -> currentSql,
+    "scd2_version_stats" -> versionStatsSql)
+}
