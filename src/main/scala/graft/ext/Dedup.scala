@@ -1,0 +1,249 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. (Driver north star; absent
+  * from the reference.)
+  *
+  * Scale design: the naive near-dup formulation is an all-pairs join —
+  * O(n²) and impossible at 100 TB. Both sketch variants here therefore
+  * generate candidates by LSH *banding* (equi-join on deterministic
+  * band keys = one hash-partitioned shuffle, no cross join) and only
+  * verify candidates exactly. The DuckDB oracles compute the very same
+  * deterministic md5-derived sketches, so engine and oracle agree
+  * row-for-row while the engine's plan stays linear-ish:
+  *  - MinHash: k=8 signatures, 4 bands × 2 rows → candidate recall for
+  *    j≈0.9 pairs ≈ 1-(1-j²)⁴ > 0.999; each candidate verified by true
+  *    Jaccard ≥ 0.8.
+  *  - SimHash: 16-bit fingerprint, 4 bands × 4 bits; by pigeonhole any
+  *    pair with Hamming ≤ 3 shares an intact band → banded join is
+  *    EXACT for the ≤3 predicate, no recall loss.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word-3-gram shingles per doc, 1-based like the oracle. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
+        .as("shingle"))
+  }
+
+  private val shingleSqlCte =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM idx)""".stripMargin
+
+  // -------------------------------------------------------------- exact
+  // Exact dedup: hash-groupBy on full content; keeper = min doc_id.
+  // One shuffle on the hash; at 100 TB this is the standard first pass.
+  private val exact: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(md5($"text").as("content_fp"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"content_fp")
+  }
+  private val exactSql =
+    """SELECT md5(text) AS content_fp, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY content_fp""".stripMargin
+
+  // ---------------------------------------------------- n-gram Jaccard
+  // True Jaccard over shingle sets for pairs sharing ≥1 shingle. The
+  // shared-shingle equi-join is the blocking step (no cross join); the
+  // division is double-of-exact-ints → engine-identical.
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  private val ngramJaccard: Q = (s, d) =>
+    jaccardPairs(shingleSets(s, d))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  private val ngramJaccardSql =
+    s"""WITH $shingleSqlCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = a_id
+       |JOIN sz sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------- MinHash LSH
+  private val K = 8          // minhash functions
+  private val BANDS = 4      // bands of 2 rows each
+
+  /** doc → (h0..h7): minhash_i = MIN over shingles of the first 16 hex
+    * chars of md5(shingle + "#i"). Lexicographic min on fixed-width
+    * lowercase hex ≡ numeric min — portable across engines. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val sigs = (0 until K).map(i =>
+      min(substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 16)).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  private val minhashLsh: Q = (s, d) => {
+    val sh = shingleSets(s, d).cache()
+    val sig = minhashSignatures(sh)
+    // band key j = md5(h_{2j} || h_{2j+1}); candidates share any band.
+    val banded = (0 until BANDS).map { j =>
+      sig.select(col("doc_id"),
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("band"))
+    }.reduce(_.unionByName(_))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+      .distinct()
+    jaccardPairs(sh)
+      .join(cands, col("a_id") === col("ca") && col("b_id") === col("cb"), "left_semi")
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val minhashLshSql = {
+    val sigCols = (0 until K).map(i =>
+      s"MIN(substr(md5(shingle||'#$i'),1,16)) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until BANDS).map(j =>
+      s"SELECT doc_id, md5(h${2 * j}||h${2 * j + 1}) AS band FROM sig").mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingleSqlCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = a_id
+       |JOIN sz sb ON sb.doc_id = b_id
+       |JOIN cands ON ca = a_id AND cb = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- SimHash
+  private val SIM_BITS = 16 // 4 hex chars of md5(token)
+
+  /** Per-doc 16-bit simhash over DISTINCT tokens: bit b is set iff the
+    * majority of tokens have md5-bit b set (±1 vote per token). Pure
+    * integer/string ops shared verbatim with the oracle. */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .withColumn("h", md5($"w"))
+    // hex digit value via strpos on the hex alphabet (portable): both
+    // engines 1-based; -1 → 0..15.
+    val withDigits = (0 until 4).foldLeft(tok) { (df, c) =>
+      df.withColumn(s"d$c",
+        expr(s"int(locate(substr(h, ${c + 1}, 1), '0123456789abcdef') - 1)"))
+    }
+    val votes = (0 until SIM_BITS).map { b =>
+      val digit = col(s"d${b / 4}")
+      val bit = expr(s"(d${b / 4} div ${1 << (b % 4)}) % 2")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    withDigits.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until SIM_BITS).map(b =>
+          when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("simhash"))
+  }
+
+  private val simhash: Q = (s, d) => {
+    val sims = simhashes(s, d).cache()
+    // banded candidate join: 4 bands × 4 bits; Hamming ≤ 3 ⇒ ≥1 intact
+    // band (pigeonhole) ⇒ exact, no cross join.
+    val banded = (0 until 4).map { j =>
+      sims.select(col("doc_id"), col("simhash"),
+        lit(j).as("bno"), expr(s"(simhash div ${1 << (4 * j)}) % 16").as("bval"))
+    }.reduce(_.unionByName(_))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("int(sim_a) ^ int(sim_b)")).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val simhashSql = {
+    val votes = (0 until SIM_BITS).map { b =>
+      s"SUM(CASE WHEN (d${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until SIM_BITS).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |hx AS (
+       |  SELECT doc_id, md5(w) AS h FROM tok),
+       |dg AS (
+       |  SELECT doc_id,
+       |    strpos('0123456789abcdef', substr(h,1,1))-1 AS d0,
+       |    strpos('0123456789abcdef', substr(h,2,1))-1 AS d1,
+       |    strpos('0123456789abcdef', substr(h,3,1))-1 AS d2,
+       |    strpos('0123456789abcdef', substr(h,4,1))-1 AS d3
+       |  FROM hx),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM dg GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST($assemble AS INT) AS simhash FROM v)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql)
+}

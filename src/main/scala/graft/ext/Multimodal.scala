@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample stages. (Driver north star; absent from the reference.)
+  *
+  * The actual codec step is STUBBED with a deterministic fake (no
+  * image/audio libraries ship in this container — see the builder
+  * mandate): `fakeDecode` derives pseudo width/height/duration from the
+  * payload's md5, so every Spark-side concern — schema, binary
+  * encoding, per-partition batched decode, frame-explosion shape,
+  * partitioning — is real and tested while the codec itself is
+  * swappable. In PySpark this stage is `mapInPandas` over Arrow
+  * batches; the Scala-native equivalent used here is `mapPartitions`
+  * over a typed Dataset (same batch-per-partition execution shape, no
+  * Python worker hop).
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, content_key: String,
+      width: Int, height: Int, duration_ms: Long)
+  final case class Frame(media_id: Long, frame_no: Int, frame_key: String)
+
+  /** Synthesize a media table from `documents` (text bytes stand in for
+    * codec payloads; kind assigned deterministically). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        $"text".cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB codec: deterministic pseudo-decode from the payload digest.
+    * A real deployment swaps the body for an actual decoder; the
+    * signature, batching, and schema stay. */
+  def fakeDecode(rec: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(rec.payload)
+    def u8(i: Int): Int = md(i) & 0xff
+    val hex = md.map("%02x".format(_)).mkString
+    MediaFeatures(
+      media_id = rec.media_id,
+      kind = rec.kind,
+      n_bytes = rec.payload.length.toLong,
+      content_key = hex.substring(0, 8),
+      width = 16 * (u8(0) % 64 + 1),
+      height = 16 * (u8(1) % 64 + 1),
+      duration_ms = if (rec.kind == "image") 0L else 1000L * (u8(2) % 300 + 1))
+  }
+
+  /** Decode stage: per-partition batched map (the `mapInPandas` shape). */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Frame sampling: explode ~1 frame per 10 s of fake duration (video
+    * only) — the row-multiplying stage whose partitioning matters at
+    * scale (frames inherit the parent's partition; no shuffle). */
+  def sampleFrames(feats: Dataset[MediaFeatures]): Dataset[Frame] = {
+    import feats.sparkSession.implicits._
+    feats.filter(_.kind == "video").flatMap { f =>
+      val n = math.max(1, (f.duration_ms / 10000L).toInt)
+      (0 until n).map(i => Frame(f.media_id, i, s"${f.content_key}-$i"))
+    }
+  }
+
+  // Oracle-checkable slice: binary length + md5 content key + kind
+  // assignment — the metadata layer every downstream stage keys on.
+  private val meta: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
+        substring(md5($"text"), 1, 8).as("content_key"))
+      .orderBy($"media_id")
+  }
+  private val metaSql =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  substr(md5(text), 1, 8) AS content_key
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("multimodal_meta" -> meta)
+  val oracles: Map[String, String] = Map("multimodal_meta" -> metaSql)
+}

@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim).
+  *
+  * Scale design: brute-force top-k is a broadcast of the (small) query
+  * set against a full scan of the corpus — one pass, no shuffle except
+  * the final per-query top-k (TakeOrdered-sized). The IVF variant
+  * builds a coarse quantizer (centroids) and probes only the nearest
+  * cells — the 100 TB path where scanning every vector is impossible.
+  *
+  * All dot products run as strict left-fold `aggregate` over
+  * double-cast elements (codegen'd higher-order functions, no UDF);
+  * cosine values are rounded to 5 decimals before ranking so that
+  * engine-vs-oracle ulp differences can't reorder ties (ties then break
+  * by vec_id).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Strict in-order fold: Σ aᵢ·bᵢ over double-cast elements. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ------------------------------------------------------- brute force
+  // Top-5 neighbors for each query vector (vec_id < 10) over the rest
+  // of the corpus. Query side is broadcast: the corpus is scanned once.
+  private val knnBrute: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val corpus = emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(cosine($"q_emb", $"c_emb"), 5).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+  private val knnBruteSql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(
+      |      CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_sim
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos_sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------- global top pairs
+  // Embedding-cosine near-dup: the corpus has no planted near-identical
+  // vectors, so the dedup surface is "top-20 most similar pairs" —
+  // same plan as a threshold pass with the threshold at the 20th value.
+  private val nearDupTopPairs: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 5).as("cos_sim"))
+    pairs.orderBy($"cos_sim".desc, $"a_id", $"b_id").limit(20)
+  }
+  private val nearDupTopPairsSql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_cosine_similarity(
+      |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------- IVF path
+  /** Coarse quantizer: centroid per `label` cell (the corpus ships
+    * cluster labels; a real deployment k-means-trains these). Exposed
+    * for the spec + Bench; probing `nprobe` cells bounds the scanned
+    * fraction to nprobe/nCells of the corpus. */
+  def centroids(emb: DataFrame): DataFrame = {
+    val dim = 64
+    val exploded = emb.select(col("label"), posexplode(col("embedding")))
+    exploded.groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, x -> x.m)").as("centroid"))
+  }
+
+  /** IVF top-k: rank cells per query by centroid cosine, scan the best
+    * `nprobe` cells only. With nprobe = nCells this is exactly brute
+    * force (spec-pinned); smaller nprobe trades recall for a bounded
+    * scan — the knob that makes 100 TB ANN feasible. */
+  def knnIvf(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = centroids(emb)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val probe = queries.join(broadcast(cents))
+      .select($"query_id", $"q_emb", $"label",
+        cosine($"q_emb", $"centroid").as("ccos"))
+    val wq = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label")
+    val cells = probe.withColumn("r", row_number().over(wq))
+      .filter($"r" <= nprobe)
+      .select($"query_id", $"q_emb", $"label")
+    val corpus = emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"label")
+    val scored = corpus.join(broadcast(cells), "label")
+      .select($"query_id", $"neighbor_id",
+        round(cosine($"q_emb", $"c_emb"), 5).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // Driver-gated entry for the IVF path: deterministic, but the probe
+  // set prunes cells, so this is NOT SQL-oracle'd (rows-only check);
+  // SimilaritySpec pins nprobe=10 ≡ brute force.
+  private val knnIvfQ: Q = (s, d) => knnIvf(s, d, k = 5, nprobe = 3)
+
+  val queries: Map[String, Q] = Map(
+    "sim_knn_bruteforce" -> knnBrute,
+    "sim_neardup_top_pairs" -> nearDupTopPairs,
+    "sim_knn_ivf" -> knnIvfQ)
+
+  val oracles: Map[String, String] = Map(
+    "sim_knn_bruteforce" -> knnBruteSql,
+    "sim_neardup_top_pairs" -> nearDupTopPairsSql)
+}

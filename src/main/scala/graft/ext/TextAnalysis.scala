@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (driver
+  * north star — not present in the reference): token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All are single-pass, codegen-friendly column expressions or one
+  * explode+reaggregate — no UDFs, no collect; at 100 TB each is an
+  * embarrassingly parallel map (+ one keyed shuffle where tokens are
+  * re-aggregated). Each query carries a DuckDB oracle built from the
+  * same exact integer/string primitives (no float-formatting or
+  * regex-dialect dependencies; divisions are double-of-exact-ints,
+  * identical across engines).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of `text` (corpus is single-spaced). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  // --------------------------------------------------------- token stats
+  // Token counting: whitespace tokens + the classic chars/4 BPE estimate.
+  private val tokenStats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(toks($"text")).as("w"), $"n_chars")
+      .groupBy($"doc_id")
+      .agg(
+        first($"lang").as("lang"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("n_distinct_tokens"),
+        (sum(length($"w")).cast("double") / count(lit(1))).as("mean_token_len"),
+        (countDistinct($"w").cast("double") / count(lit(1))).as("type_token_ratio"),
+        ceil(first($"n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val tokenStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT doc_id, MIN(lang) AS lang, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT w) AS n_distinct_tokens,
+      |  CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS mean_token_len,
+      |  CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS type_token_ratio,
+      |  CAST(ceil(MIN(n_chars) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ quality score
+  // Heuristic quality gates à la C4/Gopher rules: length bounds, mean
+  // word length bounds, stopword presence, repetition (type-token ratio).
+  private val stopwords = Seq("the", "a")
+  private val quality: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(toks($"text")).as("w"), $"n_chars")
+      .groupBy($"doc_id")
+      .agg(
+        first($"n_chars").as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        (sum(when($"w".isin(stopwords: _*), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("stopword_ratio"),
+        (countDistinct($"w").cast("double") / count(lit(1))).as("ttr"))
+      .select($"doc_id", $"n_chars", $"n_tokens", $"stopword_ratio", $"ttr",
+        ($"n_tokens" >= 20 && $"n_tokens" <= 1000 &&
+          $"stopword_ratio" > 0.0 && $"ttr" > 0.2).as("passes_quality"))
+      .orderBy($"doc_id")
+  }
+  private val qualitySql =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, MIN(n_chars) AS n_chars, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*) AS stopword_ratio,
+       |    CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS ttr
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id, n_chars, n_tokens, stopword_ratio, ttr,
+       |  (n_tokens >= 20 AND n_tokens <= 1000 AND stopword_ratio > 0.0
+       |   AND ttr > 0.2) AS passes_quality
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- lang id
+  // Marker-token heuristic (the corpus shares one synthetic vocabulary,
+  // so this scores "englishness" by article frequency — the mechanism,
+  // not the lexicon, is what scales: swap `stopwords` per language and
+  // take the arg-max score in a real deployment).
+  private val langId: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"), explode(toks($"text")).as("w"))
+      .groupBy($"doc_id")
+      .agg(first($"labeled_lang").as("labeled_lang"),
+        (sum(when($"w".isin(stopwords: _*), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("en_score"))
+      .select($"doc_id", $"labeled_lang", $"en_score",
+        when($"en_score" >= 0.05, "en").otherwise("und").as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+  private val langIdSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, MIN(lang) AS labeled_lang,
+      |    CAST(SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) AS en_score
+      |  FROM t GROUP BY doc_id)
+      |SELECT doc_id, labeled_lang, en_score,
+      |  CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- fingerprints
+  // Content fingerprint (exact) + bag-of-words fingerprint (order-
+  // insensitive: equal iff the distinct-token SETS are equal) — the
+  // building blocks of exact and shuffled-text dedup.
+  private val fingerprint: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        md5($"text").as("content_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks($"text"))))).as("bow_fp"))
+      .orderBy($"doc_id")
+  }
+  private val fingerprintSql =
+    """SELECT doc_id, md5(text) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsSql,
+    "text_quality" -> qualitySql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}

