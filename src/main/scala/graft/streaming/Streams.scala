@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.cdc.Envelope
+import graft.scd2.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming lanes — the reference's three PyFlink jobs
+  * re-derived (SURVEY §2.1 S5–S7, §2.9):
+  *
+  *  - bronze: raw CDC → flattened, `dt`-partitioned parquet
+  *    (`cdc_to_parquet.py:126-205`). Spark's file sink commits via the
+  *    `_spark_metadata` log → exactly-once, strictly stronger than the
+  *    reference's success-file at-least-once (SURVEY T2).
+  *  - current state: keyed last-write-wins upsert by `last_updated_ts`
+  *    (`cdc_to_pinot_current.py:205-219` + Pinot comparison column,
+  *    `pinot_tables.yaml:32-36`) as `foreachBatch` arg-max + merge.
+  *  - history: append-only audit rows with op decode and processing
+  *    time (`cdc_to_pinot_history.py:232-273`).
+  *
+  * Sources are pluggable DataFrames of one `raw_message` STRING — in
+  * production `readStream.format("kafka")` + `CAST(value AS STRING)`,
+  * here (no Kafka jar ships) a file/text stream with identical
+  * downstream semantics. Parallelism note (SURVEY T5): the reference
+  * pins parallelism=1 as an ordering crutch; these lanes instead key
+  * every stateful decision by `id` (+`lsn` tiebreak), so partitions
+  * stay free at any scale.
+  */
+object Streams {
+
+  /** File-backed raw CDC stream: each line one Debezium envelope. */
+  def rawFileStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.text(inputDir).withColumnRenamed("value", "raw_message")
+
+  // ------------------------------------------------------------- bronze
+  def bronzeQuery(raw: DataFrame, outPath: String, checkpoint: String,
+                  availableNow: Boolean = false): StreamingQuery = {
+    val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  // ------------------------------------------------------ current state
+  /** The current-lane projection (`cdc_to_pinot_current.py:205-219`):
+    * unified key, after-image with Pinot-lane casts (price→double,
+    * sale_date/created_at→bigint), comparison column, delete flag.
+    * `lsn` rides along as the deterministic tiebreaker (SURVEY §7.4.7). */
+  def currentProjection(flat: DataFrame): DataFrame =
+    flat.filter(col("op").isin("c", "r", "u", "d"))
+      .select(
+        coalesce(col("after_id"), col("before_id")).as("id"),
+        col("after_product_name").as("product_name"),
+        col("after_category").as("category"),
+        col("after_price").cast("double").as("price"),
+        col("after_quantity").as("quantity"),
+        col("after_sale_date").cast("bigint").as("sale_date"),
+        col("after_created_at").as("created_at"),
+        col("ts_ms").as("last_updated_ts"),
+        (col("op") === "d").as("is_deleted"),
+        col("lsn"))
+
+  /** Keyed upsert table: per-batch arg-max then last-write-wins merge.
+    * The merge condition `source.last_updated_ts >= target` makes
+    * replays idempotent (SURVEY §7.4.10) — a restarted micro-batch
+    * cannot regress the table. */
+  final class CurrentStateTable(spark: SparkSession, root: String) {
+    val table = new VersionedTable(spark, root)
+
+    def upsert(batch: DataFrame): Unit = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("last_updated_ts").desc, col("lsn").desc)
+      val latest = batch.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      if (!table.exists) { table.overwrite(latest); return }
+      val tgt = table.read()
+      val cols = tgt.columns
+      val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
+      val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
+      val merged = t.join(s, Seq("k"), "full_outer")
+        .select(when(col("s").isNull, col("t"))
+          .when(col("t").isNull, col("s"))
+          .when(col("s.last_updated_ts") >= col("t.last_updated_ts"), col("s"))
+          .otherwise(col("t")).as("r"))
+        .select(cols.map(c => col(s"r.$c")): _*)
+      table.overwrite(merged)
+    }
+
+    def read(): DataFrame = table.read()
+  }
+
+  def currentStateQuery(raw: DataFrame, tableRoot: String, checkpoint: String,
+                        availableNow: Boolean = false): StreamingQuery = {
+    val state = new CurrentStateTable(raw.sparkSession, tableRoot)
+    val writer = currentProjection(Envelope.flatten(raw)).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) state.upsert(batch)
+      }
+      .outputMode("update")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  // ------------------------------------------------------------ history
+  /** Audit projection (`cdc_to_pinot_history.py:232-273`). The
+    * processing-time stamp is injectable (SURVEY §7.4.11); production
+    * passes `() => System.currentTimeMillis()`. */
+  def historyProjection(flat: DataFrame, clockMs: () => Long): DataFrame =
+    flat.filter(col("op").isin("c", "r", "u", "d"))
+      .select(
+        coalesce(col("after_id"), col("before_id")).as("record_id"),
+        col("after_id"), col("after_product_name"), col("after_category"),
+        col("after_price"), col("after_quantity"), col("after_sale_date"),
+        col("after_created_at"),
+        col("before_id"), col("before_product_name"), col("before_category"),
+        col("before_price"), col("before_quantity"), col("before_sale_date"),
+        col("before_created_at"),
+        col("op"),
+        when(col("op") === "c", "CREATE").when(col("op") === "r", "READ")
+          .when(col("op") === "u", "UPDATE").when(col("op") === "d", "DELETE")
+          .otherwise("UNKNOWN").as("op_description"),
+        col("ts_ms").as("event_timestamp"),
+        col("source_db"), col("source_table"),
+        col("txId").as("tx_id"), col("lsn"),
+        lit(clockMs()).as("processing_time"))
+
+  def historyQuery(raw: DataFrame, outPath: String, checkpoint: String,
+                   clockMs: () => Long,
+                   availableNow: Boolean = false): StreamingQuery = {
+    val writer = historyProjection(Envelope.flatten(raw), clockMs).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.cdc.CdcFixtures
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class StreamingSpec extends SparkSpec {
+  import CdcFixtures._
+
+  private val fixedClock = () => 1800000000000L
+
+  private def tmp(): String = Files.createTempDirectory("streamspec").toString
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
+  }
+
+  test("bronze sink: partitioned parquet with exactly-once file commits") {
+    val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 5, nKeys = 8, nOps = 60)
+    writeLines(in, "b0.jsonl", withNoise(ops.map(toJson), seed = 5))
+    Streams.bronzeQuery(Streams.rawFileStream(spark, in), out, ck,
+      availableNow = true).awaitTermination()
+    val bronze = spark.read.parquet(out)
+    assert(bronze.count() == 60) // noise rows dropped
+    assert(bronze.schema("after_price").dataType.typeName == "string")
+    // dt partition directories exist (read back as DATE by partition
+    // type inference; the directory layout is dt=yyyy-MM-dd)
+    val dts = bronze.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    assert(dts.nonEmpty && dts.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+  }
+
+  test("current state: last-write-wins upsert across micro-batches + restart") {
+    val in = tmp(); val root = tmp() + "/current"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 9, nKeys = 6, nOps = 80, minStepMs = 1001, maxStepMs = 2000)
+    val (first, second) = ops.splitAt(50)
+    writeLines(in, "b0.jsonl", first.map(toJson))
+    Streams.currentStateQuery(Streams.rawFileStream(spark, in), root, ck,
+      availableNow = true).awaitTermination()
+    // restart with a second file: checkpoint resumes, only new data reads
+    writeLines(in, "b1.jsonl", second.map(toJson))
+    Streams.currentStateQuery(Streams.rawFileStream(spark, in), root, ck,
+      availableNow = true).awaitTermination()
+
+    val state = new Streams.CurrentStateTable(spark, root).read()
+    // one row per key ever seen
+    val keys = ops.map(o => o.before.orElse(o.after).get.id).distinct
+    assert(state.count() == keys.length)
+    // each row reflects the op with max (ts, lsn) for that key
+    val expected = ops.groupBy(o => o.before.orElse(o.after).get.id)
+      .view.mapValues(_.maxBy(e => (e.tsMs, e.lsn))).toMap
+    state.collect().foreach { r =>
+      val fin = expected(r.getAs[Int]("id"))
+      assert(r.getAs[Long]("last_updated_ts") == fin.tsMs)
+      assert(r.getAs[Boolean]("is_deleted") == (fin.op == "d"))
+      if (fin.op != "d")
+        assert(r.getAs[Double]("price") == fin.after.get.price.toDouble)
+      else assert(r.isNullAt(r.fieldIndex("price"))) // after image null on delete
+    }
+  }
+
+  test("current state: replayed batch cannot regress the table (§7.4.10)") {
+    val root = tmp() + "/cur"
+    val table = new Streams.CurrentStateTable(spark, root)
+    import spark.implicits._
+    def batchOf(ops: Seq[CdcOp]) = {
+      val flat = graft.cdc.Envelope.flatten(ops.map(toJson).toDF("raw_message"))
+      Streams.currentProjection(flat)
+    }
+    val img1 = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
+    val img2 = img1.copy(price = "200")
+    val newer = CdcOp("u", Some(img1), Some(img2), 2000L, 2, 2)
+    val older = CdcOp("c", None, Some(img1), 1000L, 1, 1)
+    table.upsert(batchOf(Seq(older)))
+    table.upsert(batchOf(Seq(newer)))
+    table.upsert(batchOf(Seq(older))) // replay of stale batch
+    val rows = table.read().collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("price") == 200.0)
+  }
+
+  test("history sink: full audit trail with op decode and injected clock") {
+    val in = tmp(); val out = tmp() + "/hist"; val ck = tmp() + "/ck"
+    val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
+    val ops = Seq(
+      CdcOp("c", None, Some(img), 1000L, 1, 1),
+      CdcOp("u", Some(img), Some(img.copy(price = "150")), 2000L, 2, 2),
+      CdcOp("d", Some(img.copy(price = "150")), None, 3000L, 3, 3))
+    writeLines(in, "h.jsonl", ops.map(toJson))
+    Streams.historyQuery(Streams.rawFileStream(spark, in), out, ck, fixedClock,
+      availableNow = true).awaitTermination()
+    val hist = spark.read.parquet(out).orderBy("event_timestamp").collect()
+    assert(hist.length == 3)
+    assert(hist.map(_.getAs[String]("op_description")).toSeq ==
+      Seq("CREATE", "UPDATE", "DELETE"))
+    // record_id unified across op types (F4): delete keys on before image
+    assert(hist.forall(_.getAs[Int]("record_id") == 1))
+    assert(hist.forall(_.getAs[Long]("processing_time") == 1800000000000L))
+    // delete rows keep the before image, null after image
+    assert(hist(2).isNullAt(hist(2).fieldIndex("after_id")))
+    assert(hist(2).getAs[String]("before_price") == "150")
+  }
+}
