@@ -30,15 +30,20 @@ object Tables {
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * and we rebuild a µs-precision NTZ timestamp here (the data has no
     * sub-µs component; matches what DuckDB reads natively). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsTimestamps(load(s, d, "events"))
+
+  /** Rebuild the µs NTZ timestamp from the raw nanos long. Split out so
+    * callers can filter the RAW `ts` first — a predicate on the derived
+    * column cannot reach the parquet scan, one on the raw long can
+    * (see Relational.incrementalFilter). */
+  def eventsTimestamps(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

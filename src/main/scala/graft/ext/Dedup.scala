@@ -109,19 +109,40 @@ object Dedup {
 
   private val minhashLsh: Q = (s, d) => {
     val sh = shingleSets(s, d).cache()
-    val sig = minhashSignatures(sh)
     // band key j = md5(h_{2j} || h_{2j+1}); candidates share any band.
-    val banded = (0 until BANDS).map { j =>
-      sig.select(col("doc_id"),
-        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("band"))
+    val sig = minhashSignatures(sh)
+      .select(col("doc_id") +: (0 until BANDS).map(j =>
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as(s"b$j")): _*)
+      .cache()
+    // First-matching-band emission: pair (a,b) comes only from the
+    // lowest band index where they collide → each candidate appears
+    // exactly once, no distinct() over the candidate blowup (the
+    // shuffle-killer at corpus scale).
+    val cands = (0 until BANDS).map { j =>
+      val noEarlier = (0 until j)
+        .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
+        .foldLeft(lit(true))(_ && _)
+      sig.as("a").join(sig.as("b"),
+          col(s"a.b$j") === col(s"b.b$j") &&
+            col("a.doc_id") < col("b.doc_id") && noEarlier)
+        .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
     }.reduce(_.unionByName(_))
-    val cands = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
-      .distinct()
-    jaccardPairs(sh)
-      .join(cands, col("a_id") === col("ca") && col("b_id") === col("cb"), "left_semi")
+    // Candidate-driven verify: intersections are computed ONLY for LSH
+    // candidates (vs the all-sharing-pairs join of the exact pass) —
+    // this is the part that keeps the plan linear-ish at corpus scale.
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("a.doc_id") === col("ca"))
+      .join(sh.as("b"), col("b.doc_id") === col("cb") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
+      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -186,20 +207,24 @@ object Dedup {
   }
 
   private val simhash: Q = (s, d) => {
-    val sims = simhashes(s, d).cache()
     // banded candidate join: 4 bands × 4 bits; Hamming ≤ 3 ⇒ ≥1 intact
-    // band (pigeonhole) ⇒ exact, no cross join.
-    val banded = (0 until 4).map { j =>
-      sims.select(col("doc_id"), col("simhash"),
-        lit(j).as("bno"), expr(s"(simhash div ${1 << (4 * j)}) % 16").as("bval"))
+    // band (pigeonhole) ⇒ exact, no cross join. First-matching-band
+    // emission (see minhash above) keeps each pair single-shot with no
+    // distinct() shuffle.
+    val sims = simhashes(s, d)
+      .select(col("doc_id") +: col("simhash") +: (0 until 4).map(j =>
+        expr(s"(simhash div ${1 << (4 * j)}) % 16").as(s"b$j")): _*)
+      .cache()
+    (0 until 4).map { j =>
+      val noEarlier = (0 until j)
+        .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
+        .foldLeft(lit(true))(_ && _)
+      sims.as("a").join(sims.as("b"),
+          col(s"a.b$j") === col(s"b.b$j") &&
+            col("a.doc_id") < col("b.doc_id") && noEarlier)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
     }.reduce(_.unionByName(_))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
       .withColumn("hamming", bit_count(expr("int(sim_a) ^ int(sim_b)")).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))

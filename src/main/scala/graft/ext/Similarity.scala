@@ -22,13 +22,25 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Strict in-order fold: Σ aᵢ·bᵢ over double-cast elements. */
+  /** Strict in-order fold: Σ aᵢ·bᵢ over double-cast elements — a native
+    * codegen'd Catalyst expression (see [[graft.functions.DotProduct]]);
+    * bit-identical to the `aggregate(zip_with(...))` formulation but
+    * allocation-free, which matters inside O(n²) pair joins. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Pre-normalize a vector column to unit length (double elements).
+    * Pair queries then pay ONE fold per pair (`dot(â,b̂)`) instead of
+    * three — at n² pairs the norms are O(n) and the saving is 3× on the
+    * quadratic term. Equal to [[cosine]] up to ~1e-15, absorbed by the
+    * 5-decimal rounding used before ranking. */
+  def withUnitVector(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(vecCol, expr(s"transform($vecCol, x -> double(x) / _norm)"))
+      .drop("_norm")
 
   // ------------------------------------------------------- brute force
   // Top-5 neighbors for each query vector (vec_id < 10) over the rest
@@ -36,13 +48,13 @@ object Similarity {
   private val knnBrute: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val queries = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val corpus = emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val queries = withUnitVector(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
+    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
     val scored = corpus.join(broadcast(queries))
       .select($"query_id", $"neighbor_id",
-        round(cosine($"q_emb", $"c_emb"), 5).as("cos_sim"))
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w))
@@ -71,10 +83,11 @@ object Similarity {
   // same plan as a threshold pass with the threshold at the 20th value.
   private val nearDupTopPairs: Q = (s, d) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val emb = withUnitVector(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"), "embedding")
     val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 5).as("cos_sim"))
+        round(dot(col("a.embedding"), col("b.embedding")), 5).as("cos_sim"))
     pairs.orderBy($"cos_sim".desc, $"a_id", $"b_id").limit(20)
   }
   private val nearDupTopPairsSql =
@@ -107,8 +120,8 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val cents = centroids(emb)
-    val queries = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val queries = withUnitVector(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
     val probe = queries.join(broadcast(cents))
       .select($"query_id", $"q_emb", $"label",
         cosine($"q_emb", $"centroid").as("ccos"))
@@ -116,11 +129,11 @@ object Similarity {
     val cells = probe.withColumn("r", row_number().over(wq))
       .filter($"r" <= nprobe)
       .select($"query_id", $"q_emb", $"label")
-    val corpus = emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"label")
+    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"label"), "c_emb")
     val scored = corpus.join(broadcast(cells), "label")
       .select($"query_id", $"neighbor_id",
-        round(cosine($"q_emb", $"c_emb"), 5).as("cos_sim"))
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)

@@ -375,11 +375,20 @@ object Relational {
 
   // ---------------------------------------------------------------- P6
   // Incremental checkpoint predicate: strictly-greater event-time filter
-  // (scd2_spark_processor.py:211-213) — pushed to the parquet scan.
+  // (scd2_spark_processor.py:211-213) — applied to the RAW nanos column
+  // so it reaches the parquet scan as a PushedFilter (row-group pruning;
+  // a filter on the rebuilt timestamp column would not push). Pinned by
+  // PlanSpec.
   private val incrementalFilter: Q = (s, d) => {
     import s.implicits._
-    Tables.events(s, d)
-      .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    val ckNanos = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val raw = Tables.load(s, d, "events")
+    val pruned = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw.filter($"ts" > ckNanos)
+      case _ => raw.filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    }
+    Tables.eventsTimestamps(pruned)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"), max($"event_id").as("max_id"))
       .orderBy($"event_type")

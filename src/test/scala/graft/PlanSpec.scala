@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Relational
+import graft.ext.{Dedup, Similarity}
+
+/** Physical-plan pins: the scale properties that correctness checks
+  * can't see — pushdown, broadcast choice, top-k planning, codegen of
+  * the custom expression. A regression here is a 100 TB problem long
+  * before it is a local one.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("incremental filter pushes the checkpoint predicate to parquet") {
+    val p = plan("rel_incremental_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"checkpoint predicate must reach the scan:\n$p")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("rel_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only shuffle joins allowed are on the fact-fact edge
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("revenue rollup broadcasts the part dimension") {
+    assert(plan("rel_revenue_rollup").contains("BroadcastHashJoin"))
+  }
+
+  test("ordered limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pricing summary prunes unused lineitem columns at the scan") {
+    val p = plan("rel_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") &&
+      !p.contains("l_tax"), s"column pruning failed:\n$p")
+  }
+
+  test("pair similarity runs the native codegen dot product") {
+    val p = plan("sim_neardup_top_pairs")
+    assert(p.toLowerCase.contains("dotproduct"), p)
+    // and top-20 is TakeOrdered, not a global sort of 2M pairs
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    assert(plan("rel_join_semi").contains("LeftSemi"))
+    assert(plan("rel_join_anti").contains("LeftAnti"))
+  }
+
+  test("minhash verify is candidate-driven (no full pair jaccard)") {
+    // candidates (band equi-join) must appear below the intersection agg
+    val df = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("Join"), logical)
+  }
+}
