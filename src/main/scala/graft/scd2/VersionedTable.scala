@@ -60,4 +60,23 @@ final class VersionedTable(spark: SparkSession, root: String,
   /** Append rows as a new snapshot (reference `writeTo(...).append()`). */
   def append(df: DataFrame): Int =
     overwrite(if (exists) read().unionByName(df) else df)
+
+  /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM
+    * analog, SURVEY D10): keep the newest `keepVersions`, delete the
+    * rest's data and markers. Time travel past the horizon then fails
+    * by design. */
+  def vacuum(keepVersions: Int): Seq[Int] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    latestVersion match {
+      case None => Nil
+      case Some(latest) =>
+        val all = fs.listStatus(markerDir).map(_.getPath.getName.toInt).sorted
+        val expire = all.filter(_ <= latest - keepVersions)
+        expire.foreach { v =>
+          fs.delete(dataDir(v), true)
+          fs.delete(new Path(markerDir, f"$v%05d"), false)
+        }
+        expire.toSeq
+    }
+  }
 }

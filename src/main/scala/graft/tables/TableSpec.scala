@@ -1,0 +1,130 @@
+package graft.tables
+
+import graft.scd2.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Declarative table definition → physical DDL + policies: the
+  * config-as-code layer (SURVEY D9/D10), re-deriving the reference's
+  * YAML→Pinot-config generator
+  * (`/root/reference/scripts/pinot_auto/generate_pinot_configs.py:33-141`,
+  * `pinot_tables.yaml:6-250`) as typed Scala. A spec captures what the
+  * YAML captured — columns by role, key + comparison column for upsert
+  * resolution, partitioning, retention — and emits Spark artifacts
+  * (StructType, CREATE TABLE DDL, properties) instead of Pinot JSON.
+  */
+final case class ColumnSpec(name: String, dataType: DataType,
+                            role: ColumnRole = ColumnRole.Dimension)
+
+sealed trait ColumnRole
+object ColumnRole {
+  case object Dimension extends ColumnRole
+  case object Metric extends ColumnRole
+  case object Datetime extends ColumnRole
+}
+
+final case class RetentionSpec(timeColumn: String, days: Int)
+
+final case class TableSpec(
+    name: String,
+    columns: Seq[ColumnSpec],
+    primaryKey: Option[String] = None,
+    /** Upsert resolution column (Pinot `comparisonColumn`,
+      * `pinot_tables.yaml:32-36`): last-write-wins per key. */
+    comparisonColumn: Option[String] = None,
+    partitionBy: Seq[String] = Nil,
+    retention: Option[RetentionSpec] = None,
+    properties: Map[String, String] = Map.empty) {
+
+  def schema: StructType =
+    StructType(columns.map(c => StructField(c.name, c.dataType)))
+
+  /** CREATE TABLE DDL (what the generator's JSON was for Pinot). */
+  def ddl(format: String = "parquet"): String = {
+    val cols = columns.map(c => s"  ${c.name} ${c.dataType.sql}").mkString(",\n")
+    val part = if (partitionBy.isEmpty) ""
+      else s"\nPARTITIONED BY (${partitionBy.mkString(", ")})"
+    val props = properties ++
+      retention.map(r => "graft.retention.days" -> r.days.toString) ++
+      retention.map(r => "graft.retention.column" -> r.timeColumn) ++
+      primaryKey.map("graft.upsert.key" -> _) ++
+      comparisonColumn.map("graft.upsert.comparisonColumn" -> _)
+    val tbl = if (props.isEmpty) ""
+      else "\nTBLPROPERTIES (" + props.toSeq.sorted
+        .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+    s"CREATE TABLE IF NOT EXISTS $name (\n$cols\n) USING $format$part$tbl"
+  }
+
+  /** Empty DataFrame with this spec's schema (table bootstrap). */
+  def emptyFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}
+
+object TableSpec {
+  import ColumnRole._
+
+  /** The engine's standard tables, declared once — mirrors the
+    * reference's `pinot_tables.yaml` (current/history) and the SCD2 +
+    * checkpoint DDL (`scd2_spark_processor.py:135-177`). */
+  val salesCurrent: TableSpec = TableSpec(
+    name = "sales_current",
+    columns = Seq(
+      ColumnSpec("id", IntegerType),
+      ColumnSpec("product_name", StringType),
+      ColumnSpec("category", StringType),
+      ColumnSpec("price", DoubleType, Metric),
+      ColumnSpec("quantity", IntegerType, Metric),
+      ColumnSpec("sale_date", LongType),
+      ColumnSpec("created_at", LongType),
+      ColumnSpec("last_updated_ts", LongType, Datetime),
+      ColumnSpec("is_deleted", BooleanType)),
+    primaryKey = Some("id"),
+    comparisonColumn = Some("last_updated_ts"),
+    retention = Some(RetentionSpec("last_updated_ts", 30)))
+
+  val salesHistory: TableSpec = TableSpec(
+    name = "sales_history",
+    columns = Seq(
+      ColumnSpec("record_id", IntegerType),
+      ColumnSpec("op", StringType),
+      ColumnSpec("op_description", StringType),
+      ColumnSpec("event_timestamp", LongType, Datetime),
+      ColumnSpec("processing_time", LongType, Datetime)),
+    retention = Some(RetentionSpec("event_timestamp", 90)))
+
+  val salesScd2: TableSpec = TableSpec(
+    name = "sales_scd2",
+    columns = Seq(
+      ColumnSpec("id", IntegerType),
+      ColumnSpec("product_name", StringType),
+      ColumnSpec("category", StringType),
+      ColumnSpec("price", DoubleType, Metric),
+      ColumnSpec("quantity", IntegerType, Metric),
+      ColumnSpec("sale_date", IntegerType),
+      ColumnSpec("created_at", LongType),
+      ColumnSpec("effective_start_ts", TimestampType, Datetime),
+      ColumnSpec("effective_end_ts", TimestampType, Datetime),
+      ColumnSpec("is_current", BooleanType),
+      ColumnSpec("record_hash", StringType),
+      ColumnSpec("is_deleted", BooleanType)),
+    primaryKey = Some("id"),
+    partitionBy = Seq("effective_start_date"),
+    properties = Map("write.format.default" -> "parquet",
+      "write.parquet.compression-codec" -> "snappy"))
+}
+
+/** Retention enforcement (D10): the reference declares 30/90-day
+  * retention in YAML and lets Pinot enforce it; here the maintenance
+  * job is explicit — drop expired rows into a new snapshot, then
+  * vacuum old snapshot versions past the time-travel horizon.
+  */
+object Retention {
+  /** Rows with `timeColumn` (epoch millis) older than `now - days` are
+    * dropped; returns the new version. */
+  def enforce(table: VersionedTable, spec: RetentionSpec, nowMs: Long): Int = {
+    val cutoff = nowMs - spec.days.toLong * 86400000L
+    table.overwrite(table.read().filter(col(spec.timeColumn) >= cutoff))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.scd2.VersionedTable
+import graft.tables.{ColumnSpec, Retention, RetentionSpec, TableSpec}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class TableSpecSpec extends SparkSpec {
+
+  test("spec emits schema and DDL with upsert + retention properties") {
+    val spec = TableSpec.salesCurrent
+    assert(spec.schema.fieldNames.toSeq ==
+      Seq("id", "product_name", "category", "price", "quantity",
+        "sale_date", "created_at", "last_updated_ts", "is_deleted"))
+    val ddl = spec.ddl()
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS sales_current"))
+    assert(ddl.contains("price DOUBLE"))
+    assert(ddl.contains("'graft.upsert.key'='id'"))
+    assert(ddl.contains("'graft.upsert.comparisonColumn'='last_updated_ts'"))
+    assert(ddl.contains("'graft.retention.days'='30'"))
+    assert(!ddl.contains("PARTITIONED BY"))
+  }
+
+  test("scd2 spec declares partitioning like the reference DDL") {
+    val ddl = TableSpec.salesScd2.ddl()
+    assert(ddl.contains("PARTITIONED BY (effective_start_date)"))
+    assert(ddl.contains("'write.parquet.compression-codec'='snappy'"))
+  }
+
+  test("empty frame bootstrap matches the declared schema") {
+    val df = TableSpec.salesHistory.emptyFrame(spark)
+    assert(df.count() == 0)
+    assert(df.schema == TableSpec.salesHistory.schema)
+  }
+
+  test("retention drops expired rows; vacuum expires old versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ret").toString
+    val t = new VersionedTable(spark, root)
+    val now = 1800000000000L
+    val day = 86400000L
+    t.overwrite(Seq(
+      (1, now - 100 * day), (2, now - 31 * day), (3, now - 5 * day), (4, now))
+      .toDF("id", "last_updated_ts"))
+    val v1 = Retention.enforce(t, RetentionSpec("last_updated_ts", 30), now)
+    assert(v1 == 1)
+    assert(t.read().select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    // pre-retention state still time-travelable...
+    assert(t.readVersion(0).count() == 4)
+    // ...until vacuumed past the horizon
+    val expired = t.vacuum(keepVersions = 1)
+    assert(expired == Seq(0))
+    assert(t.read().count() == 2)
+    intercept[Exception] { t.readVersion(0).count() }
+  }
+}
