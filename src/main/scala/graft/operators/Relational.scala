@@ -398,9 +398,86 @@ object Relational {
       |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- rollup
+  // Hierarchical aggregate (engine surface beyond the reference's flat
+  // GROUP BY — SURVEY §2.4 notes Catalyst provides it): region → nation
+  // subtotals + grand total. NULL grouping keys are the subtotal rows.
+  private val rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("total_acctbal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+  private val rollupSql =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------- window frames
+  // Full analytic-window surface beyond lead (SURVEY §2.5): lag, rank,
+  // and an explicit rowsBetween running frame over keyed event time.
+  private val windowFrames: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        lag($"event_id", 1).over(w).as("prev_event_id"),
+        row_number().over(w).as("seq"),
+        sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"),
+        rank().over(Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id"))
+          .as("value_rank"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val windowFramesSql =
+    """SELECT user_id, event_id,
+      |  LAG(event_id, 1) OVER w AS prev_event_id,
+      |  ROW_NUMBER() OVER w AS seq,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value,
+      |  RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+      |    AS value_rank
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------ as-of lookup
+  // Point-in-time state (the time-travel query shape, README.MD:308-313,
+  // SURVEY D7): per key, the last event at or before the cutoff — an
+  // as-of join of a constant probe time against the event history.
+  private val asofState: Q = (s, d) => {
+    import s.implicits._
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .filter($"ts" <= cutoff)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+  private val asofStateSql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "rel_rollup"             -> rollup,
+    "rel_window_frames"      -> windowFrames,
+    "rel_asof_state"         -> asofState,
     "rel_pricing_summary"    -> pricingSummary,
     "rel_revenue_rollup"     -> revenueRollup,
     "rel_filtered_count_sum" -> filteredCountSum,
@@ -423,6 +500,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_rollup"             -> rollupSql,
+    "rel_window_frames"      -> windowFramesSql,
+    "rel_asof_state"         -> asofStateSql,
     "rel_pricing_summary"    -> pricingSummarySql,
     "rel_revenue_rollup"     -> revenueRollupSql,
     "rel_filtered_count_sum" -> filteredCountSumSql,

@@ -139,4 +139,28 @@ object Streams {
       .outputMode("append")
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  // ----------------------------------------------- windowed aggregation
+  /** Event-time tumbling-window op counts with a watermark — the
+    * stateful-streaming surface the reference never uses (SURVEY T3
+    * documents the absence; this is the engine extension). State is
+    * keyed by (window, op): bounded by the watermark, shuffled once,
+    * scale-free in the number of raw events. */
+  def windowedOpCounts(flat: DataFrame, windowLen: String = "1 minute",
+                       watermark: String = "2 minutes"): DataFrame =
+    flat
+      .withWatermark("event_timestamp", watermark)
+      .groupBy(window(col("event_timestamp"), windowLen), col("op"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("op"), col("n_events"))
+
+  def windowedOpCountsQuery(raw: DataFrame, outPath: String, checkpoint: String,
+                            availableNow: Boolean = false): StreamingQuery = {
+    val writer = windowedOpCounts(Envelope.flatten(raw)).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

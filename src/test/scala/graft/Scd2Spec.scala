@@ -156,12 +156,23 @@ class Scd2Spec extends SparkSpec {
   }
 
   test("random stream invariants over multiple batch splits") {
+    checkInvariants(seed = 42, nKeys = 12, nOps = 120, batchSize = 40)
+  }
+
+  test("random stream invariants: more seeds and batch shapes") {
+    // property-style sweep: different op mixes, key cardinalities, and
+    // batch boundaries all preserve the SCD2 invariants
+    checkInvariants(seed = 7, nKeys = 3, nOps = 90, batchSize = 17) // hot keys
+    checkInvariants(seed = 99, nKeys = 25, nOps = 100, batchSize = 100) // single batch
+    checkInvariants(seed = 1234, nKeys = 8, nOps = 60, batchSize = 12) // many batches
+  }
+
+  private def checkInvariants(seed: Long, nKeys: Int, nOps: Int, batchSize: Int): Unit = {
     // ≥1s steps: no same-second batch-boundary ties, so the strict-`>`
     // checkpoint drops nothing and the replay interpreter below is exact
     // (tie behavior itself is pinned by the dedicated golden test).
-    val ops = randomStream(seed = 42, nKeys = 12, nOps = 120,
-      minStepMs = 1001, maxStepMs = 2500)
-    val batches = ops.grouped(40).toSeq
+    val ops = randomStream(seed, nKeys, nOps, minStepMs = 1001, maxStepMs = 2500)
+    val batches = ops.grouped(math.max(batchSize, 12)).toSeq
     val job = runBatches(batches)
     val state = job.currentState.cache()
     try {

@@ -82,6 +82,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 200.0)
   }
 
+  test("windowed op counts: watermarked tumbling windows match batch truth") {
+    import spark.implicits._
+    val in = tmp(); val out = tmp() + "/win"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 21, nKeys = 10, nOps = 200)
+    writeLines(in, "w.jsonl", ops.map(toJson))
+    // AvailableNow processes all files; a final empty batch advances the
+    // watermark so completed windows emit in append mode.
+    Streams.windowedOpCountsQuery(Streams.rawFileStream(spark, in), out, ck,
+      availableNow = true).awaitTermination()
+    writeLines(in, "w2.jsonl", Seq(toJson(ops.last.copy(
+      tsMs = ops.last.tsMs + 3600000L)))) // 1h later: flushes all windows
+    Streams.windowedOpCountsQuery(Streams.rawFileStream(spark, in), out, ck,
+      availableNow = true).awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select($"window_start", $"op", $"n_events").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    // batch ground truth over the ORIGINAL 200 ops (the flush event's own
+    // window may not have emitted yet — exclude it from the expectation)
+    val flat = graft.cdc.Envelope.flatten(ops.map(toJson).toDF("raw_message"))
+    val expected = flat
+      .groupBy(org.apache.spark.sql.functions.window($"event_timestamp", "1 minute"), $"op")
+      .count()
+      .select($"window.start", $"op", $"count").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    assert(expected.subsetOf(got))
+    assert(got.size <= expected.size + 1) // + at most the flush event's window
+  }
+
   test("history sink: full audit trail with op decode and injected clock") {
     val in = tmp(); val out = tmp() + "/hist"; val ck = tmp() + "/ck"
     val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
