@@ -472,9 +472,25 @@ object Relational {
       |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- approx aggregates
+  // HLL++ sketch surface (SURVEY §2.4: approx aggregates "come free");
+  // no DuckDB oracle (sketch implementations differ by design) → the
+  // driver records a rows-only check, and ExtSpec bounds the error
+  // against the exact count.
+  private val approxDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "rel_approx_distinct"    -> approxDistinct,
     "rel_rollup"             -> rollup,
     "rel_window_frames"      -> windowFrames,
     "rel_asof_state"         -> asofState,

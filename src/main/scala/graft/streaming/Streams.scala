@@ -2,10 +2,10 @@ package graft.streaming
 
 import graft.cdc.Envelope
 import graft.scd2.VersionedTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming lanes — the reference's three PyFlink jobs
   * re-derived (SURVEY §2.1 S5–S7, §2.9):
@@ -137,6 +137,54 @@ object Streams {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  // ------------------------------------------- custom state (FMGWS)
+  /** Typed row of the current-state lane (nullable after-image fields:
+    * deletes carry none). */
+  final case class CurrentRec(
+      id: Int, product_name: Option[String], category: Option[String],
+      price: Option[Double], quantity: Option[Int], sale_date: Option[Long],
+      created_at: Option[Long], last_updated_ts: Long, is_deleted: Boolean,
+      lsn: Long)
+
+  /** Current-state upsert via `flatMapGroupsWithState` — the custom-
+    * state-store alternative to the foreachBatch merge: per-key state
+    * holds the newest record; a group emits only when its winner
+    * changes. State is O(live keys), partitioned by the group key —
+    * the Spark-native shape of the reference's Pinot upsert table.
+    * (The foreachBatch variant remains the default: its state lives in
+    * the table itself, surviving stream re-creation; this one
+    * checkpoints state alongside the query.) */
+  def statefulCurrentState(cur: Dataset[CurrentRec]): Dataset[CurrentRec] = {
+    import cur.sparkSession.implicits._
+    cur.groupByKey(_.id)
+      .flatMapGroupsWithState[CurrentRec, CurrentRec](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[CurrentRec], state: GroupState[CurrentRec]) =>
+          val candidates = rows ++ state.getOption.iterator
+          val newest = candidates.maxBy(r => (r.last_updated_ts, r.lsn))
+          val changed = state.getOption
+            .forall(s => (s.last_updated_ts, s.lsn) != (newest.last_updated_ts, newest.lsn))
+          state.update(newest)
+          if (changed) Iterator.single(newest) else Iterator.empty
+      }
+  }
+
+  def currentRecords(raw: DataFrame): Dataset[CurrentRec] = {
+    import raw.sparkSession.implicits._
+    currentProjection(Envelope.flatten(raw)).as[CurrentRec]
+  }
+
+  def statefulCurrentStateQuery(raw: DataFrame, queryName: String,
+                                checkpoint: String,
+                                availableNow: Boolean = false): StreamingQuery = {
+    val writer = statefulCurrentState(currentRecords(raw)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 

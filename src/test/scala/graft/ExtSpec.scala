@@ -98,6 +98,29 @@ class ExtSpec extends SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("approx distinct is within 5% of exact") {
+    graft.operators.Relational.queries("rel_approx_distinct")(spark, sfDir)
+      .collect().foreach { r =>
+        val approx = r.getAs[Long]("approx_users").toDouble
+        val exact = r.getAs[Long]("exact_users").toDouble
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"${r.getString(0)}: approx=$approx exact=$exact")
+      }
+  }
+
+  test("salted join equals the plain join") {
+    import spark.implicits._
+    val big = Tables.events(spark, sfDir).select($"user_id", $"event_id", $"value")
+    val small = Tables.events(spark, sfDir)
+      .groupBy($"user_id").count().withColumnRenamed("count", "user_events")
+    def summarize(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), sum($"event_id"), sum($"user_events")).first().toSeq
+    val plain = summarize(big.join(small, Seq("user_id")))
+    val salted = summarize(
+      graft.operators.Skew.saltedJoin(big, small, "user_id", salt = 7))
+    assert(salted == plain)
+  }
+
   test("text quality: flags are consistent with their inputs") {
     val q = TextAnalysis.queries("text_quality")(spark, sfDir).collect()
     q.foreach { r =>

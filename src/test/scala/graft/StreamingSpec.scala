@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 200.0)
   }
 
+  test("flatMapGroupsWithState current state matches the foreachBatch merge") {
+    import spark.implicits._
+    val in = tmp(); val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 31, nKeys = 6, nOps = 70,
+      minStepMs = 1001, maxStepMs = 2000)
+    writeLines(in, "s0.jsonl", ops.map(toJson))
+    Streams.statefulCurrentStateQuery(Streams.rawFileStream(spark, in),
+      "fmgws_state", ck, availableNow = true).awaitTermination()
+    // last emission per key == final upsert state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"last_updated_ts".desc, $"lsn".desc)
+    val finalState = spark.table("fmgws_state")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1)
+    val expected = ops.groupBy(o => o.before.orElse(o.after).get.id)
+      .view.mapValues(_.maxBy(e => (e.tsMs, e.lsn))).toMap
+    val rows = finalState.collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val fin = expected(r.getAs[Int]("id"))
+      assert(r.getAs[Long]("last_updated_ts") == fin.tsMs)
+      assert(r.getAs[Boolean]("is_deleted") == (fin.op == "d"))
+    }
+  }
+
   test("windowed op counts: watermarked tumbling windows match batch truth") {
     import spark.implicits._
     val in = tmp(); val out = tmp() + "/win"; val ck = tmp() + "/ck"
