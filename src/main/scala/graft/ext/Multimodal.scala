@@ -63,6 +63,21 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode))
   }
 
+  /** Resize stage: recompute target dimensions preserving aspect ratio
+    * (the codec-free half of a real resize; the pixel work is part of
+    * the stubbed codec). Pure per-row math — stays in the same stage
+    * as decode, no shuffle. */
+  def resize(feats: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val scale = maxDim.toDouble / math.max(f.width, f.height)
+      if (scale >= 1.0) f
+      else f.copy(
+        width = math.max(1, math.round(f.width * scale).toInt),
+        height = math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
+
   /** Frame sampling: explode ~1 frame per 10 s of fake duration (video
     * only) — the row-multiplying stage whose partitioning matters at
     * scale (frames inherit the parent's partition; no shuffle). */

@@ -23,11 +23,16 @@ object TextAnalysis {
   private def toks(c: Column): Column = split(c, " ")
 
   // --------------------------------------------------------- token stats
-  // Token counting: whitespace tokens + the classic chars/4 BPE estimate.
+  // Token counting: whitespace tokens, a BPE-ish regex pass (word runs /
+  // digit runs / lone symbols — the GPT-2 pre-tokenizer shape), and the
+  // classic chars/4 BPE estimate.
+  private val bpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val tokenStats: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", $"lang", explode(toks($"text")).as("w"), $"n_chars")
+      .select($"doc_id", $"lang", explode(toks($"text")).as("w"), $"n_chars",
+        size(regexp_extract_all($"text", lit(bpeIshPattern), lit(0)))
+          .cast("long").as("n_regex_tokens"))
       .groupBy($"doc_id")
       .agg(
         first($"lang").as("lang"),
@@ -35,17 +40,21 @@ object TextAnalysis {
         countDistinct($"w").as("n_distinct_tokens"),
         (sum(length($"w")).cast("double") / count(lit(1))).as("mean_token_len"),
         (countDistinct($"w").cast("double") / count(lit(1))).as("type_token_ratio"),
+        first($"n_regex_tokens").as("n_regex_tokens"),
         ceil(first($"n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
       .orderBy($"doc_id")
   }
   private val tokenStatsSql =
     """WITH t AS (
-      |  SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS w
+      |  SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS w,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+      |      AS n_regex_tokens
       |  FROM documents)
       |SELECT doc_id, MIN(lang) AS lang, COUNT(*) AS n_tokens,
       |  COUNT(DISTINCT w) AS n_distinct_tokens,
       |  CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS mean_token_len,
       |  CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS type_token_ratio,
+      |  MIN(n_regex_tokens) AS n_regex_tokens,
       |  CAST(ceil(MIN(n_chars) / 4.0) AS BIGINT) AS est_bpe_tokens
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -86,6 +86,26 @@ class ExtSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("multimodal: resize preserves aspect ratio and never upscales") {
+    val feats = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
+    val resized = Multimodal.resize(feats, maxDim = 256).collect()
+    resized.foreach { f =>
+      assert(math.max(f.width, f.height) <= 256)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+    val before = feats.collect().map(f => f.media_id -> f).toMap
+    resized.foreach { f =>
+      val b = before(f.media_id)
+      if (math.max(b.width, b.height) <= 256)
+        assert(f.width == b.width && f.height == b.height) // no upscale
+      else {
+        val ratioBefore = b.width.toDouble / b.height
+        val ratioAfter = f.width.toDouble / f.height
+        assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.1)
+      }
+    }
+  }
+
   test("multimodal: frame sampling explodes ~1 frame per 10s of video") {
     val feats = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
     val frames = Multimodal.sampleFrames(feats).cache()

@@ -1,0 +1,38 @@
+package graft
+
+import graft.cdc.{CdcFixtures, Envelope}
+import graft.scd2.Scd2Job
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+/** BASELINE.md §3 throughput floor: the pipeline must sustain ≥ 1,000
+  * CDC events/s end-to-end (the reference generator's demonstrated
+  * load). Measured here over parse → bronze → SCD2 merge → commit on a
+  * 20k-event fixture stream; generous margin expected even on a noisy
+  * box (the local[4] test session, not the bench session).
+  */
+class ThroughputSpec extends SparkSpec {
+  import CdcFixtures._
+
+  test("CDC → bronze → SCD2 sustains >= 1000 events/s end-to-end") {
+    import spark.implicits._
+    val n = 20000
+    val ops = randomStream(seed = 77, nKeys = 500, nOps = n)
+    val dir = Files.createTempDirectory("tput").toString
+    val staging = s"$dir/staging"
+
+    val t0 = System.nanoTime()
+    Envelope.toBronze(Envelope.flatten(ops.map(toJson).toDF("raw_message")))
+      .write.mode("append").partitionBy("dt").parquet(staging)
+    val job = new Scd2Job(spark, staging, s"$dir/table", s"$dir/ck",
+      () => Timestamp.from(Instant.ofEpochSecond(1800000000L)))
+    val processed = job.run()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    assert(processed == n)
+    val rate = n / secs
+    info(f"end-to-end rate: $rate%.0f events/s over $secs%.1f s")
+    assert(rate >= 1000.0, f"rate $rate%.0f events/s below the 1000/s floor")
+  }
+}
