@@ -77,6 +77,35 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force kNN via the typed [[graft.functions.TopK]] aggregator:
+    * identical results to the window formulation (same rounding + id
+    * tiebreak), but each map partition pre-reduces to k rows before the
+    * shuffle — O(k·partitions) exchanged instead of O(corpus) per
+    * query. The scale-correct reduction; spec-pinned equal to
+    * `sim_knn_bruteforce`. */
+  def knnBruteTopKAgg(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = withUnitVector(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
+    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
+    val scored = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopK(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.Scored(r._2, r._3))
+      .agg(topk.toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) => (qid, i + 1, sc.id, sc.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   // -------------------------------------------------- global top pairs
   // Embedding-cosine near-dup: the corpus has no planted near-identical
   // vectors, so the dedup surface is "top-20 most similar pairs" —

@@ -35,9 +35,21 @@ object Streams {
     spark.readStream.text(inputDir).withColumnRenamed("value", "raw_message")
 
   // ------------------------------------------------------------- bronze
+  /** With `dedupeByLsn`, an at-least-once upstream (reprocessed Kafka
+    * offsets, replayed files) still lands each CDC event once: streaming
+    * dedup keyed on the replication LSN, state bounded by the event-time
+    * watermark (SURVEY T2 — upgrades the reference's at-least-once
+    * bronze to effective exactly-once). */
   def bronzeQuery(raw: DataFrame, outPath: String, checkpoint: String,
-                  availableNow: Boolean = false): StreamingQuery = {
-    val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
+                  availableNow: Boolean = false,
+                  dedupeByLsn: Boolean = false): StreamingQuery = {
+    val flat = Envelope.flatten(raw)
+    val deduped =
+      if (dedupeByLsn)
+        flat.withWatermark("event_timestamp", "10 minutes")
+          .dropDuplicatesWithinWatermark("lsn")
+      else flat
+    val writer = Envelope.toBronze(deduped).writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)

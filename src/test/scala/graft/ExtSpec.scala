@@ -43,6 +43,14 @@ class ExtSpec extends SparkSpec {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("typed TopK aggregator reproduces the window top-k exactly") {
+    val window = Similarity.queries("sim_knn_bruteforce")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val agg = Similarity.knnBruteTopKAgg(spark, sfDir, k = 5)
+      .collect().map(_.toSeq)
+    assert(agg.toSeq == window.toSeq)
+  }
+
   test("IVF with nprobe = all cells reproduces brute force exactly") {
     val brute = Similarity.queries("sim_knn_bruteforce")(spark, sfDir).collect()
     val full = Similarity.knnIvf(spark, sfDir, k = 5, nprobe = 10).collect()

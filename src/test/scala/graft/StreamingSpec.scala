@@ -82,6 +82,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 200.0)
   }
 
+  test("bronze dedupe-by-lsn: replayed envelopes land exactly once") {
+    val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 13, nKeys = 5, nOps = 30)
+    val lines = ops.map(toJson)
+    // simulate at-least-once delivery: every envelope delivered twice
+    writeLines(in, "b0.jsonl", lines ++ lines)
+    Streams.bronzeQuery(Streams.rawFileStream(spark, in), out, ck,
+      availableNow = true, dedupeByLsn = true).awaitTermination()
+    val bronze = spark.read.parquet(out)
+    assert(bronze.count() == 30)
+    assert(bronze.select("lsn").distinct().count() == 30)
+  }
+
   test("flatMapGroupsWithState current state matches the foreachBatch merge") {
     import spark.implicits._
     val in = tmp(); val ck = tmp() + "/ck"
