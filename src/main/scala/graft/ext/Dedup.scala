@@ -190,32 +190,36 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- SimHash
-  private val SIM_BITS = 16 // 4 hex chars of md5(token)
+  private val SIM_BITS = 32       // 8 hex chars of md5(token)
+  private val SIM_BANDS = 8       // 8 bands × 4 bits; Hamming ≤ 3 ⇒ ≥5 intact
 
-  /** Per-doc 16-bit simhash over DISTINCT tokens: bit b is set iff the
-    * majority of tokens have md5-bit b set (±1 vote per token). Pure
-    * integer/string ops shared verbatim with the oracle. */
+  /** Per-doc 32-bit simhash, term-frequency weighted (the classic
+    * Charikar/Manku formulation): each token OCCURRENCE votes ±1 on
+    * each md5 bit; bit b of the fingerprint is the vote sign. TF
+    * weighting matters on this corpus — the 31-word shared vocabulary
+    * makes distinct-token sets nearly identical across docs, while the
+    * frequency profile discriminates. Pure integer/string ops shared
+    * verbatim with the oracle. */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
       .withColumn("h", md5($"w"))
     // hex digit value via strpos on the hex alphabet (portable): both
     // engines 1-based; -1 → 0..15.
-    val withDigits = (0 until 4).foldLeft(tok) { (df, c) =>
+    val withDigits = (0 until SIM_BITS / 4).foldLeft(tok) { (df, c) =>
       df.withColumn(s"d$c",
         expr(s"int(locate(substr(h, ${c + 1}, 1), '0123456789abcdef') - 1)"))
     }
     val votes = (0 until SIM_BITS).map { b =>
-      val digit = col(s"d${b / 4}")
       val bit = expr(s"(d${b / 4} div ${1 << (b % 4)}) % 2")
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
     withDigits.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
         (0 until SIM_BITS).map(b =>
-          when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
-          .reduce(_ + _).cast("int").as("simhash"))
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   private val simhash: Q = (s, d) => {
@@ -224,10 +228,10 @@ object Dedup {
     // emission (see minhash above) keeps each pair single-shot with no
     // distinct() shuffle.
     val sims = simhashes(s, d)
-      .select(col("doc_id") +: col("simhash") +: (0 until 4).map(j =>
-        expr(s"(simhash div ${1 << (4 * j)}) % 16").as(s"b$j")): _*)
+      .select(col("doc_id") +: col("simhash") +: (0 until SIM_BANDS).map(j =>
+        expr(s"(simhash div ${1L << (4 * j)}) % 16").as(s"b$j")): _*)
       .cache()
-    (0 until 4).map { j =>
+    (0 until SIM_BANDS).map { j =>
       val noEarlier = (0 until j)
         .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
         .foldLeft(lit(true))(_ && _)
@@ -237,7 +241,7 @@ object Dedup {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
     }.reduce(_.unionByName(_))
-      .withColumn("hamming", bit_count(expr("int(sim_a) ^ int(sim_b)")).cast("int"))
+      .withColumn("hamming", bit_count(expr("bigint(sim_a) ^ bigint(sim_b)")).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
@@ -247,24 +251,23 @@ object Dedup {
       s"SUM(CASE WHEN (d${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(",\n    ")
     val assemble = (0 until SIM_BITS).map(b =>
-      s"CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val digits = (0 until SIM_BITS / 4).map(c =>
+      s"strpos('0123456789abcdef', substr(h,${c + 1},1))-1 AS d$c").mkString(",\n    ")
     s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
        |hx AS (
        |  SELECT doc_id, md5(w) AS h FROM tok),
        |dg AS (
        |  SELECT doc_id,
-       |    strpos('0123456789abcdef', substr(h,1,1))-1 AS d0,
-       |    strpos('0123456789abcdef', substr(h,2,1))-1 AS d1,
-       |    strpos('0123456789abcdef', substr(h,3,1))-1 AS d2,
-       |    strpos('0123456789abcdef', substr(h,4,1))-1 AS d3
+       |    $digits
        |  FROM hx),
        |v AS (
        |  SELECT doc_id,
        |    $votes
        |  FROM dg GROUP BY doc_id),
        |sim AS (
-       |  SELECT doc_id, CAST($assemble AS INT) AS simhash FROM v)
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
