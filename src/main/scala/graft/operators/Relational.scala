@@ -472,6 +472,50 @@ object Relational {
       |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------- session windows
+  // Gaps-and-islands sessionization (30-min inactivity gap): lag → gap
+  // flag → running session id → per-session rollup. The batch analog of
+  // streaming session windows; one keyed shuffle, windows all reuse the
+  // same (user_id, ts) sort.
+  private val sessions: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event"),
+        max($"event_id").as("last_event"),
+        (unix_micros(max($"ts").cast("timestamp")) -
+          unix_micros(min($"ts").cast("timestamp"))).as("duration_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+  private val sessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+      |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+      |FROM sessioned
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ------------------------------------------------- approx aggregates
   // HLL++ sketch surface (SURVEY §2.4: approx aggregates "come free");
   // no DuckDB oracle (sketch implementations differ by design) → the
@@ -490,6 +534,7 @@ object Relational {
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "rel_sessions"           -> sessions,
     "rel_approx_distinct"    -> approxDistinct,
     "rel_rollup"             -> rollup,
     "rel_window_frames"      -> windowFrames,
@@ -516,6 +561,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_sessions"           -> sessionsSql,
     "rel_rollup"             -> rollupSql,
     "rel_window_frames"      -> windowFramesSql,
     "rel_asof_state"         -> asofStateSql,

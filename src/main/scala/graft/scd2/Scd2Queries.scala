@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.TimestampType
 
 /** Oracle-checkable projections of the SCD2 core onto the driver's
   * `events` table (`user_id` as business key, `ts` as event time,
@@ -27,9 +26,9 @@ object Scd2Queries {
       .withColumn("next_ts", lead($"ts", 1).over(w))
       .filter($"next_hash".isNull || $"record_hash" =!= $"next_hash")
       .select($"user_id", $"event_id", $"event_type",
-        $"ts".as("effective_start_ts"),
-        when($"next_hash".isNotNull, $"next_ts")
-          .otherwise(lit(null).cast(TimestampType)).as("effective_end_ts"),
+        unix_micros($"ts".cast("timestamp")).as("effective_start_us"),
+        when($"next_hash".isNotNull, unix_micros($"next_ts".cast("timestamp")))
+          .otherwise(lit(null).cast("long")).as("effective_end_us"),
         $"next_hash".isNull.as("is_current"),
         $"record_hash")
       .orderBy($"user_id", $"event_id")
@@ -44,8 +43,8 @@ object Scd2Queries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |)
       |SELECT user_id, event_id, event_type,
-      |       ts AS effective_start_ts,
-      |       CASE WHEN next_hash IS NOT NULL THEN next_ts END AS effective_end_ts,
+      |       epoch_us(ts) AS effective_start_us,
+      |       CASE WHEN next_hash IS NOT NULL THEN epoch_us(next_ts) END AS effective_end_us,
       |       (next_hash IS NULL) AS is_current,
       |       record_hash
       |FROM h
@@ -57,7 +56,7 @@ object Scd2Queries {
     val v = versions(s, d)
     v.filter(col("is_current"))
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("effective_start_ts"))
+        col("effective_start_us"))
       .orderBy(col("user_id"))
   }
   private val currentSql =
@@ -68,7 +67,7 @@ object Scd2Queries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |)
-      |SELECT user_id, event_id, event_type, ts AS effective_start_ts
+      |SELECT user_id, event_id, event_type, epoch_us(ts) AS effective_start_us
       |FROM h WHERE next_hash IS NULL
       |ORDER BY user_id""".stripMargin
 
@@ -78,8 +77,8 @@ object Scd2Queries {
     val v = versions(s, d)
     v.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_versions"),
-        min(col("effective_start_ts")).as("first_start"),
-        max(col("effective_start_ts")).as("last_start"),
+        min(col("effective_start_us")).as("first_start_us"),
+        max(col("effective_start_us")).as("last_start_us"),
         sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
       .orderBy(col("user_id"))
   }
@@ -92,7 +91,8 @@ object Scd2Queries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |)
       |SELECT user_id, COUNT(*) AS n_versions,
-      |       MIN(ts) AS first_start, MAX(ts) AS last_start,
+      |       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_start_us,
+      |       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_start_us,
       |       CAST(SUM(CASE WHEN next_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current
       |FROM h
       |WHERE next_hash IS NULL OR record_hash <> next_hash

@@ -214,6 +214,20 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("op"), col("n_events"))
 
+  /** Gap-based session windows over the CDC stream (native
+    * `session_window`, event-time + watermark): per key, sessions close
+    * after `gap` of inactivity — the streaming twin of the batch
+    * gaps-and-islands query (`rel_sessions`). */
+  def sessionCounts(flat: DataFrame, gap: String = "30 seconds",
+                    watermark: String = "2 minutes"): DataFrame =
+    flat
+      .withWatermark("event_timestamp", watermark)
+      .groupBy(session_window(col("event_timestamp"), gap),
+        coalesce(col("after_id"), col("before_id")).as("id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("id"), col("n_events"))
+
   def windowedOpCountsQuery(raw: DataFrame, outPath: String, checkpoint: String,
                             availableNow: Boolean = false): StreamingQuery = {
     val writer = windowedOpCounts(Envelope.flatten(raw)).writeStream

@@ -149,6 +149,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= expected.size + 1) // + at most the flush event's window
   }
 
+  test("streaming session windows: per-key sessions close after the gap") {
+    import spark.implicits._
+    val in = tmp(); val out = tmp() + "/sess"; val ck = tmp() + "/ck"
+    val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
+    val base = 1718000000L
+    // key 1: two bursts separated by 10 min → 2 sessions (3 + 1 events)
+    val ops = Seq(
+      CdcOp("c", None, Some(img), base * 1000, 1, 1),
+      CdcOp("u", Some(img), Some(img), (base + 10) * 1000, 2, 2),
+      CdcOp("u", Some(img), Some(img), (base + 20) * 1000, 3, 3),
+      CdcOp("u", Some(img), Some(img), (base + 620) * 1000, 4, 4),
+      // flush event far in the future closes all watermark state
+      CdcOp("c", None, Some(img.copy(id = 2)), (base + 7200) * 1000, 5, 5))
+    writeLines(in, "s.jsonl", ops.map(toJson))
+    val q = Streams.sessionCounts(
+      graft.cdc.Envelope.flatten(Streams.rawFileStream(spark, in)))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sess = spark.read.parquet(out).filter($"id" === 1)
+      .orderBy("session_start").collect()
+    assert(sess.length == 2)
+    assert(sess(0).getAs[Long]("n_events") == 3)
+    assert(sess(1).getAs[Long]("n_events") == 1)
+  }
+
   test("history sink: full audit trail with op decode and injected clock") {
     val in = tmp(); val out = tmp() + "/hist"; val ck = tmp() + "/ck"
     val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
