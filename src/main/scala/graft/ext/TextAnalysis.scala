@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for LLM training-data pipelines (driver
   * north star — not present in the reference): token statistics,
@@ -139,13 +140,57 @@ object TextAnalysis {
       |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- winnowing
+  // Rolling-hash document fingerprinting (the MOSS winnowing scheme):
+  // hash every char 5-gram, slide a window of 4 and keep each window's
+  // minimum — the selected hashes form a position-robust fingerprint
+  // set (local edits perturb only nearby windows). One explode + one
+  // keyed window + one re-aggregate; linear in corpus size.
+  private val winnow: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        explode(expr("sequence(1, length(text) - 4)")).as("i"))
+      .select($"doc_id", $"i",
+        substring(md5(expr("substr(text, i, 5)")), 1, 8).as("g"))
+    val w = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.currentRow, 3)
+    grams
+      .withColumn("wmin", min($"g").over(w))
+      .withColumn("max_i", max($"i").over(Window.partitionBy($"doc_id")))
+      .filter($"i" <= $"max_i" - 3)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"wmin").as("n_fingerprints"),
+        min($"wmin").as("min_fp"),
+        md5(concat_ws(",", array_sort(collect_set($"wmin")))).as("fingerprint_set_hash"))
+      .orderBy($"doc_id")
+  }
+  private val winnowSql =
+    """WITH grams AS (
+      |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8) AS g
+      |  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)),
+      |windowed AS (
+      |  SELECT doc_id, i,
+      |    MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    MAX(i) OVER (PARTITION BY doc_id) AS max_i
+      |  FROM grams)
+      |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fingerprints,
+      |  MIN(wmin) AS min_fp,
+      |  md5(array_to_string(list_sort(list_distinct(list(wmin))), ',')) AS fingerprint_set_hash
+      |FROM windowed
+      |WHERE i <= max_i - 3
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_winnow_fingerprint" -> winnowSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,
