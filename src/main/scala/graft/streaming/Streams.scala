@@ -152,6 +152,37 @@ object Streams {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  // ------------------------------------------------------ streaming SCD2
+  /** The full streaming-lakehouse path: CDC stream → per-micro-batch
+    * SCD2 transform + merge into the versioned table. The stream's own
+    * offset tracking replaces the batch job's timestamp checkpoint
+    * (each micro-batch IS the increment — no strict-`>` boundary, no
+    * dropped same-second ties); merge semantics are byte-identical to
+    * `Scd2Job` for the same batch boundaries (spec-pinned). */
+  def scd2Query(raw: DataFrame, tableRoot: String, checkpoint: String,
+                availableNow: Boolean = false): StreamingQuery = {
+    import graft.scd2.{Scd2Processor, VersionedTable}
+    val spark = raw.sparkSession
+    val table = new VersionedTable(spark, tableRoot, Seq("effective_start_date"))
+    val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val scd2Batch = Scd2Processor.processBatch(batch)
+          val merged =
+            if (table.exists)
+              Scd2Processor.merge(table.read().drop("effective_start_date"), scd2Batch)
+            else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+              .drop("operation_type")
+          table.overwrite(
+            merged.withColumn("effective_start_date", to_date(col("effective_start_ts"))))
+          ()
+        }
+      }
+      .outputMode("update")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   // ------------------------------------------- custom state (FMGWS)
   /** Typed row of the current-state lane (nullable after-image fields:
     * deletes carry none). */

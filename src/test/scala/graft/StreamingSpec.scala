@@ -82,6 +82,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 200.0)
   }
 
+  test("streaming SCD2 equals the batch job for the same batch boundaries") {
+    import spark.implicits._
+    val ops = randomStream(seed = 55, nKeys = 8, nOps = 80,
+      minStepMs = 1001, maxStepMs = 2000)
+    val (b1, b2) = ops.splitAt(45)
+
+    // streaming: two files, two runs → two micro-batches
+    val in = tmp(); val sroot = tmp() + "/stab"; val sck = tmp() + "/ck"
+    writeLines(in, "a.jsonl", b1.map(toJson))
+    Streams.scd2Query(Streams.rawFileStream(spark, in), sroot, sck,
+      availableNow = true).awaitTermination()
+    writeLines(in, "b.jsonl", b2.map(toJson))
+    Streams.scd2Query(Streams.rawFileStream(spark, in), sroot, sck,
+      availableNow = true).awaitTermination()
+
+    // batch: same two increments through Scd2Job
+    val staging = tmp() + "/staging"
+    val job = new graft.scd2.Scd2Job(spark, staging, tmp() + "/btab", tmp() + "/bck",
+      () => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1800000000L)))
+    Seq(b1, b2).foreach { ops =>
+      graft.cdc.Envelope.toBronze(graft.cdc.Envelope.flatten(
+        ops.map(toJson).toDF("raw_message")))
+        .write.mode("append").partitionBy("dt").parquet(staging)
+      job.run()
+    }
+
+    val streamed = new graft.scd2.VersionedTable(spark, sroot).read()
+      .drop("effective_start_date")
+    val cols = job.currentState.columns.sorted.map(col).toIndexedSeq
+    val a = streamed.select(cols: _*).orderBy(cols: _*).collect().map(_.toSeq)
+    val b = job.currentState.select(cols: _*).orderBy(cols: _*).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("bronze dedupe-by-lsn: replayed envelopes land exactly once") {
     val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
     val ops = randomStream(seed = 13, nKeys = 5, nOps = 30)
