@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{DotProduct, Scored, TopK}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop}
+
+/** Algebraic pins for the custom functions: the properties that make
+  * distributed partial aggregation and codegen correct, checked over
+  * random inputs (ScalaCheck) without spinning Spark jobs.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ------------------------------------------------------------- TopK
+  private val scoredGen: Gen[Scored] = for {
+    id <- Gen.chooseNum(0L, 500L)
+    score <- Gen.chooseNum(-100, 100).map(_ / 10.0)
+  } yield Scored(id, score)
+
+  private def reference(xs: List[Scored], k: Int): Seq[Scored] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+
+  test("TopK: any split/merge order yields the global top-k") {
+    check(Prop.forAll(Gen.listOf(scoredGen), Gen.chooseNum(1, 8)) {
+      (xs: List[Scored], k: Int) =>
+        val agg = new TopK(k)
+        // random 3-way split, reduced independently then merged
+        val (a, rest) = xs.splitAt(xs.length / 3)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        def reduceAll(part: List[Scored]) =
+          part.foldLeft(agg.zero)(agg.reduce)
+        val merged = agg.merge(agg.merge(reduceAll(a), reduceAll(b)), reduceAll(c))
+        agg.finish(merged) == reference(xs, k)
+    })
+  }
+
+  test("TopK: merge with zero is identity on the finished value") {
+    check(Prop.forAll(Gen.listOf(scoredGen)) { xs: List[Scored] =>
+      val agg = new TopK(5)
+      val r = xs.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(r, agg.zero)) == reference(xs, 5)
+    })
+  }
+
+  // ------------------------------------------------------- DotProduct
+  test("DotProduct: interpreted eval equals the codegen'd query result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array(1.5f, -2.0f, 3.25f, 0.5f)
+    val b = Array(2.0f, 4.0f, -1.0f, 8.0f)
+    // interpreted path (nullSafeEval on raw ArrayData)
+    val expr = DotProduct(
+      Literal(new GenericArrayData(a.map(_.toDouble)), ArrayType(DoubleType)),
+      Literal(new GenericArrayData(b.map(_.toDouble)), ArrayType(DoubleType)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    // codegen path through a real query over float arrays
+    val df = Seq((a.toSeq, b.toSeq)).toDF("x", "y")
+    val fromQuery = df.select(
+      graft.functions.VectorExpressions.vecDot(col("x"), col("y")).as("d"))
+      .first().getDouble(0)
+    val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(interpreted == expected)
+    assert(fromQuery == expected)
+  }
+
+  test("DotProduct: null array yields null; length mismatch uses the prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
+      (None: Option[Seq[Float]], Some(Seq(1.0f)))).toDF("x", "y")
+    val out = df.select(
+      graft.functions.VectorExpressions.vecDot(col("x"), col("y")).as("d"))
+      .collect()
+    assert(out(0).getDouble(0) == 3.0) // min-length prefix
+    assert(out(1).isNullAt(0))
+  }
+}
