@@ -46,16 +46,31 @@ final class VersionedTable(spark: SparkSession, root: String,
   def readVersion(v: Int): DataFrame =
     spark.read.parquet(dataDir(v).toString)
 
-  /** Commit `df` as the next full snapshot; returns the new version. */
-  def overwrite(df: DataFrame): Int = {
+  /** Commit `df` as the next full snapshot; returns the new version.
+    * `clusterBy` sorts within partitions before writing so parquet
+    * row-group min/max stats become tight — the zone-map data-skipping
+    * that makes point/range predicates on the cluster keys prune whole
+    * row groups at scan time (Delta OPTIMIZE ZORDER's cheap cousin). */
+  def overwrite(df: DataFrame, clusterBy: Seq[String] = Nil): Int = {
     val v = latestVersion.getOrElse(-1) + 1
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val out =
+      if (clusterBy.nonEmpty)
+        df.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val writer = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dataDir(v).toString)
     fs.mkdirs(markerDir)
     fs.create(new Path(markerDir, f"$v%05d"), true).close()
     v
   }
+
+  /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analog):
+    * rewrite the current snapshot into ~`targetFileCount` files —
+    * the maintenance job that fixes streaming's small-file problem.
+    * Optionally clusters while compacting. Returns the new version. */
+  def compact(targetFileCount: Int, clusterBy: Seq[String] = Nil): Int =
+    overwrite(read().coalesce(math.max(1, targetFileCount)), clusterBy)
 
   /** Append rows as a new snapshot (reference `writeTo(...).append()`). */
   def append(df: DataFrame): Int =

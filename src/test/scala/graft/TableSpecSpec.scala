@@ -33,6 +33,33 @@ class TableSpecSpec extends SparkSpec {
     assert(df.schema == TableSpec.salesHistory.schema)
   }
 
+  test("compaction rewrites to few files; clustered write sorts within files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact").toString
+    val t = new VersionedTable(spark, root)
+    // many small files: 32 shuffle partitions → many part files
+    t.overwrite((1 to 10000).map(i => (i % 997, i.toLong)).toDF("k", "v")
+      .repartition(32))
+    val before = new java.io.File(root, "v=00000").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before > 4)
+    val v = t.compact(targetFileCount = 2, clusterBy = Seq("k"))
+    assert(v == 1)
+    val after = new java.io.File(root, "v=00001").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 2)
+    assert(t.read().count() == 10000)
+    // clustered: rows within each file are sorted by k
+    import org.apache.spark.sql.functions._
+    val disorder = t.read()
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag($"k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"f")
+          .orderBy(monotonically_increasing_id())))
+      .filter($"prev".isNotNull && $"prev" > $"k")
+    assert(disorder.count() == 0)
+  }
+
   test("retention drops expired rows; vacuum expires old versions") {
     import spark.implicits._
     val root = Files.createTempDirectory("ret").toString
