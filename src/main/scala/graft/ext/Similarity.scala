@@ -175,10 +175,71 @@ object Similarity {
   // SimilaritySpec pins nprobe=10 ≡ brute force.
   private val knnIvfQ: Q = (s, d) => knnIvf(s, d, k = 5, nprobe = 3)
 
+  // ------------------------------------------------ hyperplane LSH
+  /** Deterministic pseudo-random hyperplanes: component (p, dim) from
+    * the first 4 hex chars of md5("plane-p-dim-d"), mapped to [-1, 1).
+    * Seeded by construction — no RNG, reproducible across sessions. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane-$p-dim-$d".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        Integer.parseInt(hex, 16) / 32768.0 - 1.0
+      }
+    }
+
+  /** Sign-bit LSH bucketing for cosine: bucket = sign bits of the dot
+    * with `nPlanes` hyperplanes. Queries multiprobe their own bucket
+    * plus every 1-bit flip (nPlanes+1 buckets); corpus is scanned only
+    * in probed buckets. With 2^nPlanes buckets this bounds the scan to
+    * ~(nPlanes+1)/2^nPlanes of the corpus — the third ANN regime next
+    * to brute force and IVF. Probing all buckets ≡ brute force
+    * (spec-pinned). */
+  def knnHyperplaneLsh(s: SparkSession, d: String, k: Int = 5,
+                       nPlanes: Int = 4, probeAll: Boolean = false): DataFrame = {
+    import s.implicits._
+    val planes = hyperplanes(nPlanes, 64)
+    val planesCol = typedLit(planes)
+    def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until nPlanes).map { p =>
+        when(dot(element_at(planesCol, p + 1), v) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val emb = Tables.embeddings(s, d)
+    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
+      .withColumn("bucket", bucketOf($"c_emb"))
+    val queries = withUnitVector(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
+      .withColumn("qbucket", bucketOf($"q_emb"))
+    // multiprobe: own bucket + all 1-bit flips (or every bucket)
+    val probes =
+      if (probeAll)
+        queries.crossJoin(s.range(0, 1L << nPlanes).select($"id".cast("int").as("bucket")))
+      else
+        queries.withColumn("bucket",
+          explode(array((col("qbucket") +: (0 until nPlanes).map(p =>
+            col("qbucket").bitwiseXOR(lit(1 << p)))): _*)))
+    val scored = corpus.join(broadcast(probes.select($"query_id", $"q_emb", $"bucket")),
+        "bucket")
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val knnLshQ: Q = (s, d) => knnHyperplaneLsh(s, d, k = 5, nPlanes = 4)
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
-    "sim_knn_ivf" -> knnIvfQ)
+    "sim_knn_ivf" -> knnIvfQ,
+    "sim_knn_lsh" -> knnLshQ)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,

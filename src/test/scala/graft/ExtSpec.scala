@@ -72,6 +72,25 @@ class ExtSpec extends SparkSpec {
     ivfBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-9) }
   }
 
+  test("hyperplane LSH: probing every bucket reproduces brute force") {
+    val brute = Similarity.queries("sim_knn_bruteforce")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val all = Similarity.knnHyperplaneLsh(spark, sfDir, k = 5, nPlanes = 4,
+      probeAll = true).collect().map(_.toSeq)
+    assert(all.toSeq == brute.toSeq)
+  }
+
+  test("hyperplane LSH multiprobe: k ranked results, never better than brute") {
+    val lsh = Similarity.knnHyperplaneLsh(spark, sfDir, k = 5, nPlanes = 4)
+    val perQuery = lsh.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    val bruteBest = Similarity.queries("sim_knn_bruteforce")(spark, sfDir)
+      .filter(col("rank") === 1).select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.filter(col("rank") === 1).select("query_id", "cos_sim").collect()
+      .foreach(r => assert(r.getDouble(1) <= bruteBest(r.getLong(0)) + 1e-9))
+  }
+
   test("cosine is a strict in-order fold: self-similarity is 1") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).limit(20)
