@@ -180,6 +180,62 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  // Keyed range join: equi-join on the key with a residual time-range
+  // predicate — the practical shape of event-correlation joins (each
+  // signup × same-user events in the following hour). Catalyst plans
+  // the equi part as a hash/SMJ join and applies the range residually;
+  // no cartesian blowup at any scale.
+  private val rangeJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_event_id"), $"ts".as("signup_ts"))
+    val follow = ev.select($"user_id", $"event_id", $"ts")
+    signups.join(follow,
+        Seq("user_id")).where($"ts" > $"signup_ts" &&
+        $"ts" <= expr("signup_ts + INTERVAL 1 HOUR"))
+      .groupBy($"user_id", $"signup_event_id")
+      .agg(count(lit(1)).as("events_within_1h"),
+        min($"event_id").as("first_follow_id"))
+      .orderBy($"user_id", $"signup_event_id")
+  }
+  private val rangeJoinSql =
+    """SELECT s.user_id, s.event_id AS signup_event_id,
+      |  COUNT(*) AS events_within_1h,
+      |  MIN(e.event_id) AS first_follow_id
+      |FROM events s JOIN events e
+      |  ON e.user_id = s.user_id
+      | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+      |WHERE s.event_type = 'signup'
+      |GROUP BY s.user_id, s.event_id
+      |ORDER BY s.user_id, signup_event_id""".stripMargin
+
+  // Full outer join: both null-generating sides at once (supplier ⟗
+  // customer per nation — nations may have either side empty at small SF).
+  private val joinFullOuter: Q = (s, d) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, d).groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val cust = Tables.customer(s, d).groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    sup.join(cust, Seq("nationkey"), "full_outer")
+      .select($"nationkey",
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"))
+      .orderBy($"nationkey")
+  }
+  private val joinFullOuterSql =
+    """SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+      |  COALESCE(s.n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(c.n_customers, 0) AS n_customers
+      |FROM (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |      FROM supplier GROUP BY 1) s
+      |FULL OUTER JOIN
+      |     (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |  USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   // Star join across the full dimension chain (J4 federation analog):
   // fact ⨝ orders shuffles on the join key once; all dims broadcast.
   private val starJoin: Q = (s, d) => {
@@ -534,6 +590,8 @@ object Relational {
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "rel_range_join"         -> rangeJoin,
+    "rel_join_full_outer"    -> joinFullOuter,
     "rel_sessions"           -> sessions,
     "rel_approx_distinct"    -> approxDistinct,
     "rel_rollup"             -> rollup,
@@ -561,6 +619,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_range_join"         -> rangeJoinSql,
+    "rel_join_full_outer"    -> joinFullOuterSql,
     "rel_sessions"           -> sessionsSql,
     "rel_rollup"             -> rollupSql,
     "rel_window_frames"      -> windowFramesSql,
