@@ -572,6 +572,98 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------- cube
+  // Grouping-sets lattice over two dimensions (all four subsets).
+  private val cube: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+  private val cubeSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------- exact percentiles
+  // Exact continuous percentiles (linear interpolation on the sorted
+  // values — same definition in both engines).
+  private val percentiles: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+  private val percentilesSql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------- string functions
+  private val stringFuncs: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey",
+        upper($"p_brand").as("brand_upper"),
+        lower($"p_type").as("type_lower"),
+        substring($"p_name", 1, 5).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_type", " ", "_").as("type_snake"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("key_padded"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  lower(p_type) AS type_lower,
+      |  substr(p_name, 1, 5) AS name_prefix,
+      |  length(p_name) AS name_len,
+      |  replace(p_type, ' ', '_') AS type_snake,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  p_brand || ':' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------- null semantics
+  // Null-safe equality (<=> / IS NOT DISTINCT FROM), NULLIF, and
+  // null-aware aggregation over the lead column (last event per user
+  // has a null pointer).
+  private val nullSemantics: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" <=> $"next_type", 1L).otherwise(0L)).as("n_repeat_pairs"),
+        count($"next_type").as("n_with_next"),
+        count(lit(1)).as("n"),
+        countDistinct(nullif($"event_type", lit("error"))).as("n_types_sans_error"))
+      .orderBy($"user_id")
+  }
+  private val nullSemanticsSql =
+    """WITH x AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type IS NOT DISTINCT FROM next_type
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_pairs,
+      |  COUNT(next_type) AS n_with_next,
+      |  COUNT(*) AS n,
+      |  COUNT(DISTINCT NULLIF(event_type, 'error')) AS n_types_sans_error
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- approx aggregates
   // HLL++ sketch surface (SURVEY §2.4: approx aggregates "come free");
   // no DuckDB oracle (sketch implementations differ by design) → the
@@ -590,6 +682,10 @@ object Relational {
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "rel_cube"               -> cube,
+    "rel_percentiles"        -> percentiles,
+    "rel_string_funcs"       -> stringFuncs,
+    "rel_null_semantics"     -> nullSemantics,
     "rel_range_join"         -> rangeJoin,
     "rel_join_full_outer"    -> joinFullOuter,
     "rel_sessions"           -> sessions,
@@ -619,6 +715,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_cube"               -> cubeSql,
+    "rel_percentiles"        -> percentilesSql,
+    "rel_string_funcs"       -> stringFuncsSql,
+    "rel_null_semantics"     -> nullSemanticsSql,
     "rel_range_join"         -> rangeJoinSql,
     "rel_join_full_outer"    -> joinFullOuterSql,
     "rel_sessions"           -> sessionsSql,
