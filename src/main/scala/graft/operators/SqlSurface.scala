@@ -40,14 +40,27 @@ object SqlSurface {
       |FROM events GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // Correlated EXISTS subquery — exercises Catalyst decorrelation
+  // (rewritten to a semi join; the reference's Trino federation-style
+  // predicates take this path).
+  private val correlatedSql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders))
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_segment_rollup" -> sqlQ(rollupSql),
     "sql_audit_trail" -> sqlQ(auditSql),
-    "sql_history_scan" -> sqlQ(historySql))
+    "sql_history_scan" -> sqlQ(historySql),
+    "sql_correlated_exists" -> sqlQ(correlatedSql))
 
   /** The oracle IS the executed SQL — byte-identical text. */
   val oracles: Map[String, String] = Map(
     "sql_segment_rollup" -> rollupSql,
     "sql_audit_trail" -> auditSql,
-    "sql_history_scan" -> historySql)
+    "sql_history_scan" -> historySql,
+    "sql_correlated_exists" -> correlatedSql)
 }
