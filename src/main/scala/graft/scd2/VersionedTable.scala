@@ -72,9 +72,13 @@ final class VersionedTable(spark: SparkSession, root: String,
   def compact(targetFileCount: Int, clusterBy: Seq[String] = Nil): Int =
     overwrite(read().coalesce(math.max(1, targetFileCount)), clusterBy)
 
-  /** Append rows as a new snapshot (reference `writeTo(...).append()`). */
+  /** Append rows as a new snapshot (reference `writeTo(...).append()`).
+    * Schema evolution: columns present on only one side are allowed and
+    * null-filled (Delta `mergeSchema` analog) — an evolved CDC source
+    * can add fields without rewriting history. */
   def append(df: DataFrame): Int =
-    overwrite(if (exists) read().unionByName(df) else df)
+    overwrite(
+      if (exists) read().unionByName(df, allowMissingColumns = true) else df)
 
   /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM
     * analog, SURVEY D10): keep the newest `keepVersions`, delete the

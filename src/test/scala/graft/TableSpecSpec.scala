@@ -60,6 +60,34 @@ class TableSpecSpec extends SparkSpec {
     assert(disorder.count() == 0)
   }
 
+  test("crash resilience: a data dir without a commit marker is invisible") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crash").toString
+    val t = new VersionedTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    // simulate a writer crash: v=00001 data written, marker never created
+    Seq((2, "b")).toDF("id", "v").write.parquet(s"$root/v=00001")
+    assert(t.latestVersion.contains(0))
+    assert(t.read().count() == 1)
+    // the next real commit claims version 1... the orphan dir exists, so
+    // overwrite mode replaces it atomically-enough for a single writer
+    t.overwrite(Seq((3, "c")).toDF("id", "v"))
+    assert(t.latestVersion.contains(1))
+    assert(t.read().select("id").first().getInt(0) == 3)
+  }
+
+  test("schema evolution: append with a new column null-fills history") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("evolve").toString
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("retention drops expired rows; vacuum expires old versions") {
     import spark.implicits._
     val root = Files.createTempDirectory("ret").toString
