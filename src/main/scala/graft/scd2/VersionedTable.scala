@@ -73,12 +73,18 @@ final class VersionedTable(spark: SparkSession, root: String,
     overwrite(read().coalesce(math.max(1, targetFileCount)), clusterBy)
 
   /** Append rows as a new snapshot (reference `writeTo(...).append()`).
-    * Schema evolution: columns present on only one side are allowed and
-    * null-filled (Delta `mergeSchema` analog) — an evolved CDC source
-    * can add fields without rewriting history. */
-  def append(df: DataFrame): Int =
+    * Note each snapshot is a full rewrite (the zero-dep trade-off; a
+    * Delta/Iceberg swap makes this O(new rows)) — only the LOGICAL
+    * history is preserved across versions.
+    *
+    * `mergeSchema = true` opts into evolution: columns present on only
+    * one side are allowed and null-filled (Delta's per-write
+    * `mergeSchema` analog). Off by default so a typo'd or renamed
+    * column fails loudly instead of silently null-filling. */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Int =
     overwrite(
-      if (exists) read().unionByName(df, allowMissingColumns = true) else df)
+      if (exists) read().unionByName(df, allowMissingColumns = mergeSchema)
+      else df)
 
   /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM
     * analog, SURVEY D10): keep the newest `keepVersions`, delete the

@@ -81,7 +81,11 @@ class TableSpecSpec extends SparkSpec {
     val root = Files.createTempDirectory("evolve").toString
     val t = new VersionedTable(spark, root)
     t.append(Seq((1, "a")).toDF("id", "v"))
-    t.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    // evolution is opt-in: default append fails loudly on schema drift
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    }
+    t.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"), mergeSchema = true)
     val rows = t.read().orderBy("id").collect()
     assert(rows.length == 2)
     assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
