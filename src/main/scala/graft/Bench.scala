@@ -12,6 +12,8 @@ object Bench {
     }
     // Each query runs once untimed (whole-stage-codegen compilation is a
     // one-off driver cost, irrelevant at scale), then once timed.
+    // Failed queries report -1 in the per-query map (visible) but are
+    // excluded from the headline total — a failure must never lower it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
@@ -22,7 +24,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

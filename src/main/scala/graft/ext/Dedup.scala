@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word-3-gram shingles per doc, 1-based like the oracle. */
+  /** Distinct word-3-gram shingles per doc, 1-based like the oracle.
+    * Docs with < 3 tokens yield no shingles — guarded explicitly
+    * because Spark's `sequence(1, n)` turns DESCENDING for n < 1
+    * (would emit index 0 and throw), while the oracle's
+    * generate_series is simply empty. */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
       .select($"doc_id", explode(expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
@@ -116,7 +121,10 @@ object Dedup {
   }
 
   private val minhashLsh: Q = (s, d) => {
-    val sh = shingleSets(s, d).cache()
+    // sh is re-derived per use (cheap explode); only the tiny per-doc
+    // signature table is cached — session-lifetime cache pinning of the
+    // exploded shingles was the memory hog here.
+    val sh = shingleSets(s, d)
     // band key j = md5(h_{2j} || h_{2j+1}); candidates share any band.
     // band key j = h_{2j} || h_{2j+1} (16 hex chars) — plain concat,
     // no extra hashing round.

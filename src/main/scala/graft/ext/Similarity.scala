@@ -221,11 +221,13 @@ object Similarity {
         queries.withColumn("bucket",
           explode(array((col("qbucket") +: (0 until nPlanes).map(p =>
             col("qbucket").bitwiseXOR(lit(1 << p)))): _*)))
+    // no distinct needed: a corpus row has exactly one bucket and a
+    // query's probed buckets are pairwise distinct, so (query, neighbor)
+    // appears at most once — a dedup here would be a pure extra shuffle.
     val scored = corpus.join(broadcast(probes.select($"query_id", $"q_emb", $"bucket")),
         "bucket")
       .select($"query_id", $"neighbor_id",
         round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
-      .distinct()
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)

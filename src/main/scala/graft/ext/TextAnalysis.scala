@@ -148,7 +148,10 @@ object TextAnalysis {
   // keyed window + one re-aggregate; linear in corpus size.
   private val winnow: Q = (s, d) => {
     import s.implicits._
+    // length guard: Spark sequence(1, n) goes descending for n < 1
+    // (emitting bogus i=0 grams); the oracle's generate_series is empty.
     val grams = Tables.documents(s, d)
+      .filter(length($"text") >= 5)
       .select($"doc_id", $"text",
         explode(expr("sequence(1, length(text) - 4)")).as("i"))
       .select($"doc_id", $"i",

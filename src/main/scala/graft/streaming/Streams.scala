@@ -94,10 +94,17 @@ object Streams {
       val cols = tgt.columns
       val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
       val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
+      // source wins on (last_updated_ts, lsn) >= — the same total order
+      // as the in-batch window and statefulCurrentState, so a stale
+      // same-millisecond replay can never regress the newer lsn.
+      val sourceWins =
+        col("s.last_updated_ts") > col("t.last_updated_ts") ||
+          (col("s.last_updated_ts") === col("t.last_updated_ts") &&
+            col("s.lsn") >= col("t.lsn"))
       val merged = t.join(s, Seq("k"), "full_outer")
         .select(when(col("s").isNull, col("t"))
           .when(col("t").isNull, col("s"))
-          .when(col("s.last_updated_ts") >= col("t.last_updated_ts"), col("s"))
+          .when(sourceWins, col("s"))
           .otherwise(col("t")).as("r"))
         .select(cols.map(c => col(s"r.$c")): _*)
       table.overwrite(merged)
@@ -120,9 +127,15 @@ object Streams {
 
   // ------------------------------------------------------------ history
   /** Audit projection (`cdc_to_pinot_history.py:232-273`). The
-    * processing-time stamp is injectable (SURVEY §7.4.11); production
-    * passes `() => System.currentTimeMillis()`. */
-  def historyProjection(flat: DataFrame, clockMs: () => Long): DataFrame =
+    * processing-time stamp is an injectable COLUMN (SURVEY §7.4.11):
+    * the default re-evaluates per micro-batch (a Scala closure would
+    * freeze one value into the plan at construction time); tests pass
+    * a literal. */
+  def processingTimeNow: org.apache.spark.sql.Column =
+    unix_millis(current_timestamp())
+
+  def historyProjection(flat: DataFrame,
+                        processingTime: org.apache.spark.sql.Column): DataFrame =
     flat.filter(col("op").isin("c", "r", "u", "d"))
       .select(
         coalesce(col("after_id"), col("before_id")).as("record_id"),
@@ -139,12 +152,12 @@ object Streams {
         col("ts_ms").as("event_timestamp"),
         col("source_db"), col("source_table"),
         col("txId").as("tx_id"), col("lsn"),
-        lit(clockMs()).as("processing_time"))
+        processingTime.cast("long").as("processing_time"))
 
   def historyQuery(raw: DataFrame, outPath: String, checkpoint: String,
-                   clockMs: () => Long,
+                   processingTime: org.apache.spark.sql.Column,
                    availableNow: Boolean = false): StreamingQuery = {
-    val writer = historyProjection(Envelope.flatten(raw), clockMs).writeStream
+    val writer = historyProjection(Envelope.flatten(raw), processingTime).writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)

@@ -108,7 +108,11 @@ object TableSpec {
       ColumnSpec("effective_end_ts", TimestampType, Datetime),
       ColumnSpec("is_current", BooleanType),
       ColumnSpec("record_hash", StringType),
-      ColumnSpec("is_deleted", BooleanType)),
+      ColumnSpec("is_deleted", BooleanType),
+      // derived partition column (the reference's hidden days() transform
+      // made explicit, SURVEY D2) — must be in the schema or the emitted
+      // PARTITIONED BY DDL is unexecutable
+      ColumnSpec("effective_start_date", DateType)),
     primaryKey = Some("id"),
     partitionBy = Seq("effective_start_date"),
     properties = Map("write.format.default" -> "parquet",

@@ -14,6 +14,9 @@ class CatalogSpec extends SparkSpec {
       assert(spark.table("sales_current").schema == TableSpec.salesCurrent.schema)
       // idempotent (IF NOT EXISTS)
       CatalogOps.createTable(spark, TableSpec.salesCurrent)
+      // the partitioned SCD2 spec's DDL must also execute
+      CatalogOps.createTable(spark, TableSpec.salesScd2)
+      assert(spark.catalog.tableExists("graft_test_ns.sales_scd2"))
 
       val back = CatalogOps.saveAndRead(spark,
         Seq((1, "x"), (2, "y")).toDF("id", "v"), "graft_test_ns.roundtrip")

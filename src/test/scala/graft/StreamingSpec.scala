@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths}
 class StreamingSpec extends SparkSpec {
   import CdcFixtures._
 
-  private val fixedClock = () => 1800000000000L
+  private val fixedClock = org.apache.spark.sql.functions.lit(1800000000000L)
 
   private def tmp(): String = Files.createTempDirectory("streamspec").toString
 
