@@ -155,6 +155,40 @@ class Scd2Spec extends SparkSpec {
     assert(job.currentState.count() == 2)
   }
 
+  test("two deletes for one key in a batch: last delete wins (§7.4.3)") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("d", 1, "100", t0 + 10, 2), op("d", 1, "100", t0 + 20, 3))))
+    val rows = job.currentState.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Timestamp]("effective_end_ts") == sec(t0 + 20))
+    assert(rows.head.getAs[Boolean]("is_deleted"))
+  }
+
+  test("delete on an already-deleted key is a no-op (WHEN MATCHED + is_current)") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("d", 1, "100", t0 + 10, 2)),
+      Seq(op("d", 1, "100", t0 + 20, 3)))) // no current row left to match
+    val rows = job.currentState.collect()
+    assert(rows.length == 1)
+    // the close timestamp is still the FIRST delete's
+    assert(rows.head.getAs[Timestamp]("effective_end_ts") == sec(t0 + 10))
+  }
+
+  test("re-insert after delete: deleted history kept, fresh current appended") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("d", 1, "100", t0 + 10, 2)),
+      Seq(op("c", 1, "500", t0 + 60, 3))))
+    val rows = job.currentState.orderBy("effective_start_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Boolean]("is_deleted") && !rows(0).getAs[Boolean]("is_current"))
+    assert(rows(1).getAs[Boolean]("is_current") && !rows(1).getAs[Boolean]("is_deleted"))
+    assert(rows(1).getAs[Double]("price") == 500.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("effective_end_ts")))
+  }
+
   test("random stream invariants over multiple batch splits") {
     checkInvariants(seed = 42, nKeys = 12, nOps = 120, batchSize = 40)
   }
