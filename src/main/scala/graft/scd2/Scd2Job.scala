@@ -59,14 +59,18 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
   val table = new VersionedTable(spark, tableRoot, Seq("effective_start_date"))
   val checkpoints = new Checkpoints(spark, checkpointRoot, clock)
 
+  /** Honest short-circuit (SURVEY §3.3): true only when the staging
+    * dir has DATA entries — `_spark_metadata` / `_SUCCESS` / hidden
+    * bookkeeping alone must not count (a just-started streaming sink
+    * writes its metadata log before any data file commits). */
   def stagingNonEmpty: Boolean = {
     val p = new org.apache.hadoop.fs.Path(stagingPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
-
-  private def withPartitionCol(df: DataFrame): DataFrame =
-    df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
 
   def currentState: DataFrame =
     table.read().drop("effective_start_date")
@@ -80,15 +84,7 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
     try {
       val n = batch.count()
       if (n == 0) return 0L
-      val scd2Batch = Scd2Processor.processBatch(batch)
-      // First run: the table is "created empty" (reference DDL) — only the
-      // INSERT_UPDATE lane is appended; DELETE rows are merge sources with
-      // WHEN MATCHED semantics and match nothing in an empty table.
-      val merged =
-        if (table.exists) Scd2Processor.merge(currentState, scd2Batch)
-        else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
-          .drop("operation_type")
-      table.overwrite(withPartitionCol(merged))
+      Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch))
       checkpoints.advance(batch)
       n
     } finally batch.unpersist()

@@ -1,6 +1,6 @@
 package graft.scd2
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.TimestampType
@@ -153,6 +153,33 @@ object Scd2Processor {
           .otherwise(col("is_deleted")).as("is_deleted"))
 
     updated.unionByName(newRecords.drop("operation_type"))
+  }
+
+  /** Apply one SCD2 batch to a versioned table — shared by the batch
+    * job ([[Scd2Job.run]]) and the streaming lane
+    * (`Streams.scd2Query`), so the two cannot drift.
+    *
+    * Bootstrap subtlety: when the table does not exist yet and the
+    * batch carries no INSERT_UPDATE rows (delete-only first increment),
+    * NOTHING is committed — committing an empty partitioned snapshot
+    * would be unreadable (no data files → no schema) and would brick
+    * every later read. Deletes for unseen keys are no-ops anyway
+    * (SURVEY §7.4.6).
+    *
+    * `meta` rides inside the commit marker for writer idempotence
+    * (streaming batchId). Returns the committed version, or None if
+    * nothing was committed. */
+  def applyBatch(table: VersionedTable, scd2Batch: DataFrame,
+                 meta: Option[String] = None): Option[Int] = {
+    val merged =
+      if (table.exists)
+        merge(table.read().drop("effective_start_date"), scd2Batch)
+      else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+        .drop("operation_type")
+    if (!table.exists && merged.isEmpty) None
+    else Some(table.overwrite(
+      merged.withColumn("effective_start_date", to_date(col("effective_start_ts"))),
+      meta = meta))
   }
 
   /** Incremental read predicate — strict `>` boundary (:211-213,

@@ -50,8 +50,12 @@ final class VersionedTable(spark: SparkSession, root: String,
     * `clusterBy` sorts within partitions before writing so parquet
     * row-group min/max stats become tight — the zone-map data-skipping
     * that makes point/range predicates on the cluster keys prune whole
-    * row groups at scan time (Delta OPTIMIZE ZORDER's cheap cousin). */
-  def overwrite(df: DataFrame, clusterBy: Seq[String] = Nil): Int = {
+    * row groups at scan time (Delta OPTIMIZE ZORDER's cheap cousin).
+    * `meta` is stored INSIDE the commit marker (atomically with the
+    * commit), so writers can key idempotence on it — see
+    * [[latestMeta]] and the streaming SCD2 lane. */
+  def overwrite(df: DataFrame, clusterBy: Seq[String] = Nil,
+                meta: Option[String] = None): Int = {
     val v = latestVersion.getOrElse(-1) + 1
     val out =
       if (clusterBy.nonEmpty)
@@ -61,8 +65,20 @@ final class VersionedTable(spark: SparkSession, root: String,
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dataDir(v).toString)
     fs.mkdirs(markerDir)
-    fs.create(new Path(markerDir, f"$v%05d"), true).close()
+    val marker = fs.create(new Path(markerDir, f"$v%05d"), true)
+    meta.foreach(m => marker.write(m.getBytes("UTF-8")))
+    marker.close()
     v
+  }
+
+  /** The `meta` stored with the newest commit (empty if none). */
+  def latestMeta: Option[String] = latestVersion.flatMap { v =>
+    val p = new Path(markerDir, f"$v%05d")
+    val in = fs.open(p)
+    try {
+      val bytes = in.readAllBytes()
+      if (bytes.isEmpty) None else Some(new String(bytes, "UTF-8"))
+    } finally in.close()
   }
 
   /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analog):

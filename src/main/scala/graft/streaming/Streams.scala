@@ -37,17 +37,22 @@ object Streams {
   // ------------------------------------------------------------- bronze
   /** With `dedupeByLsn`, an at-least-once upstream (reprocessed Kafka
     * offsets, replayed files) still lands each CDC event once: streaming
-    * dedup keyed on the replication LSN, state bounded by the event-time
-    * watermark (SURVEY T2 — upgrades the reference's at-least-once
-    * bronze to effective exactly-once). */
+    * dedup keyed on (lsn, record key, op), state bounded by the
+    * event-time watermark (SURVEY T2 — upgrades the reference's
+    * at-least-once bronze to effective exactly-once). The key is wider
+    * than the LSN alone because Debezium initial snapshots stamp every
+    * 'r' record with the SAME consistent-point LSN — lsn-only dedup
+    * would collapse a whole snapshot to one row. */
   def bronzeQuery(raw: DataFrame, outPath: String, checkpoint: String,
                   availableNow: Boolean = false,
                   dedupeByLsn: Boolean = false): StreamingQuery = {
     val flat = Envelope.flatten(raw)
     val deduped =
       if (dedupeByLsn)
-        flat.withWatermark("event_timestamp", "10 minutes")
-          .dropDuplicatesWithinWatermark("lsn")
+        flat.withColumn("_record_key", coalesce(col("after_id"), col("before_id")))
+          .withWatermark("event_timestamp", "10 minutes")
+          .dropDuplicatesWithinWatermark("lsn", "_record_key", "op")
+          .drop("_record_key")
       else flat
     val writer = Envelope.toBronze(deduped).writeStream
       .format("parquet")
@@ -170,25 +175,26 @@ object Streams {
     * SCD2 transform + merge into the versioned table. The stream's own
     * offset tracking replaces the batch job's timestamp checkpoint
     * (each micro-batch IS the increment — no strict-`>` boundary, no
-    * dropped same-second ties); merge semantics are byte-identical to
-    * `Scd2Job` for the same batch boundaries (spec-pinned). */
+    * dropped same-second ties); the batch application itself is
+    * `Scd2Processor.applyBatch`, shared with `Scd2Job` so the lanes
+    * cannot drift.
+    *
+    * Replay safety: foreachBatch is at-least-once, so the batchId is
+    * committed INSIDE the snapshot marker; a re-delivered batch whose
+    * id already sits in the latest commit is skipped — crash between
+    * table commit and offset commit no longer double-applies. */
   def scd2Query(raw: DataFrame, tableRoot: String, checkpoint: String,
                 availableNow: Boolean = false): StreamingQuery = {
-    import graft.scd2.{Scd2Processor, VersionedTable}
-    val spark = raw.sparkSession
-    val table = new VersionedTable(spark, tableRoot, Seq("effective_start_date"))
+    import graft.scd2.Scd2Processor
+    val table = new VersionedTable(raw.sparkSession, tableRoot,
+      Seq("effective_start_date"))
     val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val scd2Batch = Scd2Processor.processBatch(batch)
-          val merged =
-            if (table.exists)
-              Scd2Processor.merge(table.read().drop("effective_start_date"), scd2Batch)
-            else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
-              .drop("operation_type")
-          table.overwrite(
-            merged.withColumn("effective_start_date", to_date(col("effective_start_ts"))))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"scd2-batch-$batchId"
+        if (!batch.isEmpty && !table.latestMeta.contains(tag)) {
+          Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
+            meta = Some(tag))
           ()
         }
       }
@@ -230,7 +236,13 @@ object Streams {
 
   def currentRecords(raw: DataFrame): Dataset[CurrentRec] = {
     import raw.sparkSession.implicits._
-    currentProjection(Envelope.flatten(raw)).as[CurrentRec]
+    // garbage tolerance: op-bearing envelopes missing key/ts/lsn would
+    // NPE the non-nullable CurrentRec fields — drop them (the
+    // foreachBatch lane survives the same rows by staying untyped).
+    currentProjection(Envelope.flatten(raw))
+      .filter(col("id").isNotNull && col("last_updated_ts").isNotNull &&
+        col("lsn").isNotNull)
+      .as[CurrentRec]
   }
 
   def statefulCurrentStateQuery(raw: DataFrame, queryName: String,
@@ -253,6 +265,7 @@ object Streams {
   def windowedOpCounts(flat: DataFrame, windowLen: String = "1 minute",
                        watermark: String = "2 minutes"): DataFrame =
     flat
+      .filter(col("op").isin("c", "r", "u", "d")) // same whitelist as every lane
       .withWatermark("event_timestamp", watermark)
       .groupBy(window(col("event_timestamp"), windowLen), col("op"))
       .agg(count(lit(1)).as("n_events"))
@@ -265,6 +278,7 @@ object Streams {
   def sessionCounts(flat: DataFrame, gap: String = "30 seconds",
                     watermark: String = "2 minutes"): DataFrame =
     flat
+      .filter(col("op").isin("c", "r", "u", "d")) // same whitelist as every lane
       .withWatermark("event_timestamp", watermark)
       .groupBy(session_window(col("event_timestamp"), gap),
         coalesce(col("after_id"), col("before_id")).as("id"))

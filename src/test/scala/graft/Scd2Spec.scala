@@ -155,6 +155,29 @@ class Scd2Spec extends SparkSpec {
     assert(job.currentState.count() == 2)
   }
 
+  test("delete-only first batch commits nothing and does not brick the table") {
+    val job = runBatches(Seq(
+      Seq(op("d", 1, "100", t0, 1)),              // nothing to delete yet
+      Seq(op("c", 1, "200", t0 + 60, 2))))        // table must still bootstrap
+    val rows = job.currentState.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("price") == 200.0)
+    assert(rows.head.getAs[Boolean]("is_current"))
+    // the delete batch advanced the checkpoint but committed no version
+    assert(job.table.latestVersion.contains(0))
+  }
+
+  test("staging dir with only bookkeeping entries short-circuits to 0") {
+    val staging = tmp() + "/staging"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staging, "_SUCCESS"), "")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(staging, "_spark_metadata"))
+    val job = new Scd2Job(spark, staging, tmp() + "/t", tmp() + "/ck", fixedClock)
+    assert(job.run() == 0L)
+  }
+
   test("two deletes for one key in a batch: last delete wins (§7.4.3)") {
     val job = runBatches(Seq(
       Seq(op("c", 1, "100", t0, 1)),

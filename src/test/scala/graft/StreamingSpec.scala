@@ -116,6 +116,50 @@ class StreamingSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("streaming SCD2: re-delivered micro-batch is skipped (batchId in commit)") {
+    val in = tmp(); val root = tmp() + "/tab"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 61, nKeys = 4, nOps = 30,
+      minStepMs = 1001, maxStepMs = 2000)
+    writeLines(in, "a.jsonl", ops.map(toJson))
+    Streams.scd2Query(Streams.rawFileStream(spark, in), root, ck,
+      availableNow = true).awaitTermination()
+    val table = new graft.scd2.VersionedTable(spark, root)
+    val vAfter = table.latestVersion
+    // simulate the crash-after-commit replay: wipe the stream checkpoint
+    // so batch 0 is re-delivered with the same batchId
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    Streams.scd2Query(Streams.rawFileStream(spark, in), root, ck,
+      availableNow = true).awaitTermination()
+    assert(table.latestVersion == vAfter, "replayed batch must not re-apply")
+  }
+
+  test("dedupe-by-lsn keeps snapshot rows sharing one LSN (wide key)") {
+    val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
+    // Debezium-style initial snapshot: every 'r' record same lsn
+    val rows = (1 to 5).map { k =>
+      val img = SaleImage(k, "Phone", "Electronics", "100", 1, 19800, 0L)
+      CdcOp("r", None, Some(img), 1718000000000L + k, 7, 42L)
+    }
+    writeLines(in, "snap.jsonl", rows.map(toJson) ++ rows.map(toJson)) // doubled
+    Streams.bronzeQuery(Streams.rawFileStream(spark, in), out, ck,
+      availableNow = true, dedupeByLsn = true).awaitTermination()
+    val bronze = spark.read.parquet(out)
+    assert(bronze.count() == 5) // all keys kept, duplicates dropped
+  }
+
+  test("stateful current state survives op-bearing garbage (null key dropped)") {
+    val in = tmp(); val ck = tmp() + "/ck"
+    val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
+    val good = CdcOp("c", None, Some(img), 1000L, 1, 1)
+    val garbage = """{"payload":{"op":"u","ts_ms":1718000000000}}"""
+    writeLines(in, "g.jsonl", Seq(toJson(good), garbage))
+    Streams.statefulCurrentStateQuery(Streams.rawFileStream(spark, in),
+      "fmgws_garbage", ck, availableNow = true).awaitTermination()
+    val rows = spark.table("fmgws_garbage").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("id") == 1)
+  }
+
   test("bronze dedupe-by-lsn: replayed envelopes land exactly once") {
     val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
     val ops = randomStream(seed = 13, nKeys = 5, nOps = 30)
