@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash: k=8 signatures, 4 bands × 2 rows → candidate recall for
   *    j≈0.9 pairs ≈ 1-(1-j²)⁴ > 0.999; each candidate verified by true
   *    Jaccard ≥ 0.8.
-  *  - SimHash: 16-bit fingerprint, 4 bands × 4 bits; by pigeonhole any
-  *    pair with Hamming ≤ 3 shares an intact band → banded join is
-  *    EXACT for the ≤3 predicate, no recall loss.
+  *  - SimHash: 32-bit tf-weighted fingerprint, 8 bands × 4 bits; by
+  *    pigeonhole any pair with Hamming ≤ 3 keeps ≥ 5 bands intact →
+  *    banded join is EXACT for the ≤3 predicate, no recall loss.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -125,9 +125,8 @@ object Dedup {
     // signature table is cached — session-lifetime cache pinning of the
     // exploded shingles was the memory hog here.
     val sh = shingleSets(s, d)
-    // band key j = md5(h_{2j} || h_{2j+1}); candidates share any band.
     // band key j = h_{2j} || h_{2j+1} (16 hex chars) — plain concat,
-    // no extra hashing round.
+    // no extra hashing round; candidates share any band.
     val sig = minhashSignatures(sh)
       .select(col("doc_id") +: (0 until BANDS).map(j =>
         concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as(s"b$j")): _*)
@@ -231,8 +230,8 @@ object Dedup {
   }
 
   private val simhash: Q = (s, d) => {
-    // banded candidate join: 4 bands × 4 bits; Hamming ≤ 3 ⇒ ≥1 intact
-    // band (pigeonhole) ⇒ exact, no cross join. First-matching-band
+    // banded candidate join: 8 bands × 4 bits; Hamming ≤ 3 ⇒ ≥5 intact
+    // bands (pigeonhole) ⇒ exact, no cross join. First-matching-band
     // emission (see minhash above) keeps each pair single-shot with no
     // distinct() shuffle.
     val sims = simhashes(s, d)

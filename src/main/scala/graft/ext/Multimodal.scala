@@ -28,14 +28,20 @@ object Multimodal {
       width: Int, height: Int, duration_ms: Long)
   final case class Frame(media_id: Long, frame_no: Int, frame_key: String)
 
+  /** Kind assignment by id — ONE definition shared by the typed
+    * pipeline and the oracle-checked metadata query (the ExtSpec
+    * cross-checks are only meaningful if both agree). */
+  private def kindCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (id % 3 + 1).cast("int"))
+
   /** Synthesize a media table from `documents` (text bytes stand in for
     * codec payloads; kind assigned deterministically). */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        kindCol($"doc_id").as("kind"),
         $"text".cast("binary").as("payload"))
       .as[MediaRecord]
   }
@@ -95,8 +101,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        kindCol($"doc_id").as("kind"),
         octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
         substring(md5($"text"), 1, 8).as("content_key"))
       .orderBy($"media_id")

@@ -42,16 +42,29 @@ object Similarity {
       .withColumn(vecCol, expr(s"transform($vecCol, x -> double(x) / _norm)"))
       .drop("_norm")
 
+  /** Shared query/corpus split and normalization — kept in ONE place
+    * because the spec-pinned equivalences (TopK agg ≡ window, IVF
+    * nprobe=all ≡ brute, LSH probeAll ≡ brute) require byte-identical
+    * preparation on every path. Queries are `vec_id < 10`. */
+  private def querySet(s: SparkSession, d: String): DataFrame =
+    withUnitVector(Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
+
+  private def corpusSet(s: SparkSession, d: String,
+                        extra: Seq[String] = Nil): DataFrame = {
+    val cols = Seq(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb")) ++ extra.map(col)
+    withUnitVector(Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .select(cols: _*), "c_emb")
+  }
+
   // ------------------------------------------------------- brute force
   // Top-5 neighbors for each query vector (vec_id < 10) over the rest
   // of the corpus. Query side is broadcast: the corpus is scanned once.
   private val knnBrute: Q = (s, d) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val queries = withUnitVector(emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
-    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
+    val queries = querySet(s, d)
+    val corpus = corpusSet(s, d)
     val scored = corpus.join(broadcast(queries))
       .select($"query_id", $"neighbor_id",
         round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
@@ -85,11 +98,8 @@ object Similarity {
     * `sim_knn_bruteforce`. */
   def knnBruteTopKAgg(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val queries = withUnitVector(emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
-    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
+    val queries = querySet(s, d)
+    val corpus = corpusSet(s, d)
     val scored = corpus.join(broadcast(queries))
       .select($"query_id", $"neighbor_id",
         round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
@@ -132,7 +142,6 @@ object Similarity {
     * for the spec + Bench; probing `nprobe` cells bounds the scanned
     * fraction to nprobe/nCells of the corpus. */
   def centroids(emb: DataFrame): DataFrame = {
-    val dim = 64
     val exploded = emb.select(col("label"), posexplode(col("embedding")))
     exploded.groupBy(col("label"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
@@ -147,10 +156,8 @@ object Similarity {
     * scan — the knob that makes 100 TB ANN feasible. */
   def knnIvf(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val cents = centroids(emb)
-    val queries = withUnitVector(emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
+    val cents = centroids(Tables.embeddings(s, d))
+    val queries = querySet(s, d)
     val probe = queries.join(broadcast(cents))
       .select($"query_id", $"q_emb", $"label",
         cosine($"q_emb", $"centroid").as("ccos"))
@@ -158,8 +165,7 @@ object Similarity {
     val cells = probe.withColumn("r", row_number().over(wq))
       .filter($"r" <= nprobe)
       .select($"query_id", $"q_emb", $"label")
-    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"label"), "c_emb")
+    val corpus = corpusSet(s, d, extra = Seq("label"))
     val scored = corpus.join(broadcast(cells), "label")
       .select($"query_id", $"neighbor_id",
         round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
@@ -206,13 +212,8 @@ object Similarity {
         when(dot(element_at(planesCol, p + 1), v) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
 
-    val emb = Tables.embeddings(s, d)
-    val corpus = withUnitVector(emb.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")), "c_emb")
-      .withColumn("bucket", bucketOf($"c_emb"))
-    val queries = withUnitVector(emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), "q_emb")
-      .withColumn("qbucket", bucketOf($"q_emb"))
+    val corpus = corpusSet(s, d).withColumn("bucket", bucketOf($"c_emb"))
+    val queries = querySet(s, d).withColumn("qbucket", bucketOf($"q_emb"))
     // multiprobe: own bucket + all 1-bit flips (or every bucket)
     val probes =
       if (probeAll)

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * fold, so results are bit-identical to the HOF formulation (and to
   * the DuckDB oracle).
   *
-  * Nulls: null if either array is null (BinaryExpression default);
-  * array ELEMENTS are assumed non-null (embedding vectors — enforced
-  * by the parquet schema upstream). Supported element types: float,
-  * double, int, long.
+  * Nulls: null if either array is null (BinaryExpression default) or
+  * if the arrays have different lengths (ragged data must surface as
+  * null, not a truncated dot product); array ELEMENTS are assumed
+  * non-null (embedding vectors — enforced by the parquet schema
+  * upstream). Supported element types: float, double, int, long.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,7 +52,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged inputs → null, never a silently-truncated dot product (the
+    // DuckDB oracle errors on mismatched lengths; silent truncation
+    // would return plausible-but-wrong similarities)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val (lt, rt) = (elemType(left), elemType(right))
     var acc = 0.0
     var i = 0
@@ -75,15 +80,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, lt, i)} * ${get(b, rt, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, lt, i)} * ${get(b, rt, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -372,7 +372,8 @@ object Relational {
   }
   private val dateBucketsSql =
     """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders,
-      |  MIN(epoch(o_orderdate)) AS min_epoch, MAX(epoch(o_orderdate)) AS max_epoch
+      |  CAST(FLOOR(MIN(epoch(o_orderdate))) AS BIGINT) AS min_epoch,
+      |  CAST(FLOOR(MAX(epoch(o_orderdate))) AS BIGINT) AS max_epoch
       |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
 
   // ---------------------------------------------------------------- F6/F7
@@ -416,7 +417,7 @@ object Relational {
   }
   private val globalAggsSql =
     """SELECT COUNT(*) AS n_events, MIN(event_id) AS min_id,
-      |  MAX(event_id) AS max_id, CAST(MAX(epoch(ts)) AS BIGINT) AS max_epoch_s,
+      |  MAX(event_id) AS max_id, CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS max_epoch_s,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events""".stripMargin
 

@@ -48,7 +48,7 @@ object SqlSurface {
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey
-      |                AND o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders))
+      |                AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders))
       |ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, Q] = Map(

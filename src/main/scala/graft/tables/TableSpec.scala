@@ -126,9 +126,12 @@ object TableSpec {
   */
 object Retention {
   /** Rows with `timeColumn` (epoch millis) older than `now - days` are
-    * dropped; returns the new version. */
+    * dropped; rows with a NULL time column are KEPT (a null-rejecting
+    * predicate would silently purge them — retention only removes rows
+    * proven expired). Returns the new version. */
   def enforce(table: VersionedTable, spec: RetentionSpec, nowMs: Long): Int = {
     val cutoff = nowMs - spec.days.toLong * 86400000L
-    table.overwrite(table.read().filter(col(spec.timeColumn) >= cutoff))
+    table.overwrite(table.read()
+      .filter(col(spec.timeColumn).isNull || col(spec.timeColumn) >= cutoff))
   }
 }

@@ -72,7 +72,7 @@ class FunctionsSpec extends SparkSpec {
     assert(fromQuery == expected)
   }
 
-  test("DotProduct: null array yields null; length mismatch uses the prefix") {
+  test("DotProduct: null array and ragged lengths both yield null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val df = Seq(
@@ -81,7 +81,7 @@ class FunctionsSpec extends SparkSpec {
     val out = df.select(
       graft.functions.VectorExpressions.vecDot(col("x"), col("y")).as("d"))
       .collect()
-    assert(out(0).getDouble(0) == 3.0) // min-length prefix
+    assert(out(0).isNullAt(0)) // ragged → null, never a truncated dot
     assert(out(1).isNullAt(0))
   }
 }
