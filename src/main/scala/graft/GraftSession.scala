@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Shared session factory: one place for the engine's Spark tuning so
-  * Verify, Bench, and tests run identical configs.
+  * Verify, Bench, and the dev tools run identical configs.
   *
   * Scale stance (SURVEY §7.4.12): AQE on (runtime coalesce + skew-join),
   * shuffle partitions sized to local cores here but expected to be
@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   * nanos-as-long so TIMESTAMP(NANOS) parquet (events.ts) is readable.
   */
 object GraftSession {
+  /** The driver's core-count knob, shared by every entry point. */
+  def envCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String): SparkSession = build(appName, envCores)
+
   def build(appName: String, cores: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -24,7 +28,26 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // `cores` may be a non-numeric master spec like "*"; shuffle
+    // partitions must still be a number — fall back to the actual
+    // parallelism instead of crashing the first shuffle.
+    val shuffleParts = cores.toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Minimal JSON string escaper shared by the Verify/Bench emitters —
+    * backslash, quote, and ALL control chars (<0x20); a stray char in a
+    * key or SQL would otherwise make the driver's json.load fail. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -9,7 +9,7 @@ object QueryBench {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
-    val spark = GraftSession.build("graft-querybench", "32")
+    val spark = GraftSession.build("graft-querybench")
     val fn = SparkEntry.queries(name)
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
