@@ -54,9 +54,12 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
                     checkpointRoot: String,
                     clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
-  // Partitioned like the reference's days(effective_start_ts) hidden
-  // transform: explicit derived date column (SURVEY D2).
-  val table = new VersionedTable(spark, tableRoot, Seq("effective_start_date"))
+  // Bucketed by id (Iceberg bucket(N, id) transform analog) so each
+  // incremental merge reads+rewrites only the buckets its keys hash to;
+  // the reference's days(effective_start_ts) hidden transform survives
+  // as the explicit `effective_start_date` column, zone-map-clustered
+  // inside each bucket (SURVEY D2).
+  val table = new VersionedTable(spark, tableRoot, Partitioning.BucketBy("id", 16))
   val checkpoints = new Checkpoints(spark, checkpointRoot, clock)
 
   /** Honest short-circuit (SURVEY §3.3): true only when the staging
@@ -75,16 +78,32 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
   def currentState: DataFrame =
     table.read().drop("effective_start_date")
 
-  /** One incremental run; returns number of bronze rows processed. */
+  /** One incremental run; returns number of bronze rows processed.
+    *
+    * Crash-safe: the increment's (max event ts, max lsn) is a
+    * deterministic tag committed INSIDE the table manifest, so a crash
+    * between table commit and checkpoint advance re-reads the same
+    * increment but skips the already-applied merge — the same
+    * idempotence key the streaming lane uses (batchId), closing the
+    * reference's double-apply window (`scd2_spark_processor.py` commits
+    * table then checkpoint with no fence). */
   def run(): Long = {
     if (!stagingNonEmpty) return 0L
     val bronze = spark.read.parquet(stagingPath)
     val batch = Scd2Processor.incremental(bronze, checkpoints.lastProcessed)
       .persist() // single materialization feeds transform + checkpoint (SURVEY §4)
     try {
-      val n = batch.count()
+      val bounds = batch.agg(
+        max("event_timestamp").as("ts"), max("lsn").as("lsn"),
+        count(lit(1)).as("n")).first()
+      val n = bounds.getLong(2)
       if (n == 0) return 0L
-      Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch))
+      val tag = "scd2-inc-" +
+        Option(bounds.getTimestamp(0)).map(_.getTime).getOrElse(0L) +
+        "-" + (if (bounds.isNullAt(1)) 0L else bounds.getLong(1))
+      if (!table.latestMeta.contains(tag))
+        Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
+          meta = Some(tag))
       checkpoints.advance(batch)
       n
     } finally batch.unpersist()

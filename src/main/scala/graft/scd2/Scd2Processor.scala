@@ -159,27 +159,41 @@ object Scd2Processor {
     * job ([[Scd2Job.run]]) and the streaming lane
     * (`Streams.scd2Query`), so the two cannot drift.
     *
+    * PARTITION-SCOPED: the table is bucketed by `id`
+    * ([[Partitioning.BucketBy]]), so the buckets this batch touches are
+    * computed from the batch's ids alone — no table scan. Only those
+    * buckets are read (manifest-pruned), merged, and rewritten; every
+    * other bucket's data files are carried into the new version by
+    * reference. A micro-batch touching one key is O(1 bucket), not
+    * O(table) — the reference's `MERGE INTO` touching matched files
+    * only (`scd2_spark_processor.py:438-483`, merge-on-read at `:155`).
+    * Pruning is exact because `merge` only alters rows whose id appears
+    * in the batch, and an id's rows all live in its bucket.
+    *
     * Bootstrap subtlety: when the table does not exist yet and the
     * batch carries no INSERT_UPDATE rows (delete-only first increment),
-    * NOTHING is committed — committing an empty partitioned snapshot
-    * would be unreadable (no data files → no schema) and would brick
-    * every later read. Deletes for unseen keys are no-ops anyway
+    * NOTHING is committed — deletes for unseen keys are no-ops anyway
     * (SURVEY §7.4.6).
     *
-    * `meta` rides inside the commit marker for writer idempotence
+    * `meta` rides inside the commit manifest for writer idempotence
     * (streaming batchId). Returns the committed version, or None if
     * nothing was committed. */
   def applyBatch(table: VersionedTable, scd2Batch: DataFrame,
                  meta: Option[String] = None): Option[Int] = {
-    val merged =
-      if (table.exists)
-        merge(table.read().drop("effective_start_date"), scd2Batch)
-      else scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+    def shaped(df: DataFrame): DataFrame =
+      df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
+    val clusterBy = Seq("id", "effective_start_ts") // tight zone maps for key lookups
+    if (!table.exists) {
+      val init = scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
         .drop("operation_type")
-    if (!table.exists && merged.isEmpty) None
-    else Some(table.overwrite(
-      merged.withColumn("effective_start_date", to_date(col("effective_start_ts"))),
-      meta = meta))
+      if (init.isEmpty) None
+      else Some(table.overwrite(shaped(init), clusterBy, meta))
+    } else {
+      val touched = table.partitionValues(scd2Batch)
+      val target = table.readPartitions(touched).drop("effective_start_date")
+      Some(table.replacePartitions(shaped(merge(target, scd2Batch)), touched,
+        clusterBy, meta))
+    }
   }
 
   /** Incremental read predicate — strict `>` boundary (:211-213,

@@ -1,123 +1,371 @@
 package graft.scd2
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
 
-/** Zero-dependency versioned parquet table: snapshot-per-version dirs
-  * with an atomically-renamed commit marker. Stands in for the
-  * reference's Iceberg-on-Nessie table (`scd2_spark_processor.py:135-159`)
-  * since no Delta/Iceberg runtime ships in this environment; the API is
-  * deliberately the lakehouse-shaped subset we need:
+/** How a [[VersionedTable]] routes rows to partitions. The partition
+  * value is a STRING computed per row; commits track data files
+  * per partition value, so merges can rewrite only touched partitions
+  * (see [[VersionedTable.replacePartitions]]).
   *
-  *  - `overwrite` = commit a new snapshot (what Delta MERGE produces)
-  *  - `append`    = commit previous snapshot ∪ new rows
-  *  - `read(asOfVersion)` = time travel (README.MD:308-313 / D7)
+  * [[Partitioning.BucketBy]] is the Iceberg `bucket(N, col)` transform
+  * analog: deterministic hash buckets make "which partitions does this
+  * batch of keys touch" computable from the batch alone — no table
+  * scan — which is what keeps SCD2 merges O(changed buckets) at 100 TB.
+  * [[Partitioning.ByColumn]] is the `days(ts)`-style value transform
+  * (reference: `scd2_spark_processor.py` hidden partitioning).
   *
-  * Layout: `<root>/v=00042/part-*.parquet` + `<root>/_versions/00042`
-  * marker (empty file, atomic create). Readers resolve the max marker,
-  * so a crashed half-written snapshot (no marker yet) is invisible —
-  * single-writer commit semantics like the reference's single batch job.
+  * Values must be filesystem-safe strings (alphanumerics, `-`, `_`,
+  * `.`, `:`); bucket ordinals and ISO dates qualify.
+  */
+sealed trait Partitioning { def expr: Option[Column] }
+object Partitioning {
+  case object Unpartitioned extends Partitioning { val expr: Option[Column] = None }
+  final case class ByColumn(column: String) extends Partitioning {
+    def expr: Option[Column] = Some(col(column).cast("string"))
+  }
+  final case class BucketBy(column: String, buckets: Int) extends Partitioning {
+    require(buckets > 0, "buckets must be positive")
+    def expr: Option[Column] = Some(pmod(hash(col(column)), lit(buckets)).cast("string"))
+  }
+}
+
+/** Zero-dependency versioned parquet table with MANIFEST-based commits —
+  * the lakehouse-shaped stand-in for the reference's Iceberg-on-Nessie
+  * table (`scd2_spark_processor.py:135-159`; no Delta/Iceberg runtime
+  * ships in this environment).
   *
-  * Scale: snapshots are written `partitionBy(partitionCols)` (the
-  * reference's `days(effective_start_ts)` hidden partitioning becomes an
-  * explicit date column, SURVEY D2); a 100 TB deployment swaps this
-  * class for Delta/Iceberg — callers only use the 4 methods above.
+  * Layout:
+  * {{{
+  *   <root>/v=00007/__gp=<part>/part-*.parquet   data files of commit 7
+  *   <root>/_versions/00007                      manifest (atomic rename)
+  * }}}
+  * A manifest lists `(partitionValue, dataFile)` pairs plus the table
+  * schema and optional writer metadata. A version's manifest may
+  * reference files written by EARLIER commits: partition-scoped commits
+  * ([[replacePartitions]], [[append]]) carry untouched partitions
+  * forward **by reference**, so a commit is O(changed partitions), not
+  * O(table) — the property that makes per-micro-batch SCD2 merges
+  * viable at 100 TB (Iceberg's manifest-list mechanics, minimized).
+  *
+  * Commit protocol: data files are fully written first, then the
+  * manifest is written to `_versions/.tmp-*` and atomically renamed to
+  * `_versions/<v>` — a crash at any point leaves either no new version
+  * or a complete one (readers resolve the max committed manifest;
+  * orphaned data dirs are invisible and reclaimed by the next writer
+  * or [[vacuum]]). Metadata (e.g. a streaming batch id) rides inside
+  * the manifest, so writer idempotence keys are atomic with the commit.
+  *
+  * Reads apply the manifest schema explicitly (`spark.read.schema`), so
+  * old files null-fill columns added later ([[append]] with
+  * `mergeSchema`) and no footer-merging pass is needed. The partition
+  * column itself stays stored IN the data files (the directory key is a
+  * derived copy), so readers see the full row without partition-path
+  * reconstruction and row-group zone maps still prune on it.
   */
 final class VersionedTable(spark: SparkSession, root: String,
-                           partitionCols: Seq[String] = Nil) {
+                           partitioning: Partitioning = Partitioning.Unpartitioned) {
+  import VersionedTable._
+
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def markerDir = new Path(root, "_versions")
-  private def dataDir(v: Int) = new Path(root, f"v=$v%05d")
+  private val qRoot = fs.makeQualified(new Path(root))
+  private def markerDir = new Path(qRoot, "_versions")
+  private def dataDir(v: Int) = new Path(qRoot, f"v=$v%05d")
+  private def manifestPath(v: Int) = new Path(markerDir, f"$v%05d")
 
   def latestVersion: Option[Int] = {
     if (!fs.exists(markerDir)) None
     else {
-      val vs = fs.listStatus(markerDir).map(_.getPath.getName.toInt)
+      val vs = fs.listStatus(markerDir).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
   def exists: Boolean = latestVersion.isDefined
 
-  def read(): DataFrame = readVersion(
-    latestVersion.getOrElse(throw new IllegalStateException(s"empty table at $root")))
+  def read(): DataFrame = readVersion(requireVersion())
 
   /** Time travel: read the table as of a committed version. */
-  def readVersion(v: Int): DataFrame =
-    spark.read.parquet(dataDir(v).toString)
+  def readVersion(v: Int): DataFrame = {
+    val m = readManifest(v)
+    dfFor(m, m.entries)
+  }
 
-  /** Commit `df` as the next full snapshot; returns the new version.
-    * `clusterBy` sorts within partitions before writing so parquet
-    * row-group min/max stats become tight — the zone-map data-skipping
-    * that makes point/range predicates on the cluster keys prune whole
-    * row groups at scan time (Delta OPTIMIZE ZORDER's cheap cousin).
-    * `meta` is stored INSIDE the commit marker (atomically with the
-    * commit), so writers can key idempotence on it — see
-    * [[latestMeta]] and the streaming SCD2 lane. */
+  /** Manifest-pruned read of the CURRENT version: only data files of
+    * the given partition values are scanned — driver-side pruning, no
+    * directory listing, no footer reads for untouched partitions. */
+  def readPartitions(parts: Seq[String]): DataFrame = {
+    val m = readManifest(requireVersion())
+    val keep = parts.toSet
+    dfFor(m, m.entries.filter(e => keep(e.part)))
+  }
+
+  /** Distinct partition values this table's [[Partitioning]] assigns to
+    * `df`'s rows — small by construction (≤ bucket count for BucketBy). */
+  def partitionValues(df: DataFrame): Seq[String] = partitioning.expr match {
+    case None => Seq("")
+    case Some(e) =>
+      df.select(e.as("__p")).distinct().collect()
+        .map(r => Option(r.getString(0)).getOrElse(NullPart)).toSeq
+  }
+
+  /** `(partitionValue, relativeDataFile)` pairs of a committed version —
+    * the files metadata table (Iceberg `.files` analog); specs use it to
+    * prove untouched partitions are carried forward by reference. */
+  def manifestFiles(v: Int): Seq[(String, String)] =
+    readManifest(v).entries.map(e => (e.part, e.relPath))
+
+  /** The `meta` stored with the newest commit (None if absent). */
+  def latestMeta: Option[String] = latestVersion.flatMap(v => readManifest(v).meta)
+
+  /** Commit `df` as the next FULL snapshot; returns the new version.
+    * `clusterBy` sorts within write tasks so parquet row-group min/max
+    * stats become tight zone maps (Delta OPTIMIZE ZORDER's cheap
+    * cousin). Partitioned tables repartition by the partition value
+    * first, so each partition lands in one task → one file. */
   def overwrite(df: DataFrame, clusterBy: Seq[String] = Nil,
                 meta: Option[String] = None): Int = {
     val v = latestVersion.getOrElse(-1) + 1
-    val out =
-      if (clusterBy.nonEmpty)
-        df.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      else df
-    val writer = out.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(dataDir(v).toString)
-    fs.mkdirs(markerDir)
-    val marker = fs.create(new Path(markerDir, f"$v%05d"), true)
-    meta.foreach(m => marker.write(m.getBytes("UTF-8")))
-    marker.close()
+    val entries = writeData(df, v, clusterBy)
+    commit(v, meta, df.schema, entries)
     v
   }
 
-  /** The `meta` stored with the newest commit (empty if none). */
-  def latestMeta: Option[String] = latestVersion.flatMap { v =>
-    val p = new Path(markerDir, f"$v%05d")
-    val in = fs.open(p)
-    try {
-      val bytes = in.readAllBytes()
-      if (bytes.isEmpty) None else Some(new String(bytes, "UTF-8"))
-    } finally in.close()
+  /** Partition-scoped commit — the O(changed partitions) write path.
+    * `df` must contain ONLY rows belonging to `touched` partitions
+    * (verified against the written files); every other partition's data
+    * files are carried into the new version by reference, untouched on
+    * disk. On an [[Partitioning.Unpartitioned]] table this degenerates
+    * to a full snapshot. */
+  def replacePartitions(df: DataFrame, touched: Seq[String],
+                        clusterBy: Seq[String] = Nil,
+                        meta: Option[String] = None): Int = {
+    val prev = readManifest(requireVersion())
+    val v = latestVersion.get + 1
+    val entries = writeData(df, v, clusterBy)
+    val keep = touched.toSet
+    val stray = entries.map(_.part).distinct.filterNot(keep)
+    require(stray.isEmpty,
+      s"replacePartitions: rows landed outside the touched partitions: $stray")
+    val carried = prev.entries.filterNot(e => keep(e.part))
+    commit(v, meta, prev.schema, carried ++ entries)
+    v
   }
 
-  /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analog):
-    * rewrite the current snapshot into ~`targetFileCount` files —
-    * the maintenance job that fixes streaming's small-file problem.
-    * Optionally clusters while compacting. Returns the new version. */
-  def compact(targetFileCount: Int, clusterBy: Seq[String] = Nil): Int =
-    overwrite(read().coalesce(math.max(1, targetFileCount)), clusterBy)
-
-  /** Append rows as a new snapshot (reference `writeTo(...).append()`).
-    * Note each snapshot is a full rewrite (the zero-dep trade-off; a
-    * Delta/Iceberg swap makes this O(new rows)) — only the LOGICAL
-    * history is preserved across versions.
+  /** Append rows (reference `writeTo(...).append()`): writes ONLY the
+    * new rows' files and carries every existing file forward by
+    * reference — O(new rows), not O(table).
     *
-    * `mergeSchema = true` opts into evolution: columns present on only
-    * one side are allowed and null-filled (Delta's per-write
-    * `mergeSchema` analog). Off by default so a typo'd or renamed
-    * column fails loudly instead of silently null-filling. */
+    * `mergeSchema = true` opts into evolution: new columns are added to
+    * the manifest schema and old files null-fill them on read (Delta's
+    * per-write `mergeSchema` analog). Off by default so a typo'd or
+    * renamed column fails loudly instead of silently null-filling. */
   def append(df: DataFrame, mergeSchema: Boolean = false): Int =
-    overwrite(
-      if (exists) read().unionByName(df, allowMissingColumns = mergeSchema)
-      else df)
+    latestVersion match {
+      case None => overwrite(df)
+      case Some(cur) =>
+        val prev = readManifest(cur)
+        val target = unionSchema(prev.schema, df, mergeSchema)
+        val shaped = df.select(target.fields.toSeq.map { f =>
+          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        val v = cur + 1
+        val entries = writeData(shaped, v, Nil)
+        commit(v, None, target, prev.entries ++ entries)
+        v
+    }
 
-  /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM
-    * analog, SURVEY D10): keep the newest `keepVersions`, delete the
-    * rest's data and markers. Time travel past the horizon then fails
-    * by design. */
+  /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analog):
+    * rewrite the current snapshot into few files — the maintenance job
+    * that fixes streaming's small-file problem. Partitioned tables
+    * compact to one file per partition (via the repartition-by-value
+    * write path); unpartitioned ones coalesce to `targetFileCount`. */
+  def compact(targetFileCount: Int, clusterBy: Seq[String] = Nil): Int =
+    partitioning.expr match {
+      case None => overwrite(read().coalesce(math.max(1, targetFileCount)), clusterBy)
+      case Some(_) => overwrite(read(), clusterBy)
+    }
+
+  /** Expire old versions (Iceberg `expire_snapshots` / Delta VACUUM
+    * analog, SURVEY D10): keep the newest `keepVersions` manifests,
+    * delete the rest, then reclaim data files no retained manifest
+    * references (files shared via carry-forward survive). Time travel
+    * past the horizon then fails by design. */
   def vacuum(keepVersions: Int): Seq[Int] = {
     require(keepVersions >= 1, "must keep at least the current version")
     latestVersion match {
       case None => Nil
       case Some(latest) =>
-        val all = fs.listStatus(markerDir).map(_.getPath.getName.toInt).sorted
+        val all = fs.listStatus(markerDir).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
         val expire = all.filter(_ <= latest - keepVersions)
-        expire.foreach { v =>
-          fs.delete(dataDir(v), true)
-          fs.delete(new Path(markerDir, f"$v%05d"), false)
+        val kept = all.filterNot(expire.contains)
+        val referenced = kept.flatMap(v => readManifest(v).entries.map(_.relPath)).toSet
+        expire.foreach(v => fs.delete(manifestPath(v), false))
+        if (fs.exists(qRoot)) {
+          fs.listStatus(qRoot)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+            .foreach { d =>
+              val files = listFilesRec(d.getPath)
+              val (keepFiles, dropFiles) = files.partition(f => referenced(relativize(f)))
+              if (keepFiles.isEmpty) fs.delete(d.getPath, true)
+              else dropFiles.foreach(f => fs.delete(f, false))
+            }
         }
         expire.toSeq
     }
+  }
+
+  // ----------------------------------------------------------- internals
+
+  private def requireVersion(): Int =
+    latestVersion.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+
+  private def dfFor(m: Manifest, entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(entries.map(e => new Path(qRoot, e.relPath).toString): _*)
+
+  /** Write `df`'s rows under the version dir; return manifest entries.
+    * Partitioned: a derived `__gp` column drives `partitionBy` routing
+    * (and is NOT stored — the source column stays in the files). */
+  private def writeData(df: DataFrame, v: Int, clusterBy: Seq[String]): Seq[Entry] = {
+    val dir = dataDir(v)
+    partitioning.expr match {
+      case None =>
+        val out = if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
+        out.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        listFilesRec(dir).map(f => Entry("", relativize(f)))
+      case Some(e) =>
+        val keyed = df.withColumn(Gp, e).repartition(col(Gp))
+        val sorted = if (clusterBy.nonEmpty) keyed.sortWithinPartitions(clusterBy.map(col): _*) else keyed
+        sorted.write.mode(SaveMode.Overwrite).partitionBy(Gp).parquet(dir.toString)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(Gp + "="))
+          .toSeq.flatMap { d =>
+            val part = unescapePathValue(d.getPath.getName.stripPrefix(Gp + "="))
+            listFilesRec(d.getPath).map(f => Entry(part, relativize(f)))
+          }
+    }
+  }
+
+  private def listFilesRec(dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Nil
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += st.getPath
+    }
+    out.result()
+  }
+
+  private def relativize(p: Path): String = {
+    val rootStr = qRoot.toString + "/"
+    val s = fs.makeQualified(p).toString
+    require(s.startsWith(rootStr), s"file $s outside table root $qRoot")
+    s.stripPrefix(rootStr)
+  }
+
+  /** Atomic commit: manifest → `.tmp-*`, then rename into place. A
+    * crash before the rename leaves no visible version; meta is inside
+    * the manifest so idempotence tags are atomic with visibility. */
+  private def commit(v: Int, meta: Option[String], schema: StructType,
+                     entries: Seq[Entry]): Unit = {
+    val sb = new StringBuilder
+    sb.append(Header).append('\n')
+    sb.append("meta\t").append(meta.fold("-")(enc)).append('\n')
+    sb.append("schema\t").append(schema.json).append('\n')
+    entries.foreach(e => sb.append(enc(e.part)).append('\t').append(e.relPath).append('\n'))
+    fs.mkdirs(markerDir)
+    val tmp = new Path(markerDir, f".tmp-$v%05d-${System.nanoTime()}%d")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, manifestPath(v))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent commit of version $v at $root")
+    }
+  }
+
+  private def readManifest(v: Int): Manifest = {
+    val in = fs.open(manifestPath(v))
+    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head == Header, s"bad manifest for version $v at $root")
+    var meta: Option[String] = None
+    var schema: StructType = null
+    val entries = Seq.newBuilder[Entry]
+    lines.tail.foreach { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"bad manifest line: $line")
+      val (k, rest) = (line.substring(0, i), line.substring(i + 1))
+      k match {
+        case "meta"   => if (rest != "-") meta = Some(dec(rest))
+        case "schema" => schema = DataType.fromJson(rest).asInstanceOf[StructType]
+        case part     => entries += Entry(dec(part), rest)
+      }
+    }
+    require(schema != null, s"manifest for version $v has no schema")
+    Manifest(meta, schema, entries.result())
+  }
+
+  /** Loud schema-drift check for non-merge appends (same AnalysisException
+    * the snapshot-era `unionByName` raised), or the stored∪incoming
+    * union for `mergeSchema`. Shared columns must keep their stored
+    * type (incoming rows are cast on write). */
+  private def unionSchema(stored: StructType, df: DataFrame,
+                          mergeSchema: Boolean): StructType =
+    if (!mergeSchema) {
+      if (stored.fieldNames.sorted.toSeq != df.schema.fieldNames.sorted.toSeq)
+        read().unionByName(df) // throws AnalysisException naming the columns
+      stored
+    } else {
+      val extra = df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(stored.fields ++ extra)
+    }
+}
+
+object VersionedTable {
+  private val Header = "graft-manifest-v1"
+  private val Gp = "__gp"
+  /** Partition value standing for NULL — matches the directory name the
+    * parquet writer uses, so listed dirs and computed values agree. */
+  val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private final case class Entry(part: String, relPath: String)
+  private final case class Manifest(meta: Option[String], schema: StructType,
+                                    entries: Seq[Entry])
+
+  private def enc(s: String): String =
+    if (s.isEmpty) "-" else java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    if (s == "-") "" else java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Undo the parquet writer's `%XX` partition-path escaping (Spark's
+    * `escapePathName`); values we generate are escape-free, but decode
+    * defensively so ByColumn values with spaces etc. round-trip. */
+  private def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.cdc.Envelope
-import graft.scd2.VersionedTable
+import graft.scd2.{Partitioning, VersionedTable}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -85,17 +85,26 @@ object Streams {
   /** Keyed upsert table: per-batch arg-max then last-write-wins merge.
     * The merge condition `source.last_updated_ts >= target` makes
     * replays idempotent (SURVEY §7.4.10) — a restarted micro-batch
-    * cannot regress the table. */
-  final class CurrentStateTable(spark: SparkSession, root: String) {
-    val table = new VersionedTable(spark, root)
+    * cannot regress the table.
+    *
+    * Bucketed by id so each micro-batch reads and rewrites ONLY the
+    * buckets its keys hash to (manifest-pruned read + carry-forward
+    * commit); the per-batch cost is O(touched buckets), not O(table) —
+    * the Spark-native shape of the reference's Pinot upsert table,
+    * which also resolves per key-partition. `lsn` is part of the stored
+    * schema on purpose (declared in `TableSpec.salesCurrent`): equal-
+    * millisecond replays need the stored tiebreaker to stay monotone. */
+  final class CurrentStateTable(spark: SparkSession, root: String, buckets: Int = 16) {
+    val table = new VersionedTable(spark, root, Partitioning.BucketBy("id", buckets))
 
     def upsert(batch: DataFrame): Unit = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("last_updated_ts").desc, col("lsn").desc)
       val latest = batch.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-      if (!table.exists) { table.overwrite(latest); return }
-      val tgt = table.read()
+      if (!table.exists) { table.overwrite(latest, clusterBy = Seq("id")); return }
+      val touched = table.partitionValues(latest)
+      val tgt = table.readPartitions(touched)
       val cols = tgt.columns
       val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
       val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
@@ -112,7 +121,7 @@ object Streams {
           .when(sourceWins, col("s"))
           .otherwise(col("t")).as("r"))
         .select(cols.map(c => col(s"r.$c")): _*)
-      table.overwrite(merged)
+      table.replacePartitions(merged, touched, clusterBy = Seq("id"))
     }
 
     def read(): DataFrame = table.read()
@@ -187,7 +196,7 @@ object Streams {
                 availableNow: Boolean = false): StreamingQuery = {
     import graft.scd2.Scd2Processor
     val table = new VersionedTable(raw.sparkSession, tableRoot,
-      Seq("effective_start_date"))
+      graft.scd2.Partitioning.BucketBy("id", 16))
     val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

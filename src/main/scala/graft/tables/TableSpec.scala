@@ -79,7 +79,11 @@ object TableSpec {
       ColumnSpec("sale_date", LongType),
       ColumnSpec("created_at", LongType),
       ColumnSpec("last_updated_ts", LongType, Datetime),
-      ColumnSpec("is_deleted", BooleanType)),
+      ColumnSpec("is_deleted", BooleanType),
+      // stored tiebreaker: last-write-wins resolution on equal
+      // last_updated_ts compares lsn, so the streamed table keeps it
+      // (keeps DDL and the streaming CurrentStateTable schema-identical)
+      ColumnSpec("lsn", LongType)),
     primaryKey = Some("id"),
     comparisonColumn = Some("last_updated_ts"),
     retention = Some(RetentionSpec("last_updated_ts", 30)))

@@ -212,6 +212,32 @@ class Scd2Spec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("effective_end_ts")))
   }
 
+  test("partition-scoped commit: 1-key batch reuses other buckets' files by reference") {
+    val job = runBatches(Seq(
+      (1 to 10).map(k => op("c", k, "100", t0 + k, k.toLong)),
+      Seq(op("u", 1, "999", t0 + 100, 50))))
+    val t = job.table
+    assert(t.latestVersion.contains(1))
+    val v0 = t.manifestFiles(0).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val v1 = t.manifestFiles(1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // exactly one bucket (key 1's) was rewritten into the v=00001 dir...
+    val rewritten = v1.filter(_._2.exists(_.startsWith("v=00001"))).keySet
+    assert(rewritten.size == 1)
+    // ...and every other bucket's entries are the SAME files as v0 —
+    // carried by reference, not copied: byte-identity is structural
+    (v0.keySet - rewritten.head).foreach { part =>
+      assert(v1(part) == v0(part), s"bucket $part must carry forward untouched")
+      assert(!v1.getOrElse(part, Nil).exists(_.startsWith("v=00001")))
+    }
+    // time travel across the partition-scoped commit still works
+    assert(t.readVersion(0).count() == 10)
+    val rows = job.currentState.filter(col("id") === 1)
+      .orderBy("effective_start_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Double]("price") == 999.0 && rows(1).getAs[Boolean]("is_current"))
+    assert(job.currentState.count() == 11)
+  }
+
   test("random stream invariants over multiple batch splits") {
     checkInvariants(seed = 42, nKeys = 12, nOps = 120, batchSize = 40)
   }

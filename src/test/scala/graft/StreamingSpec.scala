@@ -82,6 +82,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 200.0)
   }
 
+  test("current state: micro-batch commit rewrites only touched buckets") {
+    val root = tmp() + "/cur"
+    val table = new Streams.CurrentStateTable(spark, root)
+    import spark.implicits._
+    def batchOf(ops: Seq[CdcOp]) = Streams.currentProjection(
+      graft.cdc.Envelope.flatten(ops.map(toJson).toDF("raw_message")))
+    def img(k: Int, p: String) = SaleImage(k, "Phone", "Electronics", p, 1, 19800, 0L)
+    table.upsert(batchOf((1 to 12).map(k => CdcOp("c", None, Some(img(k, "100")), 1000L + k, k.toLong, k.toLong))))
+    table.upsert(batchOf(Seq(CdcOp("u", Some(img(3, "100")), Some(img(3, "777")), 9000L, 99, 99))))
+    val v0 = table.table.manifestFiles(0).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val v1 = table.table.manifestFiles(1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rewritten = v1.filter(_._2.exists(_.startsWith("v=00001"))).keySet
+    assert(rewritten.size == 1)
+    (v0.keySet - rewritten.head).foreach(p => assert(v1(p) == v0(p)))
+    assert(table.read().filter($"id" === 3).first().getAs[Double]("price") == 777.0)
+    assert(table.read().count() == 12)
+  }
+
   test("streaming SCD2 equals the batch job for the same batch boundaries") {
     import spark.implicits._
     val ops = randomStream(seed = 55, nKeys = 8, nOps = 80,

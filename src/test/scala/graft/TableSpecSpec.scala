@@ -11,7 +11,7 @@ class TableSpecSpec extends SparkSpec {
     val spec = TableSpec.salesCurrent
     assert(spec.schema.fieldNames.toSeq ==
       Seq("id", "product_name", "category", "price", "quantity",
-        "sale_date", "created_at", "last_updated_ts", "is_deleted"))
+        "sale_date", "created_at", "last_updated_ts", "is_deleted", "lsn"))
     val ddl = spec.ddl()
     assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS sales_current"))
     assert(ddl.contains("price DOUBLE"))
