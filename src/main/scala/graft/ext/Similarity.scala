@@ -117,15 +117,45 @@ object Similarity {
   }
 
   // -------------------------------------------------- global top pairs
-  // Embedding-cosine near-dup: the corpus has no planted near-identical
-  // vectors, so the dedup surface is "top-20 most similar pairs" —
-  // same plan as a threshold pass with the threshold at the 20th value.
+  /** Embedding-cosine near-dup surface. This corpus has NO planted
+    * near-identical vectors (max pair cosine ≈ 0.51), so the checkable
+    * query is "top-20 most similar pairs" — a rank at moderate cosine,
+    * where sign-bit LSH provably cannot prune without losing recall
+    * (θ ≈ 60° ⇒ per-plane agreement ≈ 0.67; any band selective enough
+    * to shrink buckets misses true top pairs). Exact top-k over
+    * all pairs is inherently O(n²) COMPUTE; the scale lever is
+    * DISTRIBUTION, so the pairs come from block-matrix tiling:
+    *
+    * each vector lands in hash block `blk` of P; a pair's single home
+    * tile is (min blk, max blk), reached by replicating each row to its
+    * row-of-tiles as the left member and column-of-tiles as the right —
+    * an EQUI-JOIN on the tile id (P(P+1)/2 keys), never a broadcast
+    * nested loop. Shuffle is O(n·(P+1)); every tile is (n/P)² work
+    * spread evenly across the cluster, and the global top-20 is a
+    * TakeOrdered, not a sort. For corpora that DO contain real
+    * near-dups (cos ≥ 0.9), use [[nearDupLsh]] — the banded path that
+    * actually prunes. */
   private val nearDupTopPairs: Q = (s, d) => {
     import s.implicits._
+    val P = 16 // tile grid; scale with cluster parallelism (~#cores / 8)
     val emb = withUnitVector(
       Tables.embeddings(s, d).select($"vec_id", $"embedding"), "embedding")
-    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+      .withColumn("blk", pmod(hash($"vec_id"), lit(P)))
+    // left member of tiles (blk, j≥blk); right member of tiles (i≤blk, blk)
+    val aSide = emb.withColumn("tile",
+      explode(expr(s"transform(sequence(blk, ${P - 1}), j -> blk * $P + j)")))
+    val bSide = emb.withColumn("tile",
+      explode(expr(s"transform(sequence(0, blk), i -> i * $P + blk)")))
+    // Each unordered pair meets in exactly ONE tile (min blk, max blk):
+    // dedup by block order, with the id order breaking same-block ties.
+    // Ids are re-normalized least/greatest because the lower-id vector
+    // may live in the higher block (the dot is symmetric).
+    val pairs = aSide.as("a").join(bSide.as("b"),
+        col("a.tile") === col("b.tile") &&
+          (col("a.blk") < col("b.blk") ||
+            (col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         round(dot(col("a.embedding"), col("b.embedding")), 5).as("cos_sim"))
     pairs.orderBy($"cos_sim".desc, $"a_id", $"b_id").limit(20)
   }
@@ -135,6 +165,47 @@ object Similarity {
       |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
+
+  /** Thresholded near-dup pairs via banded sign-bit LSH — the path that
+    * actually PRUNES, for corpora containing true near-duplicates
+    * (`minCos` ≥ ~0.9). `bands` bands × `planesPerBand` sign bits each:
+    * a pair is a candidate iff it agrees on every bit of SOME band,
+    * emitted from the first matching band so each pair appears exactly
+    * once (no distinct over the candidate set). Candidates are verified
+    * with the exact codegen dot and filtered at `minCos`, so precision
+    * is exact; recall is the LSH bound 1-(1-c^m)^B with
+    * c = 1-θ/π (θ the pair angle) — ≥ 1-1e-11 at cos 0.999 with the
+    * 4×3 default, and deterministic here because the hyperplanes are
+    * md5-seeded. Bucket join groups shrink 2^planesPerBand-fold per
+    * band; raise planesPerBand for bigger corpora (production: 4×16
+    * bits), which trades recall at the LOW end of the near-dup range.
+    *
+    * `emb` carries (vec_id, embedding); vectors are unit-normalized
+    * here so the verify pays one fold per candidate. */
+  def nearDupLsh(emb: DataFrame, minCos: Double,
+                 bands: Int = 4, planesPerBand: Int = 3): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, 64)
+    val planesCol = typedLit(planes)
+    val unit = withUnitVector(emb.select(col("vec_id"), col("embedding")), "embedding")
+    def bucket(b: Int): Column = (0 until planesPerBand).map { p =>
+      val idx = b * planesPerBand + p
+      when(dot(element_at(planesCol, idx + 1), col("embedding")) > 0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = unit.select(col("vec_id") +: col("embedding") +:
+      (0 until bands).map(b => bucket(b).as(s"bk$b")): _*).localCheckpoint()
+    (0 until bands).map { b =>
+      val noEarlier = (0 until b).map(k => col(s"a.bk$k") =!= col(s"b.bk$k"))
+        .foldLeft(lit(true))(_ && _)
+      bucketed.as("a").join(bucketed.as("b"),
+          col(s"a.bk$b") === col(s"b.bk$b") &&
+            col("a.vec_id") < col("b.vec_id") && noEarlier)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(dot(col("a.embedding"), col("b.embedding")), 5).as("cos_sim"))
+    }.reduce(_.unionByName(_))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   // ---------------------------------------------------------- IVF path
   /** Coarse quantizer: centroid per `label` cell (the corpus ships

@@ -19,6 +19,22 @@ class ExtSpec extends SparkSpec {
     assert(j.agg(min("jaccard")).first().getDouble(0) >= 0.8)
   }
 
+  test("df-capped blocking equals the uncapped exact pass (recall condition)") {
+    // planted near-dup pairs share rare shingles, so capping candidate
+    // generation at a small df loses nothing while bounding every join
+    // group to df² pairs — the hot-shingle quadratic guard
+    val uncapped = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val capped = Dedup.queries("dedup_ngram_jaccard_blocked")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(capped.toSeq == uncapped.toSeq)
+    // and a tight cap (df<=4 covers the planted pairs at sf0.001) still
+    // finds every pair, proving the cap path actually exercises pruning
+    val tight = Dedup.jaccardPairsBlockedForTest(spark, sfDir, maxBlockDf = 4)
+      .collect().map(_.toSeq)
+    assert(tight.toSeq == uncapped.toSeq)
+  }
+
   test("minhash LSH finds the same j>=0.8 pairs as the exact pass") {
     // 4 bands × 2 rows at j≈0.9+: per-pair miss probability < 1e-3; the
     // fixed corpus makes this deterministic — assert exact agreement.
@@ -89,6 +105,22 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     lsh.filter(col("rank") === 1).select("query_id", "cos_sim").collect()
       .foreach(r => assert(r.getDouble(1) <= bruteBest(r.getLong(0)) + 1e-9))
+  }
+
+  test("thresholded LSH near-dup finds planted near-identical pairs, nothing else") {
+    import spark.implicits._
+    // plant near-dups: perturb one element slightly (cos ≈ 0.999999);
+    // the corpus itself has no pair above 0.51, so precision is exact
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").orderBy($"vec_id").limit(30)
+    val copies = base.select(($"vec_id" + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, float(double(x) + 0.001), x))")
+        .as("embedding"))
+    val found = ext.Similarity.nearDupLsh(base.unionByName(copies), minCos = 0.95)
+    val expected = base.select($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(pairs(found) == expected)
+    assert(found.agg(min("cos_sim")).first().getDouble(0) >= 0.95)
   }
 
   test("cosine is a strict in-order fold: self-similarity is 1") {

@@ -49,6 +49,9 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dotproduct"), p)
     // and top-20 is TakeOrdered, not a global sort of 2M pairs
     assert(p.contains("TakeOrderedAndProject"), p)
+    // tiled equi-join on the block-pair key — the O(n²) compute is
+    // distributed, never a broadcast nested loop over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ crept back:\n$p")
   }
 
   test("semi/anti joins plan as joins, not subquery re-scans") {
@@ -61,5 +64,20 @@ class PlanSpec extends SparkSpec {
     val df = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
     val logical = df.queryExecution.optimizedPlan.toString
     assert(logical.contains("Join"), logical)
+  }
+
+  test("blocked jaccard plans the document-frequency cap on blocking") {
+    val df = Dedup.queries("dedup_ngram_jaccard_blocked")(spark, sfDir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("(df#") || logical.contains("df <= 1000") ||
+      logical.contains("(df <="), s"df cap must gate candidate generation:\n$logical")
+  }
+
+  test("minhash signature agg is hash-based (numeric mins, no SortAggregate)") {
+    // 8 LONG mins pack into HashAggregate's fixed-width buffer; STRING
+    // mins would force the whole shingle set through SortAggregate —
+    // the regression that made this query 12× the oracle in round 1
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("SortAggregate"), s"string mins crept back in:\n$p")
   }
 }
