@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash: k=8 signatures, 4 bands × 2 rows → candidate recall for
   *    j≈0.9 pairs ≈ 1-(1-j²)⁴ > 0.999; each candidate verified by true
   *    Jaccard ≥ 0.8.
-  *  - SimHash: 32-bit tf-weighted fingerprint, 8 bands × 4 bits; by
+  *  - SimHash: 64-bit tf-weighted fingerprint, 8 bands × 8 bits; by
   *    pigeonhole any pair with Hamming ≤ 3 keeps ≥ 5 bands intact →
   *    banded join is EXACT for the ≤3 predicate, no recall loss.
   */
@@ -249,50 +249,67 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- SimHash
-  private val SIM_BITS = 32       // 8 hex chars of md5(token)
-  private val SIM_BANDS = 8       // 8 bands × 4 bits; Hamming ≤ 3 ⇒ ≥5 intact
+  private val SIM_BITS = 64       // all 16 hex chars of md5(token)
+  private val SIM_BANDS = 8       // 8 bands × 8 bits; Hamming ≤ 3 ⇒ ≥5 intact
 
-  /** Per-doc 32-bit simhash, term-frequency weighted (the classic
+  /** Per-doc 64-bit simhash, term-frequency weighted (the classic
     * Charikar/Manku formulation): each token OCCURRENCE votes ±1 on
     * each md5 bit; bit b of the fingerprint is the vote sign. TF
     * weighting matters on this corpus — the 31-word shared vocabulary
     * makes distinct-token sets nearly identical across docs, while the
-    * frequency profile discriminates. Pure integer/string ops shared
-    * verbatim with the oracle. */
+    * frequency profile discriminates.
+    *
+    * 64 bits (round-1 used 32) for birthday-collision headroom on
+    * billion-doc corpora, carried as TWO 32-bit words `sim_a`/`sim_b`
+    * so neither engine needs the sign bit of a full 64-bit assemble.
+    * Two base-16 decodes of the hex halves replace 16 per-digit
+    * locate() probes; bit b = bit (b%4) of global nibble (b/4), where
+    * nibble 0 is the LEFTMOST hex char — hence the 4*(7 - (b%32)/4)
+    * shift inside each word. Values identical to the oracle's
+    * per-digit strpos formulation. */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .withColumn("h", md5($"w"))
-    // One base-16 decode of the leading 8 hex chars replaces 8 per-digit
-    // locate() probes; bit b of the fingerprint = bit (b%4) of nibble
-    // (b/4), where nibble 0 is the LEFTMOST hex char — hence the
-    // 4*(7 - b/4) shift. Values identical to the oracle's per-digit
-    // strpos formulation, just extracted from the packed long.
-    val withV = tok.withColumn("hv",
-      conv(substring($"h", 1, 8), 16, 10).cast("long"))
+    val withV = tok
+      .withColumn("hva", conv(substring($"h", 1, 8), 16, 10).cast("long"))
+      .withColumn("hvb", conv(substring($"h", 9, 8), 16, 10).cast("long"))
     val votes = (0 until SIM_BITS).map { b =>
-      val shift = 4 * (7 - b / 4) + (b % 4)
-      val bit = expr(s"(hv div ${1L << shift}) % 2")
+      val word = if (b < 32) "hva" else "hvb"
+      val bb = b % 32
+      val shift = 4 * (7 - bb / 4) + (bb % 4)
+      val bit = expr(s"($word div ${1L << shift}) % 2")
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
     withV.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
-        (0 until SIM_BITS).map(b =>
+        (0 until 32).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("simhash"))
+          .reduce(_ + _).cast("long").as("sim_a"),
+        (32 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << (b - 32))).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("sim_b"))
   }
 
+  /** Spec hook: per-doc (sim_a, sim_b) fingerprints for the brute-force
+    * pigeonhole re-proof. */
+  def simhashesForTest(s: SparkSession, d: String): DataFrame = simhashes(s, d)
+
   private val simhash: Q = (s, d) => {
-    // banded candidate join: 8 bands × 4 bits; Hamming ≤ 3 ⇒ ≥5 intact
-    // bands (pigeonhole) ⇒ exact, no cross join. First-matching-band
-    // emission (see minhash above) keeps each pair single-shot with no
-    // distinct() shuffle.
-    // localCheckpoint, not cache(): reclaimed once unreachable — no
-    // session-lifetime cache accumulation across Bench/Verify runs.
+    // banded candidate join: 8 bands × 8 BITS (byte j of the 64-bit
+    // fingerprint); ≤3 flipped bits touch ≤3 bands ⇒ ≥5 intact bands
+    // (pigeonhole) ⇒ exact for Hamming ≤ 3, no cross join — and an
+    // 8-bit band prunes 16× harder than round-1's 4-bit bands.
+    // First-matching-band emission (see minhash above) keeps each pair
+    // single-shot with no distinct() shuffle. localCheckpoint, not
+    // cache(): reclaimed once unreachable.
     val sims = simhashes(s, d)
-      .select(col("doc_id") +: col("simhash") +: (0 until SIM_BANDS).map(j =>
-        expr(s"(simhash div ${1L << (4 * j)}) % 16").as(s"b$j")): _*)
+      .select(col("doc_id") +: col("sim_a") +: col("sim_b") +:
+        (0 until SIM_BANDS).map { j =>
+          val word = if (j < 4) "sim_a" else "sim_b"
+          expr(s"($word div ${1L << (8 * (j % 4))}) % 256").as(s"b$j")
+        }: _*)
       .localCheckpoint()
     (0 until SIM_BANDS).map { j =>
       val noEarlier = (0 until j)
@@ -302,9 +319,12 @@ object Dedup {
           col(s"a.b$j") === col(s"b.b$j") &&
             col("a.doc_id") < col("b.doc_id") && noEarlier)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+          col("a.sim_a").as("aa"), col("a.sim_b").as("ab"),
+          col("b.sim_a").as("ba"), col("b.sim_b").as("bb"))
     }.reduce(_.unionByName(_))
-      .withColumn("hamming", bit_count(expr("bigint(sim_a) ^ bigint(sim_b)")).cast("int"))
+      .withColumn("hamming",
+        (bit_count(expr("bigint(aa) ^ bigint(ba)")) +
+          bit_count(expr("bigint(ab) ^ bigint(bb)"))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
@@ -313,8 +333,10 @@ object Dedup {
     val votes = (0 until SIM_BITS).map { b =>
       s"SUM(CASE WHEN (d${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(",\n    ")
-    val assemble = (0 until SIM_BITS).map(b =>
+    val assembleA = (0 until 32).map(b =>
       s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val assembleB = (32 until 64).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << (b - 32)} ELSE 0 END").mkString(" + ")
     val digits = (0 until SIM_BITS / 4).map(c =>
       s"strpos('0123456789abcdef', substr(h,${c + 1},1))-1 AS d$c").mkString(",\n    ")
     s"""WITH tok AS (
@@ -330,11 +352,14 @@ object Dedup {
        |    $votes
        |  FROM dg GROUP BY doc_id),
        |sim AS (
-       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v)
+       |  SELECT doc_id, CAST($assembleA AS BIGINT) AS sim_a,
+       |         CAST($assembleB AS BIGINT) AS sim_b FROM v)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  CAST(bit_count(xor(a.sim_a, b.sim_a)) +
+       |       bit_count(xor(a.sim_b, b.sim_b)) AS INT) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |WHERE bit_count(xor(a.sim_a, b.sim_a)) +
+       |      bit_count(xor(a.sim_b, b.sim_b)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -43,14 +43,22 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("simhash banding is exact for hamming <= 3 (pigeonhole)") {
+  test("simhash banding is exact for hamming <= 3 (pigeonhole, 64-bit)") {
     val out = Dedup.queries("dedup_simhash")(spark, sfDir)
+    assert(out.count() > 0)
     assert(out.agg(max("hamming")).first().getInt(0) <= 3)
-    // banded-join result must equal a brute-force check done here
-    val sims = out.count()
-    assert(sims > 0)
     val dup = out.groupBy("a_id", "b_id").count().filter(col("count") > 1).count()
     assert(dup == 0, "banded union must be distinct")
+    // pigeonhole re-proof for the 8-bands × 8-bits math: the banded join
+    // must equal the brute-force all-pairs Hamming pass exactly
+    val sims = Dedup.simhashesForTest(spark, sfDir)
+    val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        (bit_count(expr("bigint(a.sim_a) ^ bigint(b.sim_a)")) +
+          bit_count(expr("bigint(a.sim_b) ^ bigint(b.sim_b)"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+    assert(out.collect().map(_.toSeq).toSet == brute.collect().map(_.toSeq).toSet)
   }
 
   test("exact dedup: content_fp groups cover all docs") {
