@@ -34,6 +34,17 @@ object Streams {
   def rawFileStream(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.text(inputDir).withColumnRenamed("value", "raw_message")
 
+  /** Kafka-backed raw CDC stream (S1) — the reference's actual ingest
+    * edge (`cdc_to_parquet.py:77-88`), emitting the same one-column
+    * `raw_message` shape as [[rawFileStream]] so every lane below is
+    * source-agnostic. This sandbox ships no Kafka connector jar
+    * ([[graft.sources.Kafka.available]] probes), so specs run the file
+    * lane and pin the option construction; with `spark-sql-kafka` on
+    * the classpath this is the one-line swap. */
+  def rawKafkaStream(spark: SparkSession,
+                     config: graft.sources.KafkaSourceConfig): DataFrame =
+    graft.sources.Kafka.rawKafkaStream(spark, config)
+
   // ------------------------------------------------------------- bronze
   /** With `dedupeByLsn`, an at-least-once upstream (reprocessed Kafka
     * offsets, replayed files) still lands each CDC event once: streaming
