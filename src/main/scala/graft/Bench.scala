@@ -11,28 +11,38 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case NonFatal(_) => () }
     }
-    // Each query runs once untimed (whole-stage-codegen compilation is a
-    // one-off driver cost, irrelevant at scale), then once timed.
-    // Failed queries report -1 in the per-query map and are excluded
-    // from the headline total; fatal JVM errors abort the run.
+    // Three timed iterations per query: run 1 is COLD (includes codegen
+    // compilation and scan warmup — the one-off driver costs), run 3 is
+    // STEADY STATE (what scales with data). The headline total and the
+    // `queries` map carry steady numbers — same post-warm semantics as
+    // earlier rounds, so totals stay comparable — and `queries_cold`
+    // rides along so cold/steady drift is attributable per query.
+    // Failed queries report -1 and are excluded from totals; fatal JVM
+    // errors abort the run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        def timed(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = timed()
+        timed()
+        val steady = timed()
+        name -> (cold, steady)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
+          name -> (-1.0, -1.0)
       }
     }
     import GraftSession.jsonEscape
-    val qs = results.map { case (k, v) => s"${jsonEscape(k)}:$v" }
-      .mkString("{", ",", "}")
-    val failures = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":${jsonEscape(sfDir)}}""")
+    def jsonMap(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"${jsonEscape(k)}:${sel(v)}" }.mkString("{", ",", "}")
+    val failures = results.count(_._2._2 < 0)
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    val totalCold = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"failures":$failures,"sf":${jsonEscape(sfDir)}}""")
     spark.stop()
     if (failures == results.size && results.nonEmpty) sys.exit(1)
   }

@@ -107,8 +107,12 @@ object Dedup {
     * the hot-shingle guard for real corpora. A shingle appearing in
     * > `maxBlockDf` docs (a stopword trigram appears in ~every doc) is
     * excluded from candidate GENERATION only: its join group would be
-    * df² pairs — quadratic in the corpus on hot keys. Verification
-    * still counts intersections over ALL shingles, so scores are exact.
+    * df² pairs — quadratic in the corpus on hot keys. Scores stay
+    * exact via split intersections: `inter = inter_rare + inter_hot`,
+    * where inter_rare IS the blocking join's aggregate (no second
+    * verify pass) and inter_hot joins only the candidate pairs against
+    * each doc's few DISTINCT hot shingles — empty-side free when no
+    * shingle is hot, O(candidates × hot-per-doc) when some are.
     *
     * Recall condition (document before trusting at a new threshold):
     * a pair is found iff it shares ≥1 shingle with df ≤ maxBlockDf.
@@ -118,20 +122,38 @@ object Dedup {
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
-    val rareShingles = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxBlockDf)
-      .select(col("shingle"))
-    val rare = sh.join(rareShingles, "shingle")
-    val cands = rare.as("a").join(rare.as("b"),
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df") <= maxBlockDf).select("shingle"), "shingle")
+    val hot = sh.join(dfreq.filter(col("df") > maxBlockDf).select("shingle"), "shingle")
+    val interRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
-      .distinct()
-    verifyJaccard(cands, sh, 0.8)
+      .groupBy(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val interHot = interRare.select(col("ca").as("ha"), col("cb").as("hb"))
+      .join(hot.as("a"), col("a.doc_id") === col("ha"))
+      .join(hot.as("b"), col("b.doc_id") === col("hb") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("ha"), col("hb"))
+      .agg(count(lit(1)).as("inter_hot"))
+    val inter = interRare
+      .join(interHot, col("ca") === col("ha") && col("cb") === col("hb"), "left")
+      .select(col("ca"), col("cb"),
+        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
+      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
+  // no checkpoint here: the self-join's two sides are the same subtree
+  // (reused exchange) and the explode is cheaper than materializing it
   private val ngramJaccard: Q = (s, d) =>
-    jaccardPairs(shingleSets(s, d).localCheckpoint())
+    jaccardPairs(shingleSets(s, d))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
 

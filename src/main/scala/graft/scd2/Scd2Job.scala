@@ -52,7 +52,11 @@ final class Checkpoints(spark: SparkSession, root: String, clock: () => Timestam
   */
 final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
                     checkpointRoot: String,
-                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                    /** SURVEY §7.4.4 extension: consult stored current
+                      * hashes so re-sent identical updates open no
+                      * version. Off = reference parity. */
+                    exactDedup: Boolean = false) {
 
   // Bucketed by id (Iceberg bucket(N, id) transform analog) so each
   // incremental merge reads+rewrites only the buckets its keys hash to;
@@ -103,7 +107,7 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
         "-" + (if (bounds.isNullAt(1)) 0L else bounds.getLong(1))
       if (!table.latestMeta.contains(tag))
         Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
-          meta = Some(tag))
+          meta = Some(tag), exactDedup = exactDedup)
       checkpoints.advance(batch)
       n
     } finally batch.unpersist()

@@ -179,7 +179,8 @@ object Scd2Processor {
     * (streaming batchId). Returns the committed version, or None if
     * nothing was committed. */
   def applyBatch(table: VersionedTable, scd2Batch: DataFrame,
-                 meta: Option[String] = None): Option[Int] = {
+                 meta: Option[String] = None,
+                 exactDedup: Boolean = false): Option[Int] = {
     def shaped(df: DataFrame): DataFrame =
       df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
     val clusterBy = Seq("id", "effective_start_ts") // tight zone maps for key lookups
@@ -191,9 +192,38 @@ object Scd2Processor {
     } else {
       val touched = table.partitionValues(scd2Batch)
       val target = table.readPartitions(touched).drop("effective_start_date")
-      Some(table.replacePartitions(shaped(merge(target, scd2Batch)), touched,
+      val batch = if (exactDedup) dropCrossBatchNoOps(target, scd2Batch) else scd2Batch
+      Some(table.replacePartitions(shaped(merge(target, batch)), touched,
         clusterBy, meta))
     }
+  }
+
+  /** `exactDedup` extension (SURVEY §7.4.4): the reference never
+    * consults the STORED hash, so a re-sent identical update in a later
+    * batch opens a spurious version. This pass drops each id's FIRST
+    * incoming version when its hash equals the stored current row's —
+    * the stored row then stays open until the next real change (or the
+    * batch's later versions proceed unchanged; in-batch runs were
+    * already collapsed by the lead window). Parity mode (default off)
+    * keeps the reference quirk byte-for-byte. One broadcast-or-shuffle
+    * join against the already-pruned target buckets — no extra scan. */
+  private def dropCrossBatchNoOps(target: DataFrame, scd2Batch: DataFrame): DataFrame = {
+    val newRecs = scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+    val deletes = scd2Batch.filter(col("operation_type") === "DELETE")
+    val curHashes = target
+      .filter(col("is_current") && !col("is_deleted"))
+      .select(col("id").as("ch_id"), col("record_hash").as("cur_hash"))
+    // chain order within an id: start ts, then closed-before-current,
+    // then end ts — reconstructs the lead-window order (ties are
+    // second-precision events; the dedicated golden pins tie behavior)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("effective_start_ts"), col("is_current"), col("effective_end_ts"))
+    newRecs.withColumn("_rn", row_number().over(w))
+      .join(curHashes, col("id") === col("ch_id"), "left")
+      .filter(!(col("_rn") === 1 && col("cur_hash").isNotNull &&
+        col("cur_hash") === col("record_hash")))
+      .drop("_rn", "ch_id", "cur_hash")
+      .unionByName(deletes)
   }
 
   /** Incremental read predicate — strict `>` boundary (:211-213,

@@ -204,7 +204,8 @@ object Streams {
     * id already sits in the latest commit is skipped — crash between
     * table commit and offset commit no longer double-applies. */
   def scd2Query(raw: DataFrame, tableRoot: String, checkpoint: String,
-                availableNow: Boolean = false): StreamingQuery = {
+                availableNow: Boolean = false,
+                exactDedup: Boolean = false): StreamingQuery = {
     import graft.scd2.Scd2Processor
     val table = new VersionedTable(raw.sparkSession, tableRoot,
       graft.scd2.Partitioning.BucketBy("id", 16))
@@ -214,7 +215,7 @@ object Streams {
         val tag = s"scd2-batch-$batchId"
         if (!batch.isEmpty && !table.latestMeta.contains(tag)) {
           Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
-            meta = Some(tag))
+            meta = Some(tag), exactDedup = exactDedup)
           ()
         }
       }

@@ -24,9 +24,11 @@ class Scd2Spec extends SparkSpec {
   }
 
   /** Write ops as a bronze staging dir and run one incremental batch. */
-  private def runBatches(batches: Seq[Seq[CdcOp]]): Scd2Job = {
+  private def runBatches(batches: Seq[Seq[CdcOp]],
+                         exactDedup: Boolean = false): Scd2Job = {
     val staging = tmp() + "/staging"
-    val job = new Scd2Job(spark, staging, tmp() + "/table", tmp() + "/ck", fixedClock)
+    val job = new Scd2Job(spark, staging, tmp() + "/table", tmp() + "/ck", fixedClock,
+      exactDedup = exactDedup)
     batches.foreach { ops =>
       bronzeOf(ops).write.mode("append").partitionBy("dt").parquet(staging)
       job.run()
@@ -105,6 +107,50 @@ class Scd2Spec extends SparkSpec {
     assert(!rows(0).getAs[Boolean]("is_current"))
     assert(rows(0).getAs[Timestamp]("effective_end_ts") == sec(t0 + 60))
     assert(rows(1).getAs[Boolean]("is_current"))
+  }
+
+  test("exactDedup mode: re-sent identical update opens NO version (§7.4.4 fix)") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("u", 1, "100", t0 + 60, 2)),   // identical re-send — dropped
+      Seq(op("u", 1, "200", t0 + 120, 3))), // real change
+      exactDedup = true)
+    val rows = job.currentState.orderBy("effective_start_ts").collect()
+    assert(rows.length == 2)
+    // the original row stayed open THROUGH the no-op and closed at the
+    // real change's ts, not the no-op's
+    assert(rows(0).getAs[Double]("price") == 100.0)
+    assert(rows(0).getAs[Timestamp]("effective_start_ts") == sec(t0))
+    assert(rows(0).getAs[Timestamp]("effective_end_ts") == sec(t0 + 120))
+    assert(rows(1).getAs[Double]("price") == 200.0)
+    assert(rows(1).getAs[Boolean]("is_current"))
+  }
+
+  test("exactDedup mode: no-op head of a multi-version batch is dropped, chain kept") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("u", 1, "100", t0 + 60, 2), op("u", 1, "300", t0 + 70, 3))),
+      exactDedup = true)
+    val rows = job.currentState.orderBy("effective_start_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("price") == 100.0)
+    // closed by the surviving new current version (reference close-at-
+    // current semantics), not by the dropped no-op
+    assert(rows(0).getAs[Timestamp]("effective_end_ts") == sec(t0 + 70))
+    assert(rows(1).getAs[Double]("price") == 300.0)
+    assert(rows(1).getAs[Boolean]("is_current"))
+  }
+
+  test("exactDedup mode: deletes and real updates are untouched by the dedup join") {
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1), op("c", 2, "50", t0, 2)),
+      Seq(op("u", 1, "100", t0 + 60, 3), op("d", 2, "50", t0 + 60, 4))),
+      exactDedup = true)
+    val rows = job.currentState.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("id") == 1 && rows(0).getAs[Boolean]("is_current"))
+    assert(rows(0).getAs[Timestamp]("effective_start_ts") == sec(t0)) // no-op dropped
+    assert(rows(1).getAs[Int]("id") == 2 && rows(1).getAs[Boolean]("is_deleted"))
   }
 
   test("delete for a never-seen key is a silent no-op (§7.4.6)") {
