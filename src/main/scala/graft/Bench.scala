@@ -19,7 +19,11 @@ object Bench {
     // rides along so cold/steady drift is attributable per query.
     // Failed queries report -1 and are excluded from totals; fatal JVM
     // errors abort the run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         def timed(): Double = {
           val t0 = System.nanoTime()
@@ -36,13 +40,25 @@ object Bench {
           name -> (-1.0, -1.0)
       }
     }
+    // Per-job scheduling floor: the fixed cost of ANY Spark action in
+    // this JVM (job submit, task scheduling, result fetch) — the
+    // constant that dominates sub-second queries vs embedded DuckDB
+    // and amortizes to zero at real scale. Median of 5 trivial jobs.
+    val floor = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 32, 1, 32).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
     import GraftSession.jsonEscape
     def jsonMap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"${jsonEscape(k)}:${sel(v)}" }.mkString("{", ",", "}")
     val failures = results.count(_._2._2 < 0)
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"failures":$failures,"sf":${jsonEscape(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}""")
     spark.stop()
     if (failures == results.size && results.nonEmpty) sys.exit(1)
   }

@@ -29,7 +29,16 @@ object Dedup {
     * Docs with < 3 tokens yield no shingles — guarded explicitly
     * because Spark's `sequence(1, n)` turns DESCENDING for n < 1
     * (would emit index 0 and throw), while the oracle's
-    * generate_series is simply empty. */
+    * generate_series is simply empty.
+    *
+    * `shash` = xxhash64 of the shingle rides along: every BLOCKING
+    * join/aggregate keys on the 8-byte hash instead of the ~80-char
+    * string (narrower shuffles, fixed-width HashAggregate rows).
+    * Results are unchanged unless two distinct shingles of one corpus
+    * collide in 64 bits — birthday-bounded ~n²/2⁶⁵, ≈4e-11 here, and
+    * the oracle gate would catch it deterministically. The signature
+    * path still hashes the STRING (md5) — the sketch definition is
+    * shared with the oracle verbatim. */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -39,6 +48,7 @@ object Dedup {
         "array_distinct(transform(sequence(1, size(ws)-2), " +
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("shingle"))
+      .withColumn("shash", xxhash64($"shingle"))
   }
 
   private val shingleSqlCte =
@@ -68,7 +78,7 @@ object Dedup {
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val inter = a.join(b, col("a.shash") === col("b.shash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -90,7 +100,7 @@ object Dedup {
     val inter = cands
       .join(sh.as("a"), col("a.doc_id") === col("ca"))
       .join(sh.as("b"), col("b.doc_id") === col("cb") &&
-        col("a.shingle") === col("b.shingle"))
+        col("a.shash") === col("b.shash"))
       .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -122,17 +132,17 @@ object Dedup {
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.filter(col("df") <= maxBlockDf).select("shingle"), "shingle")
-    val hot = sh.join(dfreq.filter(col("df") > maxBlockDf).select("shingle"), "shingle")
+    val dfreq = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df") <= maxBlockDf).select("shash"), "shash")
+    val hot = sh.join(dfreq.filter(col("df") > maxBlockDf).select("shash"), "shash")
     val interRare = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
       .agg(count(lit(1)).as("inter_rare"))
     val interHot = interRare.select(col("ca").as("ha"), col("cb").as("hb"))
       .join(hot.as("a"), col("a.doc_id") === col("ha"))
       .join(hot.as("b"), col("b.doc_id") === col("hb") &&
-        col("a.shingle") === col("b.shingle"))
+        col("a.shash") === col("b.shash"))
       .groupBy(col("ha"), col("hb"))
       .agg(count(lit(1)).as("inter_hot"))
     val inter = interRare
