@@ -65,6 +65,12 @@ object Partitioning {
   * column itself stays stored IN the data files (the directory key is a
   * derived copy), so readers see the full row without partition-path
   * reconstruction and row-group zone maps still prune on it.
+  *
+  * Named branches (SURVEY D8, Nessie analog) are atomic ref files over
+  * the same version history — see [[createBranch]] / [[commitToBranch]]
+  * / [[fastForward]]; commits record their parent so merges verify
+  * fast-forwardability. Single-writer-per-ref semantics, like the
+  * reference's single batch job.
   */
 final class VersionedTable(spark: SparkSession, root: String,
                            partitioning: Partitioning = Partitioning.Unpartitioned) {
@@ -73,6 +79,7 @@ final class VersionedTable(spark: SparkSession, root: String,
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qRoot = fs.makeQualified(new Path(root))
   private def markerDir = new Path(qRoot, "_versions")
+  private def refsDir = new Path(qRoot, "_refs")
   private def dataDir(v: Int) = new Path(qRoot, f"v=$v%05d")
   private def manifestPath(v: Int) = new Path(markerDir, f"$v%05d")
 
@@ -87,7 +94,13 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   def exists: Boolean = latestVersion.isDefined
 
-  def read(): DataFrame = readVersion(requireVersion())
+  /** The version trunk reads and writes resolve against: the `main`
+    * ref once branching is in use, else the newest committed version
+    * (ref-less tables behave exactly as before branches existed). */
+  def currentHead: Option[Int] = refHead(MainBranch).orElse(latestVersion)
+
+  def read(): DataFrame = readVersion(
+    currentHead.getOrElse(throw new IllegalStateException(s"empty table at $root")))
 
   /** Time travel: read the table as of a committed version. */
   def readVersion(v: Int): DataFrame = {
@@ -99,7 +112,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     * the given partition values are scanned — driver-side pruning, no
     * directory listing, no footer reads for untouched partitions. */
   def readPartitions(parts: Seq[String]): DataFrame = {
-    val m = readManifest(requireVersion())
+    val m = readManifest(requireHead())
     val keep = parts.toSet
     dfFor(m, m.entries.filter(e => keep(e.part)))
   }
@@ -119,8 +132,8 @@ final class VersionedTable(spark: SparkSession, root: String,
   def manifestFiles(v: Int): Seq[(String, String)] =
     readManifest(v).entries.map(e => (e.part, e.relPath))
 
-  /** The `meta` stored with the newest commit (None if absent). */
-  def latestMeta: Option[String] = latestVersion.flatMap(v => readManifest(v).meta)
+  /** The `meta` stored with the current head's commit (None if absent). */
+  def latestMeta: Option[String] = currentHead.flatMap(v => readManifest(v).meta)
 
   /** Commit `df` as the next FULL snapshot; returns the new version.
     * `clusterBy` sorts within write tasks so parquet row-group min/max
@@ -129,9 +142,10 @@ final class VersionedTable(spark: SparkSession, root: String,
     * first, so each partition lands in one task → one file. */
   def overwrite(df: DataFrame, clusterBy: Seq[String] = Nil,
                 meta: Option[String] = None): Int = {
-    val v = latestVersion.getOrElse(-1) + 1
+    val v = nextVersion()
     val entries = writeData(df, v, clusterBy)
-    commit(v, meta, df.schema, entries)
+    commit(v, meta, df.schema, entries, parent = currentHead)
+    advanceMain(v)
     v
   }
 
@@ -144,15 +158,17 @@ final class VersionedTable(spark: SparkSession, root: String,
   def replacePartitions(df: DataFrame, touched: Seq[String],
                         clusterBy: Seq[String] = Nil,
                         meta: Option[String] = None): Int = {
-    val prev = readManifest(requireVersion())
-    val v = latestVersion.get + 1
+    val head = requireHead()
+    val prev = readManifest(head)
+    val v = nextVersion()
     val entries = writeData(df, v, clusterBy)
     val keep = touched.toSet
     val stray = entries.map(_.part).distinct.filterNot(keep)
     require(stray.isEmpty,
       s"replacePartitions: rows landed outside the touched partitions: $stray")
     val carried = prev.entries.filterNot(e => keep(e.part))
-    commit(v, meta, prev.schema, carried ++ entries)
+    commit(v, meta, prev.schema, carried ++ entries, parent = Some(head))
+    advanceMain(v)
     v
   }
 
@@ -165,7 +181,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     * per-write `mergeSchema` analog). Off by default so a typo'd or
     * renamed column fails loudly instead of silently null-filling. */
   def append(df: DataFrame, mergeSchema: Boolean = false): Int =
-    latestVersion match {
+    currentHead match {
       case None => overwrite(df)
       case Some(cur) =>
         val prev = readManifest(cur)
@@ -174,9 +190,10 @@ final class VersionedTable(spark: SparkSession, root: String,
           if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }: _*)
-        val v = cur + 1
+        val v = nextVersion()
         val entries = writeData(shaped, v, Nil)
-        commit(v, None, target, prev.entries ++ entries)
+        commit(v, None, target, prev.entries ++ entries, parent = Some(cur))
+        advanceMain(v)
         v
     }
 
@@ -203,7 +220,8 @@ final class VersionedTable(spark: SparkSession, root: String,
       case Some(latest) =>
         val all = fs.listStatus(markerDir).map(_.getPath.getName)
           .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
-        val expire = all.filter(_ <= latest - keepVersions)
+        val pinned = branches.map(_._2).toSet // ref heads must survive
+        val expire = all.filter(v => v <= latest - keepVersions && !pinned(v))
         val kept = all.filterNot(expire.contains)
         val referenced = kept.flatMap(v => readManifest(v).entries.map(_.relPath)).toSet
         expire.foreach(v => fs.delete(manifestPath(v), false))
@@ -221,10 +239,113 @@ final class VersionedTable(spark: SparkSession, root: String,
     }
   }
 
+  // ----------------------------------------------------------- branches
+  // Nessie-style named refs over the shared version history (SURVEY D8;
+  // reference: scd2_spark_processor.py:101-103 — create branch, run the
+  // job against it, merge to main after validation). A branch is an
+  // atomically-renamed ref file pointing at a committed version; all
+  // branches share the global version counter and data files, so
+  // branching is O(1) and a branch commit costs the same as a trunk
+  // commit. Every commit records its parent, so merge can verify
+  // fast-forwardability (Nessie rejects non-FF merges the same way).
+
+  /** Create `name` at `at` (default: current head). The first branch
+    * materializes the `main` ref so trunk reads stay pinned while
+    * branch commits advance the global version counter. */
+  def createBranch(name: String, at: Option[Int] = None): Int = {
+    val head = requireHead()
+    require(refHead(MainBranch).isDefined || { setRef(MainBranch, head); true })
+    val v = at.getOrElse(head)
+    require(fs.exists(manifestPath(v)), s"no committed version $v")
+    setRef(name, v)
+    v
+  }
+
+  def refHead(name: String): Option[Int] = {
+    val p = new Path(refsDir, validRef(name))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8).trim.toInt) finally in.close()
+    }
+  }
+
+  /** All refs (branch name → head version), `main` included. */
+  def branches: Seq[(String, Int)] =
+    if (!fs.exists(refsDir)) Nil
+    else fs.listStatus(refsDir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => refHead(n).map(n -> _))
+
+  def readBranch(name: String): DataFrame =
+    readVersion(refHead(name).getOrElse(
+      throw new IllegalStateException(s"no branch $name at $root")))
+
+  /** Commit a full snapshot to `name` (parent = the branch head) and
+    * advance only that ref — trunk and other branches are untouched. */
+  def commitToBranch(name: String, df: DataFrame,
+                     clusterBy: Seq[String] = Nil,
+                     meta: Option[String] = None): Int = {
+    val head = refHead(name).getOrElse(
+      throw new IllegalStateException(s"no branch $name at $root"))
+    val v = nextVersion()
+    val entries = writeData(df, v, clusterBy)
+    commit(v, meta, df.schema, entries, parent = Some(head))
+    setRef(name, v)
+    v
+  }
+
+  /** Merge `from` into `into` by fast-forward: `into`'s head must be an
+    * ancestor of `from`'s head (nothing committed to `into` since the
+    * branch point), else this throws and the caller must rebase — the
+    * Nessie contract. Returns the new head of `into`. */
+  def fastForward(into: String, from: String): Int = {
+    val fromHead = refHead(from).getOrElse(
+      throw new IllegalStateException(s"no branch $from at $root"))
+    val intoHead = refHead(into).getOrElse(
+      throw new IllegalStateException(s"no branch $into at $root"))
+    if (intoHead != fromHead) {
+      require(isAncestor(intoHead, fromHead),
+        s"$into@$intoHead is not an ancestor of $from@$fromHead — not fast-forwardable, rebase $from first")
+      setRef(into, fromHead)
+    }
+    refHead(into).get
+  }
+
+  def deleteBranch(name: String): Unit = {
+    require(name != MainBranch, "cannot delete main")
+    fs.delete(new Path(refsDir, validRef(name)), false)
+    ()
+  }
+
+  /** Walk `desc`'s parent chain looking for `anc`. */
+  private def isAncestor(anc: Int, desc: Int): Boolean = {
+    var cur = Option(desc)
+    while (cur.isDefined && cur.get > anc)
+      cur = readManifest(cur.get).parent
+    cur.contains(anc)
+  }
+
+  private def setRef(name: String, v: Int): Unit = {
+    fs.mkdirs(refsDir)
+    val tmp = new Path(refsDir, s".tmp-${validRef(name)}-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    val target = new Path(refsDir, validRef(name))
+    fs.delete(target, false) // rename-over differs per FS; delete first (single writer)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"concurrent ref update for $name at $root")
+  }
+
+  private def advanceMain(v: Int): Unit =
+    if (refHead(MainBranch).isDefined) setRef(MainBranch, v)
+
   // ----------------------------------------------------------- internals
 
-  private def requireVersion(): Int =
-    latestVersion.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+  private def nextVersion(): Int = latestVersion.getOrElse(-1) + 1
+
+  private def requireHead(): Int =
+    currentHead.getOrElse(throw new IllegalStateException(s"empty table at $root"))
 
   private def dfFor(m: Manifest, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
@@ -280,10 +401,11 @@ final class VersionedTable(spark: SparkSession, root: String,
     * crash before the rename leaves no visible version; meta is inside
     * the manifest so idempotence tags are atomic with visibility. */
   private def commit(v: Int, meta: Option[String], schema: StructType,
-                     entries: Seq[Entry]): Unit = {
+                     entries: Seq[Entry], parent: Option[Int] = None): Unit = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
     sb.append("meta\t").append(meta.fold("-")(enc)).append('\n')
+    parent.foreach(p => sb.append("parent\t").append(p).append('\n'))
     sb.append("schema\t").append(schema.json).append('\n')
     entries.foreach(e => sb.append(enc(e.part)).append('\t').append(e.relPath).append('\n'))
     fs.mkdirs(markerDir)
@@ -302,6 +424,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head == Header, s"bad manifest for version $v at $root")
     var meta: Option[String] = None
+    var parent: Option[Int] = None
     var schema: StructType = null
     val entries = Seq.newBuilder[Entry]
     lines.tail.foreach { line =>
@@ -310,12 +433,13 @@ final class VersionedTable(spark: SparkSession, root: String,
       val (k, rest) = (line.substring(0, i), line.substring(i + 1))
       k match {
         case "meta"   => if (rest != "-") meta = Some(dec(rest))
+        case "parent" => parent = Some(rest.toInt)
         case "schema" => schema = DataType.fromJson(rest).asInstanceOf[StructType]
         case part     => entries += Entry(dec(part), rest)
       }
     }
     require(schema != null, s"manifest for version $v has no schema")
-    Manifest(meta, schema, entries.result())
+    Manifest(meta, schema, entries.result(), parent)
   }
 
   /** Loud schema-drift check for non-merge appends (same AnalysisException
@@ -338,13 +462,22 @@ final class VersionedTable(spark: SparkSession, root: String,
 object VersionedTable {
   private val Header = "graft-manifest-v1"
   private val Gp = "__gp"
+  val MainBranch = "main"
   /** Partition value standing for NULL — matches the directory name the
     * parquet writer uses, so listed dirs and computed values agree. */
   val NullPart = "__HIVE_DEFAULT_PARTITION__"
 
   private final case class Entry(part: String, relPath: String)
   private final case class Manifest(meta: Option[String], schema: StructType,
-                                    entries: Seq[Entry])
+                                    entries: Seq[Entry],
+                                    parent: Option[Int] = None)
+
+  private def validRef(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"invalid branch name: $name")
+    name
+  }
 
   private def enc(s: String): String =
     if (s.isEmpty) "-" else java.net.URLEncoder.encode(s, "UTF-8")
