@@ -105,10 +105,20 @@ object Streams {
     * which also resolves per key-partition. `lsn` is part of the stored
     * schema on purpose (declared in `TableSpec.salesCurrent`): equal-
     * millisecond replays need the stored tiebreaker to stay monotone. */
-  final class CurrentStateTable(spark: SparkSession, root: String, buckets: Int = 16) {
+  final class CurrentStateTable(spark: SparkSession, root: String, buckets: Int = 16,
+                                /** Auto-vacuum: keep this many versions
+                                  * after each upsert — bounds storage
+                                  * under continuous micro-batches
+                                  * (None = unbounded, vacuum manually). */
+                                retainVersions: Option[Int] = None) {
     val table = new VersionedTable(spark, root, Partitioning.BucketBy("id", buckets))
 
     def upsert(batch: DataFrame): Unit = {
+      upsertInner(batch)
+      retainVersions.foreach(table.vacuum)
+    }
+
+    private def upsertInner(batch: DataFrame): Unit = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("last_updated_ts").desc, col("lsn").desc)
       val latest = batch.withColumn("rn", row_number().over(w))
@@ -205,7 +215,13 @@ object Streams {
     * table commit and offset commit no longer double-applies. */
   def scd2Query(raw: DataFrame, tableRoot: String, checkpoint: String,
                 availableNow: Boolean = false,
-                exactDedup: Boolean = false): StreamingQuery = {
+                exactDedup: Boolean = false,
+                /** Auto-vacuum after each applied batch: keep this many
+                  * versions (time-travel horizon). None = unbounded —
+                  * run [[VersionedTable.vacuum]] as a maintenance job.
+                  * Replay safety holds either way: the idempotence tag
+                  * lives in the RETAINED newest manifest. */
+                retainVersions: Option[Int] = None): StreamingQuery = {
     import graft.scd2.Scd2Processor
     val table = new VersionedTable(raw.sparkSession, tableRoot,
       graft.scd2.Partitioning.BucketBy("id", 16))
@@ -216,6 +232,7 @@ object Streams {
         if (!batch.isEmpty && !table.latestMeta.contains(tag)) {
           Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
             meta = Some(tag), exactDedup = exactDedup)
+          retainVersions.foreach(table.vacuum)
           ()
         }
       }

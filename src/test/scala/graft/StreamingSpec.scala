@@ -100,6 +100,25 @@ class StreamingSpec extends SparkSpec {
     assert(table.read().count() == 12)
   }
 
+  test("auto-vacuum bounds version growth under continuous upserts") {
+    val root = tmp() + "/cur"
+    val table = new Streams.CurrentStateTable(spark, root, retainVersions = Some(2))
+    import spark.implicits._
+    def batchOf(ops: Seq[CdcOp]) = Streams.currentProjection(
+      graft.cdc.Envelope.flatten(ops.map(toJson).toDF("raw_message")))
+    val img = SaleImage(1, "Phone", "Electronics", "100", 1, 19800, 0L)
+    (1 to 6).foreach { i =>
+      table.upsert(batchOf(Seq(
+        CdcOp("u", Some(img), Some(img.copy(price = s"$i")), 1000L * i, i.toLong, i.toLong))))
+    }
+    // six commits happened, only the newest two manifests survive
+    assert(table.table.latestVersion.contains(5))
+    val manifests = new java.io.File(root, "_versions").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).sorted
+    assert(manifests.toSeq == Seq("00004", "00005"))
+    assert(table.read().first().getAs[Double]("price") == 6.0)
+  }
+
   test("streaming SCD2 equals the batch job for the same batch boundaries") {
     import spark.implicits._
     val ops = randomStream(seed = 55, nKeys = 8, nOps = 80,
