@@ -1,12 +1,13 @@
 #!/usr/bin/env python3
 """Per-query Spark-vs-DuckDB ratio table.
 
-Usage: python3 dev/bench_ratio.py <bench_json> <sfdir>
+Usage: python3 dev/bench_ratio.py <bench_json> <sfdir> <oracle_sql.json>
 
 Reads a Bench JSON line (steady + cold columns), times each oracle SQL
 in DuckDB (median of 3) on the same parquet, and prints a ratio table
 so per-query regressions are attributable (VERDICT r1 next-step #5).
-Queries without an oracle print spark time only.
+Queries without an oracle (or that failed in Spark) print spark time
+only and are excluded from both totals.
 """
 import json
 import statistics
@@ -34,7 +35,7 @@ def main(bench_path: str, sfdir: str) -> None:
     rows = []
     for name, spark_s in sorted(bench["queries"].items()):
         sql = oracle_sql.get(name)
-        if not sql:
+        if not sql or spark_s < 0:  # no oracle, or the Spark query failed
             rows.append((name, spark_s, None, None))
             continue
         times = []
@@ -45,7 +46,9 @@ def main(bench_path: str, sfdir: str) -> None:
         duck = statistics.median(times)
         rows.append((name, spark_s, duck, spark_s / duck if duck > 0 else None))
 
-    total_spark = sum(r[1] for r in rows if r[1] >= 0)
+    # totals cover only queries with BOTH engines measured, so a failed
+    # Spark query cannot bias the headline ratio downward
+    total_spark = sum(r[1] for r in rows if r[2] is not None)
     total_duck = sum(r[2] for r in rows if r[2] is not None)
     print(f"{'query':32s} {'spark':>7s} {'duckdb':>7s} {'ratio':>6s}")
     for name, s, d, r in sorted(rows, key=lambda x: -(x[3] or 0)):

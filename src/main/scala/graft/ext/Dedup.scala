@@ -96,13 +96,20 @@ object Dedup {
     * full shingle sets, so the work is O(candidates × shingles-per-doc),
     * never O(all sharing pairs). */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.as("a"), col("a.doc_id") === col("ca"))
       .join(sh.as("b"), col("b.doc_id") === col("cb") &&
         col("a.shash") === col("b.shash"))
       .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("inter"))
+    scorePairs(inter, sh, minJ)
+  }
+
+  /** Shared scoring tail: per-pair intersection counts → jaccard vs the
+    * per-doc set sizes, thresholded and totally ordered. `inter` has
+    * columns (ca, cb, inter). */
+  private def scorePairs(inter: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inter
       .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
       .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
@@ -149,15 +156,7 @@ object Dedup {
       .join(interHot, col("ca") === col("ha") && col("cb") === col("hb"), "left")
       .select(col("ca"), col("cb"),
         (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
-      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
-      .select(col("ca").as("a_id"), col("cb").as("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
+    scorePairs(inter, sh, minJ = 0.8)
   }
 
   // no checkpoint here: the self-join's two sides are the same subtree

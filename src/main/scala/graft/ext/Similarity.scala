@@ -183,8 +183,12 @@ object Similarity {
     * `emb` carries (vec_id, embedding); vectors are unit-normalized
     * here so the verify pays one fold per candidate. */
   def nearDupLsh(emb: DataFrame, minCos: Double,
-                 bands: Int = 4, planesPerBand: Int = 3): DataFrame = {
-    val planes = hyperplanes(bands * planesPerBand, 64)
+                 bands: Int = 4, planesPerBand: Int = 3,
+                 /** Embedding width — MUST match the data: a mismatch
+                   * nulls every plane dot, collapsing all vectors into
+                   * bucket 0 (correct results, no pruning). */
+                 dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim)
     val planesCol = typedLit(planes)
     val unit = withUnitVector(emb.select(col("vec_id"), col("embedding")), "embedding")
     def bucket(b: Int): Column = (0 until planesPerBand).map { p =>

@@ -27,19 +27,26 @@ final class Checkpoints(spark: SparkSession, root: String, clock: () => Timestam
     else Option(table.read().agg(max("last_processed_lsn")).first())
       .filterNot(_.isNullAt(0)).map(_.getLong(0))
 
-  /** Advance: append (max ts, max lsn, clock, count) — one aggregation
-    * pass over the (cached) batch, not the reference's repeated
-    * `count()` jobs (anti-pattern noted at :534-538, SURVEY §4). */
-  def advance(batch: DataFrame): Unit = {
-    val agg = batch.agg(
-      max("event_timestamp").as("max_ts"),
-      max("lsn").as("max_lsn"),
-      count(lit(1)).as("n")).first()
-    if (!agg.isNullAt(0)) {
-      val row = Row(agg.getTimestamp(0), agg.get(1), clock(), agg.getLong(2))
-      table.append(spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(row), 1), schema))
-    }
+  /** Advance: append (max ts, max lsn, clock, count). The caller passes
+    * bounds it already aggregated — ONE aggregation pass per run, not
+    * the reference's repeated `count()` jobs (anti-pattern noted at
+    * :534-538, SURVEY §4). */
+  def advance(maxTs: Timestamp, maxLsn: Option[Long], n: Long): Unit = {
+    val row = Row(maxTs, maxLsn.orNull, clock(), n)
+    table.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema))
+  }
+}
+
+object Scd2Job {
+  /** Idempotence tag committed with each applied increment. */
+  def incrementTag(maxTsMillis: Long, maxLsn: Long): String =
+    s"scd2-inc-$maxTsMillis-$maxLsn"
+
+  private val TagRe = "scd2-inc-(-?\\d+)-(-?\\d+)".r
+  def parseTag(meta: String): Option[(Long, Long)] = meta match {
+    case TagRe(ts, lsn) => Some((ts.toLong, lsn.toLong))
+    case _ => None // e.g. the streaming lane's batchId tags
   }
 }
 
@@ -84,13 +91,16 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
 
   /** One incremental run; returns number of bronze rows processed.
     *
-    * Crash-safe: the increment's (max event ts, max lsn) is a
-    * deterministic tag committed INSIDE the table manifest, so a crash
-    * between table commit and checkpoint advance re-reads the same
-    * increment but skips the already-applied merge — the same
-    * idempotence key the streaming lane uses (batchId), closing the
-    * reference's double-apply window (`scd2_spark_processor.py` commits
-    * table then checkpoint with no fence). */
+    * Crash-safe: the applied increment's (max event ts, max lsn) is
+    * committed INSIDE the table manifest. On a rerun after a crash
+    * between table commit and checkpoint advance, rows at or before
+    * the stored ts are fenced out — the same strict-`>` boundary a
+    * successful checkpoint advance would have applied — so the merge
+    * sees only the genuinely-new suffix EVEN IF more CDC data landed
+    * in staging since the crash (a whole-batch equality tag would
+    * re-apply everything in that case). Closes the reference's
+    * double-apply window (`scd2_spark_processor.py` commits table then
+    * checkpoint with no fence). */
   def run(): Long = {
     if (!stagingNonEmpty) return 0L
     val bronze = spark.read.parquet(stagingPath)
@@ -102,13 +112,23 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
         count(lit(1)).as("n")).first()
       val n = bounds.getLong(2)
       if (n == 0) return 0L
-      val tag = "scd2-inc-" +
-        Option(bounds.getTimestamp(0)).map(_.getTime).getOrElse(0L) +
-        "-" + (if (bounds.isNullAt(1)) 0L else bounds.getLong(1))
-      if (!table.latestMeta.contains(tag))
-        Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
+      val maxTs = Option(bounds.getTimestamp(0))
+      val maxLsn = if (bounds.isNullAt(1)) None else Some(bounds.getLong(1))
+      val appliedTs = if (table.exists) table.latestMeta.flatMap(Scd2Job.parseTag).map(_._1)
+                      else None
+      val alreadyApplied =
+        maxTs.isDefined && appliedTs.exists(_ >= maxTs.get.getTime)
+      if (!alreadyApplied) {
+        val fresh = appliedTs match {
+          case Some(ts) => batch.filter(col("event_timestamp") > lit(new Timestamp(ts)))
+          case None => batch
+        }
+        val tag = Scd2Job.incrementTag(
+          maxTs.map(_.getTime).getOrElse(0L), maxLsn.getOrElse(0L))
+        Scd2Processor.applyBatch(table, Scd2Processor.processBatch(fresh),
           meta = Some(tag), exactDedup = exactDedup)
-      checkpoints.advance(batch)
+      }
+      maxTs.foreach(ts => checkpoints.advance(ts, maxLsn, n))
       n
     } finally batch.unpersist()
   }

@@ -254,7 +254,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     * branch commits advance the global version counter. */
   def createBranch(name: String, at: Option[Int] = None): Int = {
     val head = requireHead()
-    require(refHead(MainBranch).isDefined || { setRef(MainBranch, head); true })
+    if (refHead(MainBranch).isEmpty) setRef(MainBranch, head)
     val v = at.getOrElse(head)
     require(fs.exists(manifestPath(v)), s"no committed version $v")
     setRef(name, v)
@@ -318,11 +318,19 @@ final class VersionedTable(spark: SparkSession, root: String,
     ()
   }
 
-  /** Walk `desc`'s parent chain looking for `anc`. */
+  /** Walk `desc`'s parent chain looking for `anc`. A manifest vacuumed
+    * out of the chain makes ancestry UNPROVABLE — surfaced as a clear
+    * failure rather than a FileNotFoundException, and treated as
+    * not-fast-forwardable by [[fastForward]]. */
   private def isAncestor(anc: Int, desc: Int): Boolean = {
     var cur = Option(desc)
-    while (cur.isDefined && cur.get > anc)
-      cur = readManifest(cur.get).parent
+    while (cur.isDefined && cur.get > anc) {
+      val v = cur.get
+      if (!fs.exists(manifestPath(v)))
+        throw new IllegalStateException(
+          s"cannot verify ancestry at $root: version $v was vacuumed — rebase the branch")
+      cur = readManifest(v).parent
+    }
     cur.contains(anc)
   }
 
@@ -404,10 +412,13 @@ final class VersionedTable(spark: SparkSession, root: String,
                      entries: Seq[Entry], parent: Option[Int] = None): Unit = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
-    sb.append("meta\t").append(meta.fold("-")(enc)).append('\n')
+    meta.foreach(m => sb.append("meta\t").append(enc(m)).append('\n'))
     parent.foreach(p => sb.append("parent\t").append(p).append('\n'))
     sb.append("schema\t").append(schema.json).append('\n')
-    entries.foreach(e => sb.append(enc(e.part)).append('\t').append(e.relPath).append('\n'))
+    // entry lines carry their own key so partition VALUES can never
+    // collide with the reserved meta/parent/schema keys
+    entries.foreach(e => sb.append("file\t").append(enc(e.part))
+      .append('\t').append(e.relPath).append('\n'))
     fs.mkdirs(markerDir)
     val tmp = new Path(markerDir, f".tmp-$v%05d-${System.nanoTime()}%d")
     val out = fs.create(tmp, true)
@@ -432,10 +443,14 @@ final class VersionedTable(spark: SparkSession, root: String,
       require(i > 0, s"bad manifest line: $line")
       val (k, rest) = (line.substring(0, i), line.substring(i + 1))
       k match {
-        case "meta"   => if (rest != "-") meta = Some(dec(rest))
+        case "meta"   => meta = Some(dec(rest))
         case "parent" => parent = Some(rest.toInt)
         case "schema" => schema = DataType.fromJson(rest).asInstanceOf[StructType]
-        case part     => entries += Entry(dec(part), rest)
+        case "file" =>
+          val j = rest.indexOf('\t')
+          require(j >= 0, s"bad manifest file line: $line")
+          entries += Entry(dec(rest.substring(0, j)), rest.substring(j + 1))
+        case other => throw new IllegalStateException(s"unknown manifest key: $other")
       }
     }
     require(schema != null, s"manifest for version $v has no schema")
@@ -479,10 +494,10 @@ object VersionedTable {
     name
   }
 
-  private def enc(s: String): String =
-    if (s.isEmpty) "-" else java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String): String =
-    if (s == "-") "" else java.net.URLDecoder.decode(s, "UTF-8")
+  // plain URL-encoding both ways: no sentinel values, so "" and "-"
+  // and every other partition value / meta string round-trip exactly
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Undo the parquet writer's `%XX` partition-path escaping (Spark's
     * `escapePathName`); values we generate are escape-free, but decode

@@ -190,6 +190,36 @@ class Scd2Spec extends SparkSpec {
     assert(afterLsn1.first().getAs[String]("after_price") == "200")
   }
 
+  test("crash between merge commit and checkpoint advance: rerun with NEW data does not double-apply") {
+    import spark.implicits._
+    val staging = tmp() + "/staging"
+    val job = new Scd2Job(spark, staging, tmp() + "/table", tmp() + "/ck", fixedClock)
+    // batch 1 lands and its merge COMMITS, then the job "crashes" before
+    // checkpoints.advance — simulated by applying the merge directly
+    // with the exact tag run() would have written
+    bronzeOf(Seq(op("c", 1, "100", t0, 1))).write.mode("append")
+      .partitionBy("dt").parquet(staging)
+    val batch1 = graft.scd2.Scd2Processor.incremental(
+      spark.read.parquet(staging), None)
+    graft.scd2.Scd2Processor.applyBatch(job.table,
+      graft.scd2.Scd2Processor.processBatch(batch1),
+      meta = Some(graft.scd2.Scd2Job.incrementTag(t0 * 1000, 1)))
+    // MORE data lands before the rerun, so the re-read increment is a
+    // superset of what was applied — the fence must drop the replayed
+    // prefix and merge only the new suffix
+    bronzeOf(Seq(op("u", 1, "200", t0 + 60, 2))).write.mode("append")
+      .partitionBy("dt").parquet(staging)
+    assert(job.run() == 2L) // both rows re-read (checkpoint never advanced)
+    val rows = job.currentState.orderBy("effective_start_ts").collect()
+    assert(rows.length == 2, "replayed batch-1 row must not re-merge")
+    assert(rows(0).getAs[Double]("price") == 100.0 &&
+      rows(0).getAs[Timestamp]("effective_end_ts") == sec(t0 + 60))
+    assert(rows(1).getAs[Double]("price") == 200.0 && rows(1).getAs[Boolean]("is_current"))
+    // and the checkpoint is now caught up: a further rerun is a no-op
+    assert(job.run() == 0L)
+    assert(job.currentState.count() == 2)
+  }
+
   test("time travel: each batch commit is a readable version (D7)") {
     val job = runBatches(Seq(
       Seq(op("c", 1, "100", t0, 1)),
