@@ -135,6 +135,19 @@ final class VersionedTable(spark: SparkSession, root: String,
   /** The `meta` stored with the current head's commit (None if absent). */
   def latestMeta: Option[String] = currentHead.flatMap(v => readManifest(v).meta)
 
+  /** Commit log, newest first: (version, parent, meta, fileCount) — the
+    * Delta `DESCRIBE HISTORY` / Iceberg `.history` analog, including
+    * branch commits (they share the global version history). */
+  def history(): Seq[(Int, Option[Int], Option[String], Int)] =
+    if (!fs.exists(markerDir)) Nil
+    else fs.listStatus(markerDir).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
+      .sorted.reverse.toSeq
+      .map { v =>
+        val m = readManifest(v)
+        (v, m.parent, m.meta, m.entries.size)
+      }
+
   /** Commit `df` as the next FULL snapshot; returns the new version.
     * `clusterBy` sorts within write tasks so parquet row-group min/max
     * stats become tight zone maps (Delta OPTIMIZE ZORDER's cheap

@@ -32,6 +32,11 @@ class BranchSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(9))
     t.deleteBranch("exp")
     assert(t.branches.map(_._1) == Seq("main"))
+    // commit log: newest first, parents reflect the branch topology
+    val h = t.history()
+    assert(h.map(_._1) == Seq(3, 2, 1, 0))
+    assert(h.find(_._1 == 2).get._2.contains(1)) // exp commit's parent
+    assert(h.find(_._1 == 3).get._2.contains(2)) // trunk commit after FF
   }
 
   test("diverged branches are not fast-forwardable (rebase required)") {
