@@ -185,17 +185,107 @@ object TextAnalysis {
       |WHERE i <= max_i - 3
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- train/val/test split
+  // Deterministic, content-stable dataset split: bucket = value of the
+  // first md5 nibble of the doc id (16 buckets) → 14/1/1 ≈
+  // 87.5/6.25/6.25 train/val/test. Hash-based (not random) so the
+  // assignment is reproducible across runs, engines, and shard counts —
+  // the property that keeps eval sets leak-free when the corpus is
+  // re-processed. Pure map, no shuffle.
+  private val trainSplit: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        (expr("locate(substr(md5(cast(doc_id as string)),1,1),'0123456789abcdef')") - 1)
+          .cast("int").as("bucket"))
+      .select($"doc_id", $"bucket",
+        when($"bucket" <= 13, "train").when($"bucket" === 14, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+  private val trainSplitSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(strpos('0123456789abcdef',
+      |      substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 AS INT) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket <= 13 THEN 'train' WHEN bucket = 14 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- chunking
+  // Token-window chunking with overlap (the pretraining/RAG chunker):
+  // windows of 50 tokens at stride 40 (10-token overlap), final window
+  // ragged. One explode per chunk — linear, no shuffle; chunk content
+  // is carried as its md5 so the oracle hash-checks every byte without
+  // shipping the text twice.
+  private val chunking: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("ws"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, int(floor((size(ws)-1)/40))), " +
+          "i -> concat_ws(' ', slice(ws, i*40+1, 50)))")))
+      .select($"doc_id", $"pos".as("chunk_id"),
+        size(split($"col", " ")).as("n_tokens"),
+        md5($"col").as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  private val chunkingSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id,
+      |    array_to_string(ws[CAST(i*40+1 AS BIGINT) : CAST(i*40+50 AS BIGINT)], ' ') AS chunk
+      |  FROM t, unnest(generate_series(0, (len(ws)-1)//40)) u(i))
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(len(string_split(chunk,' ')) AS INT) AS n_tokens,
+      |  md5(chunk) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------------------------------------- vocabulary
+  // Corpus vocabulary with term/document frequencies, rank-ordered —
+  // the df table hot-shingle capping, stopword induction, and BPE
+  // training all start from. One explode + one token-keyed shuffle;
+  // the global rank window is safe because vocabulary cardinality is
+  // sublinear in corpus size (Heaps' law), and at 100 TB the rank can
+  // be dropped or bucketed if the vocab itself becomes large.
+  private val vocabulary: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .withColumn("rank", row_number().over(Window.orderBy($"tf".desc, $"w")))
+      .orderBy($"rank")
+  }
+  private val vocabularySql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |v AS (
+      |  SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |  FROM t GROUP BY w)
+      |SELECT w, tf, df,
+      |  ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rank
+      |FROM v ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_langid" -> langId,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_train_split" -> trainSplit,
+    "text_chunking" -> chunking,
+    "text_vocabulary" -> vocabulary)
 
   val oracles: Map[String, String] = Map(
     "text_winnow_fingerprint" -> winnowSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_train_split" -> trainSplitSql,
+    "text_chunking" -> chunkingSql,
+    "text_vocabulary" -> vocabularySql)
 }

@@ -219,6 +219,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("train split is deterministic, total, and roughly 14/1/1") {
+    val s1 = TextAnalysis.queries("text_train_split")(spark, sfDir).collect()
+    val s2 = TextAnalysis.queries("text_train_split")(spark, sfDir).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq) // reproducible
+    val n = s1.length
+    assert(n == Tables.documents(spark, sfDir).count())    // total: every doc assigned
+    val bySplit = s1.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > n / 2)                        // ~87.5%
+    assert(bySplit("val") + bySplit("test") < n / 4)
+  }
+
+  test("chunking covers every token once per window stride") {
+    import spark.implicits._
+    val chunks = TextAnalysis.queries("text_chunking")(spark, sfDir)
+    val stats = TextAnalysis.queries("text_token_stats")(spark, sfDir)
+      .select($"doc_id", $"n_tokens")
+    val j = chunks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("chunk_tokens"),
+        max($"n_tokens").as("max_chunk"))
+      .join(stats, "doc_id").collect()
+    j.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val nChunks = r.getAs[Long]("n_chunks")
+      assert(nChunks == (n - 1) / 40 + 1, s"chunk count for n=$n")
+      assert(r.getAs[Int]("max_chunk") <= 50)
+      // window i spans tokens [40i+1, min(40i+50, n)]
+      val expected = (0L until nChunks).map(i => math.min(50L, n - 40 * i)).sum
+      assert(r.getAs[Long]("chunk_tokens") == expected, s"coverage for n=$n")
+    }
+  }
+
+  test("vocabulary tf sums to the corpus token count, df bounded by docs") {
+    import spark.implicits._
+    val v = TextAnalysis.queries("text_vocabulary")(spark, sfDir)
+    val totalTokens = TextAnalysis.queries("text_token_stats")(spark, sfDir)
+      .agg(sum($"n_tokens")).first().getLong(0)
+    assert(v.agg(sum($"tf")).first().getLong(0) == totalTokens)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(v.filter($"df" > nDocs).count() == 0)
+    // rank is a permutation 1..|V|
+    assert(v.agg(max($"rank")).first().getInt(0) == v.count())
+  }
+
   test("text fingerprint: bow_fp collides for same token set, content_fp doesn't lie") {
     val fp = TextAnalysis.queries("text_fingerprint")(spark, sfDir)
     assert(fp.select("content_fp").distinct().count() ==
