@@ -73,6 +73,13 @@ class PlanSpec extends SparkSpec {
       logical.contains("(df <="), s"df cap must gate candidate generation:\n$logical")
   }
 
+  test("train split and chunking are pure maps (no hash shuffle)") {
+    // only the presentation ORDER BY may exchange (range partitioning);
+    // the operators themselves must not shuffle at any corpus size
+    assert(!plan("text_train_split").contains("hashpartitioning"))
+    assert(!plan("text_chunking").contains("hashpartitioning"))
+  }
+
   test("minhash signature agg is hash-based (numeric mins, no SortAggregate)") {
     // 8 LONG mins pack into HashAggregate's fixed-width buffer; STRING
     // mins would force the whole shingle set through SortAggregate —
