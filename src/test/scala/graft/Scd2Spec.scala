@@ -326,13 +326,21 @@ class Scd2Spec extends SparkSpec {
     checkInvariants(seed = 1234, nKeys = 8, nOps = 60, batchSize = 12) // many batches
   }
 
-  private def checkInvariants(seed: Long, nKeys: Int, nOps: Int, batchSize: Int): Unit = {
+  test("random stream invariants hold in exactDedup mode too") {
+    // the no-op fence drops rows but must never break SCD2 structure
+    // or the final current state
+    checkInvariants(seed = 42, nKeys = 12, nOps = 120, batchSize = 40, exactDedup = true)
+    checkInvariants(seed = 7, nKeys = 3, nOps = 90, batchSize = 17, exactDedup = true)
+  }
+
+  private def checkInvariants(seed: Long, nKeys: Int, nOps: Int, batchSize: Int,
+                              exactDedup: Boolean = false): Unit = {
     // ≥1s steps: no same-second batch-boundary ties, so the strict-`>`
     // checkpoint drops nothing and the replay interpreter below is exact
     // (tie behavior itself is pinned by the dedicated golden test).
     val ops = randomStream(seed, nKeys, nOps, minStepMs = 1001, maxStepMs = 2500)
     val batches = ops.grouped(math.max(batchSize, 12)).toSeq
-    val job = runBatches(batches)
+    val job = runBatches(batches, exactDedup = exactDedup)
     val state = job.currentState.cache()
     try {
       // at most one current row per key
