@@ -190,11 +190,16 @@ object Scd2Processor {
       if (init.isEmpty) None
       else Some(table.overwrite(shaped(init), clusterBy, meta))
     } else {
-      val touched = table.partitionValues(scd2Batch)
-      val target = table.readPartitions(touched).drop("effective_start_date")
-      val batch = if (exactDedup) dropCrossBatchNoOps(target, scd2Batch) else scd2Batch
-      Some(table.replacePartitions(shaped(merge(target, batch)), touched,
-        clusterBy, meta))
+      // the transformed batch feeds bucket discovery AND the merge —
+      // persist across the two jobs so the window/union lineage runs once
+      val cached = scd2Batch.persist()
+      try {
+        val touched = table.partitionValues(cached)
+        val target = table.readPartitions(touched).drop("effective_start_date")
+        val batch = if (exactDedup) dropCrossBatchNoOps(target, cached) else cached
+        Some(table.replacePartitions(shaped(merge(target, batch)), touched,
+          clusterBy, meta))
+      } finally cached.unpersist()
     }
   }
 

@@ -121,28 +121,32 @@ object Streams {
     private def upsertInner(batch: DataFrame): Unit = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("last_updated_ts").desc, col("lsn").desc)
+      // arg-max feeds bucket discovery AND the merge — one computation
       val latest = batch.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      if (!table.exists) { table.overwrite(latest, clusterBy = Seq("id")); return }
-      val touched = table.partitionValues(latest)
-      val tgt = table.readPartitions(touched)
-      val cols = tgt.columns
-      val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
-      val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
-      // source wins on (last_updated_ts, lsn) >= — the same total order
-      // as the in-batch window and statefulCurrentState, so a stale
-      // same-millisecond replay can never regress the newer lsn.
-      val sourceWins =
-        col("s.last_updated_ts") > col("t.last_updated_ts") ||
-          (col("s.last_updated_ts") === col("t.last_updated_ts") &&
-            col("s.lsn") >= col("t.lsn"))
-      val merged = t.join(s, Seq("k"), "full_outer")
-        .select(when(col("s").isNull, col("t"))
-          .when(col("t").isNull, col("s"))
-          .when(sourceWins, col("s"))
-          .otherwise(col("t")).as("r"))
-        .select(cols.map(c => col(s"r.$c")): _*)
-      table.replacePartitions(merged, touched, clusterBy = Seq("id"))
+        .filter(col("rn") === 1).drop("rn").persist()
+      try {
+        if (!table.exists) { table.overwrite(latest, clusterBy = Seq("id")); return }
+        val touched = table.partitionValues(latest)
+        val tgt = table.readPartitions(touched)
+        val cols = tgt.columns
+        val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
+        val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
+        // source wins on (last_updated_ts, lsn) >= — the same total order
+        // as the in-batch window and statefulCurrentState, so a stale
+        // same-millisecond replay can never regress the newer lsn.
+        val sourceWins =
+          col("s.last_updated_ts") > col("t.last_updated_ts") ||
+            (col("s.last_updated_ts") === col("t.last_updated_ts") &&
+              col("s.lsn") >= col("t.lsn"))
+        val merged = t.join(s, Seq("k"), "full_outer")
+          .select(when(col("s").isNull, col("t"))
+            .when(col("t").isNull, col("s"))
+            .when(sourceWins, col("s"))
+            .otherwise(col("t")).as("r"))
+          .select(cols.map(c => col(s"r.$c")): _*)
+        table.replacePartitions(merged, touched, clusterBy = Seq("id"))
+        ()
+      } finally latest.unpersist()
     }
 
     def read(): DataFrame = table.read()
