@@ -217,15 +217,19 @@ object TextAnalysis {
   // ----------------------------------------------------------- chunking
   // Token-window chunking with overlap (the pretraining/RAG chunker):
   // windows of 50 tokens at stride 40 (10-token overlap), final window
-  // ragged. One explode per chunk — linear, no shuffle; chunk content
-  // is carried as its md5 so the oracle hash-checks every byte without
+  // ragged. The window count is 1 for n ≤ 50, else ceil((n-50)/40)+1 —
+  // emission STOPS once a window has reached the document end, so the
+  // tail never produces a chunk fully contained in its predecessor
+  // (which would duplicate training data / bloat a retrieval index).
+  // One explode per chunk — linear, no shuffle; chunk content is
+  // carried as its md5 so the oracle hash-checks every byte without
   // shipping the text twice.
   private val chunking: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", toks($"text").as("ws"))
       .select($"doc_id", posexplode(expr(
-        "transform(sequence(0, int(floor((size(ws)-1)/40))), " +
+        "transform(sequence(0, int(ceil(double(greatest(size(ws) - 50, 0)) / 40))), " +
           "i -> concat_ws(' ', slice(ws, i*40+1, 50)))")))
       .select($"doc_id", $"pos".as("chunk_id"),
         size(split($"col", " ")).as("n_tokens"),
@@ -237,7 +241,8 @@ object TextAnalysis {
       |c AS (
       |  SELECT doc_id, i AS chunk_id,
       |    array_to_string(ws[CAST(i*40+1 AS BIGINT) : CAST(i*40+50 AS BIGINT)], ' ') AS chunk
-      |  FROM t, unnest(generate_series(0, (len(ws)-1)//40)) u(i))
+      |  FROM t, unnest(generate_series(0,
+      |    CAST(ceil(greatest(len(ws) - 50, 0) / 40.0) AS BIGINT))) u(i))
       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
       |  CAST(len(string_split(chunk,' ')) AS INT) AS n_tokens,
       |  md5(chunk) AS chunk_hash

@@ -184,23 +184,24 @@ object Scd2Processor {
     def shaped(df: DataFrame): DataFrame =
       df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
     val clusterBy = Seq("id", "effective_start_ts") // tight zone maps for key lookups
-    if (!table.exists) {
-      val init = scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
-        .drop("operation_type")
-      if (init.isEmpty) None
-      else Some(table.overwrite(shaped(init), clusterBy, meta))
-    } else {
-      // the transformed batch feeds bucket discovery AND the merge —
-      // persist across the two jobs so the window/union lineage runs once
-      val cached = scd2Batch.persist()
-      try {
+    // the transformed batch always feeds TWO jobs (emptiness probe +
+    // bootstrap write, or bucket discovery + merge write) — persist so
+    // the window/union lineage runs once per micro-batch
+    val cached = scd2Batch.persist()
+    try {
+      if (!table.exists) {
+        val init = cached.filter(col("operation_type") === "INSERT_UPDATE")
+          .drop("operation_type")
+        if (init.isEmpty) None
+        else Some(table.overwrite(shaped(init), clusterBy, meta))
+      } else {
         val touched = table.partitionValues(cached)
         val target = table.readPartitions(touched).drop("effective_start_date")
         val batch = if (exactDedup) dropCrossBatchNoOps(target, cached) else cached
         Some(table.replacePartitions(shaped(merge(target, batch)), touched,
           clusterBy, meta))
-      } finally cached.unpersist()
-    }
+      }
+    } finally { cached.unpersist(); () }
   }
 
   /** `exactDedup` extension (SURVEY §7.4.4): the reference never
@@ -218,6 +219,12 @@ object Scd2Processor {
     val curHashes = target
       .filter(col("is_current") && !col("is_deleted"))
       .select(col("id").as("ch_id"), col("record_hash").as("cur_hash"))
+    // Keys with an in-batch DELETE are exempt from the fence: their
+    // first incoming version is a REINSERT after the delete, not a
+    // no-op — even when the reinserted attributes hash equal to the
+    // stored row (dropping it would leave the key deleted with the
+    // reinsert lost).
+    val delIds = deletes.select(col("id").as("del_id")).distinct()
     // chain order within an id: start ts, then closed-before-current,
     // then end ts — reconstructs the lead-window order (ties are
     // second-precision events; the dedicated golden pins tie behavior)
@@ -225,9 +232,10 @@ object Scd2Processor {
       .orderBy(col("effective_start_ts"), col("is_current"), col("effective_end_ts"))
     newRecs.withColumn("_rn", row_number().over(w))
       .join(curHashes, col("id") === col("ch_id"), "left")
+      .join(delIds, col("id") === col("del_id"), "left")
       .filter(!(col("_rn") === 1 && col("cur_hash").isNotNull &&
-        col("cur_hash") === col("record_hash")))
-      .drop("_rn", "ch_id", "cur_hash")
+        col("cur_hash") === col("record_hash") && col("del_id").isNull))
+      .drop("_rn", "ch_id", "cur_hash", "del_id")
       .unionByName(deletes)
   }
 

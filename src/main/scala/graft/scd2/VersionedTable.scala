@@ -83,13 +83,15 @@ final class VersionedTable(spark: SparkSession, root: String,
   private def dataDir(v: Int) = new Path(qRoot, f"v=$v%05d")
   private def manifestPath(v: Int) = new Path(markerDir, f"$v%05d")
 
+  /** All committed version numbers, ascending (tmp/hidden files skipped). */
+  private def committedVersions(): Seq[Int] =
+    if (!fs.exists(markerDir)) Nil
+    else fs.listStatus(markerDir).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted.toSeq
+
   def latestVersion: Option[Int] = {
-    if (!fs.exists(markerDir)) None
-    else {
-      val vs = fs.listStatus(markerDir).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    val vs = committedVersions()
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   def exists: Boolean = latestVersion.isDefined
@@ -139,14 +141,10 @@ final class VersionedTable(spark: SparkSession, root: String,
     * Delta `DESCRIBE HISTORY` / Iceberg `.history` analog, including
     * branch commits (they share the global version history). */
   def history(): Seq[(Int, Option[Int], Option[String], Int)] =
-    if (!fs.exists(markerDir)) Nil
-    else fs.listStatus(markerDir).map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
-      .sorted.reverse.toSeq
-      .map { v =>
-        val m = readManifest(v)
-        (v, m.parent, m.meta, m.entries.size)
-      }
+    committedVersions().reverse.map { v =>
+      val m = readManifest(v)
+      (v, m.parent, m.meta, m.entries.size)
+    }
 
   /** Commit `df` as the next FULL snapshot; returns the new version.
     * `clusterBy` sorts within write tasks so parquet row-group min/max
@@ -231,8 +229,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     latestVersion match {
       case None => Nil
       case Some(latest) =>
-        val all = fs.listStatus(markerDir).map(_.getPath.getName)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt).sorted
+        val all = committedVersions()
         val pinned = branches.map(_._2).toSet // ref heads must survive
         val expire = all.filter(v => v <= latest - keepVersions && !pinned(v))
         val kept = all.filterNot(expire.contains)

@@ -243,11 +243,16 @@ class ExtSpec extends SparkSpec {
     j.foreach { r =>
       val n = r.getAs[Long]("n_tokens")
       val nChunks = r.getAs[Long]("n_chunks")
-      assert(nChunks == (n - 1) / 40 + 1, s"chunk count for n=$n")
+      // stop once a window reaches the end: no chunk may be a strict
+      // suffix of its predecessor (zero new tokens = duplicated data)
+      val expectedChunks = if (n <= 50) 1L else (n - 50 + 39) / 40 + 1
+      assert(nChunks == expectedChunks, s"chunk count for n=$n")
       assert(r.getAs[Int]("max_chunk") <= 50)
       // window i spans tokens [40i+1, min(40i+50, n)]
       val expected = (0L until nChunks).map(i => math.min(50L, n - 40 * i)).sum
       assert(r.getAs[Long]("chunk_tokens") == expected, s"coverage for n=$n")
+      // the final window always contributes new tokens
+      if (nChunks > 1) assert(n > 40 * (nChunks - 1) + 10, s"redundant tail for n=$n")
     }
   }
 

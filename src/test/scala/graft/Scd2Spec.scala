@@ -141,6 +141,22 @@ class Scd2Spec extends SparkSpec {
     assert(rows(1).getAs[Boolean]("is_current"))
   }
 
+  test("exactDedup mode: same-batch delete-then-reinsert of identical attributes is NOT fenced") {
+    // the reinsert's hash equals the stored current row's, but an
+    // in-batch delete precedes it — dropping it would lose the reinsert
+    // and leave the key deleted with no current row
+    val job = runBatches(Seq(
+      Seq(op("c", 1, "100", t0, 1)),
+      Seq(op("d", 1, "100", t0 + 10, 2), op("c", 1, "100", t0 + 20, 3))),
+      exactDedup = true)
+    val rows = job.currentState.orderBy("effective_start_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Boolean]("is_deleted") && !rows(0).getAs[Boolean]("is_current"))
+    assert(rows(0).getAs[Timestamp]("effective_end_ts") == sec(t0 + 10))
+    assert(rows(1).getAs[Boolean]("is_current") && !rows(1).getAs[Boolean]("is_deleted"))
+    assert(rows(1).getAs[Double]("price") == 100.0)
+  }
+
   test("exactDedup mode: deletes and real updates are untouched by the dedup join") {
     val job = runBatches(Seq(
       Seq(op("c", 1, "100", t0, 1), op("c", 2, "50", t0, 2)),
