@@ -58,7 +58,14 @@ object Bench {
     val failures = results.count(_._2._2 < 0)
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+    println(json)
+    // The stdout line is the driver contract, but captured tails have
+    // truncated it before (round 2's per-query map was cut mid-stream):
+    // persist the full artifact to a file alongside stdout.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (failures == results.size && results.nonEmpty) sys.exit(1)
   }

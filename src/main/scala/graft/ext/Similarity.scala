@@ -313,13 +313,71 @@ object Similarity {
 
   private val knnLshQ: Q = (s, d) => knnHyperplaneLsh(s, d, k = 5, nPlanes = 4)
 
+  // Driver-gated entry for the PRUNING near-dup path (the production
+  // shape for corpora with real near-dups). minCos 0.4 sits in this
+  // corpus's observable pair range, so the banded join yields rows at
+  // every SF; the oracle replicates the SAME md5-seeded hyperplanes and
+  // band definitions as SQL literals, so engine and oracle agree
+  // row-for-row REGARDLESS of the LSH recall at this threshold — the
+  // gate checks the algorithm, not the (threshold-dependent) recall.
+  private val NearDupMinCos = 0.4
+  private val NearDupBands = 4
+  private val NearDupPlanesPerBand = 3
+  private val nearDupLshQ: Q = (s, d) =>
+    nearDupLsh(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      minCos = NearDupMinCos, bands = NearDupBands,
+      planesPerBand = NearDupPlanesPerBand)
+
+  /** The banded-LSH oracle: bucket signs come from `list_dot_product`
+    * against the hyperplane constants inlined as SQL array literals
+    * (shortest-round-trip doubles — DuckDB parses back the exact same
+    * IEEE values Spark folds with). The sign of `plane · v` is
+    * normalization-invariant, so the oracle buckets the RAW vectors.
+    * A pair is a candidate iff SOME band's bucket agrees (one OR-join —
+    * each pair appears at most once, mirroring first-matching-band
+    * emission); candidates are scored exactly and thresholded. */
+  private val nearDupLshSql: String = {
+    val planes = hyperplanes(NearDupBands * NearDupPlanesPerBand, 64)
+    def planeLit(p: Seq[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    val buckets = (0 until NearDupBands).map { b =>
+      (0 until NearDupPlanesPerBand).map { p =>
+        val pl = planeLit(planes(b * NearDupPlanesPerBand + p))
+        s"(CASE WHEN list_dot_product(v, $pl) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS bk$b")
+    }.mkString(",\n    ")
+    val bandAgree = (0 until NearDupBands).map(b => s"a.bk$b = b.bk$b").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, v,
+       |    $buckets
+       |  FROM e)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+       |FROM bkt a JOIN bkt b
+       |  ON a.vec_id < b.vec_id AND ($bandAgree)
+       |WHERE round(list_cosine_similarity(a.v, b.v), 5) >= $NearDupMinCos
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // Driver-gated entry for the map-side top-k reduction — identical
+  // result contract to sim_knn_bruteforce (same rounding + tiebreak),
+  // so it shares that oracle; what differs is the PLAN: O(k×partitions)
+  // shuffled instead of O(corpus) per query.
+  private val knnTopKAggQ: Q = (s, d) => knnBruteTopKAgg(s, d, k = 5)
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
+    "sim_neardup_lsh" -> nearDupLshQ,
+    "sim_knn_topk_agg" -> knnTopKAggQ,
     "sim_knn_ivf" -> knnIvfQ,
     "sim_knn_lsh" -> knnLshQ)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,
-    "sim_neardup_top_pairs" -> nearDupTopPairsSql)
+    "sim_neardup_top_pairs" -> nearDupTopPairsSql,
+    "sim_neardup_lsh" -> nearDupLshSql,
+    "sim_knn_topk_agg" -> knnBruteSql)
 }

@@ -251,18 +251,29 @@ object TextAnalysis {
   // --------------------------------------------------------- vocabulary
   // Corpus vocabulary with term/document frequencies, rank-ordered —
   // the df table hot-shingle capping, stopword induction, and BPE
-  // training all start from. One explode + one token-keyed shuffle;
-  // the global rank window is safe because vocabulary cardinality is
-  // sublinear in corpus size (Heaps' law), and at 100 TB the rank can
-  // be dropped or bucketed if the vocab itself becomes large.
+  // training all start from. One explode + one token-keyed shuffle.
+  // The global rank is NOT a bare `Window.orderBy` (that plan funnels
+  // the whole vocabulary through ONE reducer): the (tf desc, w) total
+  // order is range-partitioned — a parallel sort — and zipWithIndex
+  // assigns contiguous global indices in partition order (one extra
+  // O(#partitions) pass for the offsets). Distributed and exact for
+  // any vocabulary size; the order is total (w is unique) so the rank
+  // is deterministic regardless of sampled range boundaries.
   private val vocabulary: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val v = Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
       .groupBy($"w")
       .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
-      .withColumn("rank", row_number().over(Window.orderBy($"tf".desc, $"w")))
-      .orderBy($"rank")
+    val sorted = v.repartitionByRange($"tf".desc, $"w")
+      .sortWithinPartitions($"tf".desc, $"w")
+    val schema = sorted.schema.add(StructField("rank", IntegerType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    s.createDataFrame(ranked, schema).orderBy($"rank")
   }
   private val vocabularySql =
     """WITH t AS (

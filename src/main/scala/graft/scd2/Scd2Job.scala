@@ -10,7 +10,8 @@ import java.sql.Timestamp
   * The strict-`>` read boundary lives in [[Scd2Processor.incremental]].
   */
 final class Checkpoints(spark: SparkSession, root: String, clock: () => Timestamp) {
-  private val table = new VersionedTable(spark, root)
+  private val table = new VersionedTable(spark, root,
+    Partitioning.Unpartitioned, () => clock().getTime)
 
   val schema: StructType = StructType(Seq(
     StructField("last_processed_timestamp", TimestampType),
@@ -63,14 +64,21 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
                     /** SURVEY §7.4.4 extension: consult stored current
                       * hashes so re-sent identical updates open no
                       * version. Off = reference parity. */
-                    exactDedup: Boolean = false) {
+                    exactDedup: Boolean = false,
+                    /** Bucket count bounds merge write amplification: a
+                      * micro-batch rewrites ~(touched keys / buckets) of
+                      * the table, so size to ~(table size / buckets) ≈
+                      * a comfortable rewrite unit. 16 suits the test SFs;
+                      * hundreds-to-thousands at 100 TB. */
+                    buckets: Int = 16) {
 
   // Bucketed by id (Iceberg bucket(N, id) transform analog) so each
   // incremental merge reads+rewrites only the buckets its keys hash to;
   // the reference's days(effective_start_ts) hidden transform survives
   // as the explicit `effective_start_date` column, zone-map-clustered
   // inside each bucket (SURVEY D2).
-  val table = new VersionedTable(spark, tableRoot, Partitioning.BucketBy("id", 16))
+  val table = new VersionedTable(spark, tableRoot,
+    Partitioning.BucketBy("id", buckets), () => clock().getTime)
   val checkpoints = new Checkpoints(spark, checkpointRoot, clock)
 
   /** Honest short-circuit (SURVEY §3.3): true only when the staging

@@ -73,7 +73,12 @@ object Partitioning {
   * reference's single batch job.
   */
 final class VersionedTable(spark: SparkSession, root: String,
-                           partitioning: Partitioning = Partitioning.Unpartitioned) {
+                           partitioning: Partitioning = Partitioning.Unpartitioned,
+                           /** Commit wall clock (epoch millis), recorded
+                             * in each manifest for timestamp time travel
+                             * ([[readAsOf]]) — injectable so specs pin
+                             * deterministic histories. */
+                           clock: () => Long = () => System.currentTimeMillis()) {
   import VersionedTable._
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,8 +103,20 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   /** The version trunk reads and writes resolve against: the `main`
     * ref once branching is in use, else the newest committed version
-    * (ref-less tables behave exactly as before branches existed). */
-  def currentHead: Option[Int] = refHead(MainBranch).orElse(latestVersion)
+    * (ref-less tables behave exactly as before branches existed).
+    *
+    * Fail-safe: when OTHER refs exist but `main` cannot be resolved
+    * (ref file AND its backup lost — outside any crash window [[setRef]]
+    * can produce), this throws instead of falling back to
+    * [[latestVersion]], which may be a BRANCH commit — trunk reads must
+    * never silently serve branch data. */
+  def currentHead: Option[Int] = refHead(MainBranch).orElse {
+    if (branches.exists(_._1 != MainBranch))
+      throw new IllegalStateException(
+        s"main ref lost at $root while branches exist — latestVersion may be " +
+          "a branch commit; restore _refs/main before reading trunk")
+    latestVersion
+  }
 
   def read(): DataFrame = readVersion(
     currentHead.getOrElse(throw new IllegalStateException(s"empty table at $root")))
@@ -109,6 +126,35 @@ final class VersionedTable(spark: SparkSession, root: String,
     val m = readManifest(v)
     dfFor(m, m.entries)
   }
+
+  /** Timestamp time travel (the reference's `FOR TIMESTAMP AS OF`,
+    * README.MD:308-313): resolve the newest commit on the CURRENT
+    * head's ancestry whose recorded wall clock is ≤ `tsMillis` —
+    * ancestry, not the global version order, so branch commits
+    * interleaved into the shared version counter can never answer a
+    * trunk time-travel query. Throws if the table is younger than the
+    * asked-for instant (matching Delta/Iceberg), or if the horizon was
+    * vacuumed away before reaching `tsMillis`. */
+  def versionAsOf(tsMillis: Long): Int = {
+    var cur = Option(requireHead())
+    while (cur.isDefined) {
+      val v = cur.get
+      if (!fs.exists(manifestPath(v)))
+        throw new IllegalStateException(
+          s"cannot resolve timestamp ${tsMillis} at $root: version $v was vacuumed")
+      val m = readManifest(v)
+      if (m.ts.getOrElse(0L) <= tsMillis) return v
+      cur = m.parent
+    }
+    throw new IllegalStateException(
+      s"no commit at or before timestamp $tsMillis at $root")
+  }
+
+  def readAsOf(tsMillis: Long): DataFrame = readVersion(versionAsOf(tsMillis))
+
+  /** Wall clock recorded with commit `v` (None only for manifests
+    * written before timestamps existed). */
+  def commitTimestamp(v: Int): Option[Long] = readManifest(v).ts
 
   /** Manifest-pruned read of the CURRENT version: only data files of
     * the given partition values are scanned — driver-side pruning, no
@@ -137,13 +183,15 @@ final class VersionedTable(spark: SparkSession, root: String,
   /** The `meta` stored with the current head's commit (None if absent). */
   def latestMeta: Option[String] = currentHead.flatMap(v => readManifest(v).meta)
 
-  /** Commit log, newest first: (version, parent, meta, fileCount) — the
-    * Delta `DESCRIBE HISTORY` / Iceberg `.history` analog, including
-    * branch commits (they share the global version history). */
-  def history(): Seq[(Int, Option[Int], Option[String], Int)] =
+  /** Commit log, newest first: (version, parent, meta, fileCount,
+    * commitTimeMillis) — the Delta `DESCRIBE HISTORY` / Iceberg
+    * `.history` analog, including branch commits (they share the global
+    * version history). The commit time answers "which version was live
+    * at 10:00" (see [[versionAsOf]]). */
+  def history(): Seq[(Int, Option[Int], Option[String], Int, Option[Long])] =
     committedVersions().reverse.map { v =>
       val m = readManifest(v)
-      (v, m.parent, m.meta, m.entries.size)
+      (v, m.parent, m.meta, m.entries.size, m.ts)
     }
 
   /** Commit `df` as the next FULL snapshot; returns the new version.
@@ -271,14 +319,23 @@ final class VersionedTable(spark: SparkSession, root: String,
     v
   }
 
-  def refHead(name: String): Option[Int] = {
-    val p = new Path(refsDir, validRef(name))
+  /** Resolve a ref, falling back to its `.bak` twin: [[setRef]] has an
+    * unavoidable delete→rename window on filesystems without atomic
+    * rename-over (local FS), but it refreshes the backup BEFORE opening
+    * that window, so a crash inside it resolves to the last durable
+    * head — never to [[latestVersion]]'s possibly-branch commit. */
+  def refHead(name: String): Option[Int] =
+    readRefFile(new Path(refsDir, validRef(name)))
+      .orElse(readRefFile(bakPath(name)))
+
+  private def readRefFile(p: Path): Option[Int] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), UTF_8).trim.toInt) finally in.close()
     }
-  }
+
+  private def bakPath(name: String) = new Path(refsDir, s".bak-${validRef(name)}")
 
   /** All refs (branch name → head version), `main` included. */
   def branches: Seq[(String, Int)] =
@@ -325,6 +382,7 @@ final class VersionedTable(spark: SparkSession, root: String,
   def deleteBranch(name: String): Unit = {
     require(name != MainBranch, "cannot delete main")
     fs.delete(new Path(refsDir, validRef(name)), false)
+    fs.delete(bakPath(name), false)
     ()
   }
 
@@ -344,15 +402,26 @@ final class VersionedTable(spark: SparkSession, root: String,
     cur.contains(anc)
   }
 
-  private def setRef(name: String, v: Int): Unit = {
-    fs.mkdirs(refsDir)
-    val tmp = new Path(refsDir, s".tmp-${validRef(name)}-${System.nanoTime()}")
+  private def writeSmallFile(target: Path, content: String): Unit = {
+    val tmp = new Path(refsDir, s".tmp-${target.getName}-${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
-    val target = new Path(refsDir, validRef(name))
+    try out.write(content.getBytes(UTF_8)) finally out.close()
     fs.delete(target, false) // rename-over differs per FS; delete first (single writer)
     if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"concurrent ref update for $name at $root")
+      throw new IllegalStateException(s"concurrent update of $target at $root")
+  }
+
+  private def setRef(name: String, v: Int): Unit = {
+    fs.mkdirs(refsDir)
+    // Refresh the backup with the CURRENT durable head before opening
+    // the delete→rename window on the ref itself: a crash anywhere
+    // inside that window leaves refHead resolving the backup — the
+    // previous head — so trunk loses only the in-flight advance (whose
+    // writer crashed anyway) and can never be silently re-pointed at a
+    // branch commit via the latestVersion fallback.
+    readRefFile(new Path(refsDir, validRef(name)))
+      .foreach(cur => writeSmallFile(bakPath(name), cur.toString))
+    writeSmallFile(new Path(refsDir, validRef(name)), v.toString)
   }
 
   private def advanceMain(v: Int): Unit =
@@ -422,6 +491,7 @@ final class VersionedTable(spark: SparkSession, root: String,
                      entries: Seq[Entry], parent: Option[Int] = None): Unit = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
+    sb.append("ts\t").append(clock()).append('\n')
     meta.foreach(m => sb.append("meta\t").append(enc(m)).append('\n'))
     parent.foreach(p => sb.append("parent\t").append(p).append('\n'))
     sb.append("schema\t").append(schema.json).append('\n')
@@ -446,6 +516,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     require(lines.nonEmpty && lines.head == Header, s"bad manifest for version $v at $root")
     var meta: Option[String] = None
     var parent: Option[Int] = None
+    var ts: Option[Long] = None
     var schema: StructType = null
     val entries = Seq.newBuilder[Entry]
     lines.tail.foreach { line =>
@@ -455,6 +526,7 @@ final class VersionedTable(spark: SparkSession, root: String,
       k match {
         case "meta"   => meta = Some(dec(rest))
         case "parent" => parent = Some(rest.toInt)
+        case "ts"     => ts = Some(rest.toLong)
         case "schema" => schema = DataType.fromJson(rest).asInstanceOf[StructType]
         case "file" =>
           val j = rest.indexOf('\t')
@@ -464,7 +536,7 @@ final class VersionedTable(spark: SparkSession, root: String,
       }
     }
     require(schema != null, s"manifest for version $v has no schema")
-    Manifest(meta, schema, entries.result(), parent)
+    Manifest(meta, schema, entries.result(), parent, ts)
   }
 
   /** Loud schema-drift check for non-merge appends (same AnalysisException
@@ -495,7 +567,8 @@ object VersionedTable {
   private final case class Entry(part: String, relPath: String)
   private final case class Manifest(meta: Option[String], schema: StructType,
                                     entries: Seq[Entry],
-                                    parent: Option[Int] = None)
+                                    parent: Option[Int] = None,
+                                    ts: Option[Long] = None)
 
   private def validRef(name: String): String = {
     require(name.nonEmpty && name.forall(c =>

@@ -225,10 +225,14 @@ object Streams {
                   * run [[VersionedTable.vacuum]] as a maintenance job.
                   * Replay safety holds either way: the idempotence tag
                   * lives in the RETAINED newest manifest. */
-                retainVersions: Option[Int] = None): StreamingQuery = {
+                retainVersions: Option[Int] = None,
+                /** Bucket count bounds per-micro-batch write
+                  * amplification (see [[graft.scd2.Scd2Job]]) — raise to
+                  * hundreds-to-thousands at production scale. */
+                buckets: Int = 16): StreamingQuery = {
     import graft.scd2.Scd2Processor
     val table = new VersionedTable(raw.sparkSession, tableRoot,
-      graft.scd2.Partitioning.BucketBy("id", 16))
+      graft.scd2.Partitioning.BucketBy("id", buckets))
     val writer = Envelope.toBronze(Envelope.flatten(raw)).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -132,10 +132,66 @@ object Retention {
   /** Rows with `timeColumn` (epoch millis) older than `now - days` are
     * dropped; rows with a NULL time column are KEPT (a null-rejecting
     * predicate would silently purge them — retention only removes rows
-    * proven expired). Returns the new version. */
+    * proven expired). Returns the new version.
+    *
+    * This is the O(table) full-rewrite fallback for tables whose
+    * partitioning carries no time information (e.g. id-bucketed
+    * current-state tables, where expired rows are scattered across
+    * every bucket). Date-partitioned tables — the layout Pinot's
+    * retention manager assumes and the reference's history lanes use —
+    * should call [[enforceDatePartitioned]] instead: O(expired
+    * metadata), not O(data). */
   def enforce(table: VersionedTable, spec: RetentionSpec, nowMs: Long): Int = {
     val cutoff = nowMs - spec.days.toLong * 86400000L
     table.overwrite(table.read()
       .filter(col(spec.timeColumn).isNull || col(spec.timeColumn) >= cutoff))
+  }
+
+  /** Metadata-only retention for tables partitioned by the UTC DAY of
+    * `spec.timeColumn` (`Partitioning.ByColumn` over an ISO-date column
+    * derived as `to_date(from_unixtime(timeColumn/1000))` — the
+    * reference's `days()` hidden transform made explicit):
+    *
+    *  - partitions whose whole day lies before the cutoff are DROPPED
+    *    from the manifest — zero data I/O, their files vanish at the
+    *    next [[VersionedTable.vacuum]];
+    *  - the single partition containing the cutoff instant is rewritten
+    *    row-filtered (skipped entirely when the cutoff is midnight);
+    *  - live-day and null-date partitions carry forward by reference
+    *    (NULL time column means "not proven expired" — kept, matching
+    *    [[enforce]]).
+    *
+    * Cost is O(expired partitions) manifest metadata plus at most one
+    * day of data rewrite — the shape that holds at 100 TB. Returns the
+    * new version (the current head when nothing expired). */
+  def enforceDatePartitioned(table: VersionedTable, spec: RetentionSpec,
+                             nowMs: Long): Int = {
+    val cutoff = nowMs - spec.days.toLong * 86400000L
+    val cutoffDay = java.time.Instant.ofEpochMilli(cutoff)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val head = table.currentHead.getOrElse(
+      throw new IllegalStateException("retention on an empty table"))
+    def dayOf(p: String): Option[java.time.LocalDate] =
+      try Some(java.time.LocalDate.parse(p))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    val parts = table.manifestFiles(head).map(_._1).distinct
+    val expired = parts.filter(p => dayOf(p).exists(_.isBefore(cutoffDay)))
+    // midnight cutoff ⇒ every row of the cutoff-day partition survives
+    val boundary =
+      if (cutoff % 86400000L == 0L) Nil
+      else parts.filter(p => dayOf(p).contains(cutoffDay))
+    if (expired.isEmpty && boundary.isEmpty) return head
+    val keepRow = col(spec.timeColumn).isNull || col(spec.timeColumn) >= cutoff
+    if (expired.isEmpty) {
+      // nothing to drop wholesale: rewrite the boundary day only if it
+      // actually holds expired rows — repeated enforcement at the same
+      // cutoff must not churn new versions (one-partition probe, cheap)
+      val dead = table.readPartitions(boundary).filter(!keepRow).limit(1).count()
+      if (dead == 0L) return head
+    }
+    val survivors =
+      if (boundary.isEmpty) table.read().filter(lit(false)) // schema-only, optimizes to an empty relation
+      else table.readPartitions(boundary).filter(keepRow)
+    table.replacePartitions(survivors, expired ++ boundary)
   }
 }

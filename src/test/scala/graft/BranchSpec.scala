@@ -64,4 +64,29 @@ class BranchSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(4))
     intercept[Exception] { t.readVersion(1).count() } // unpinned horizon gone
   }
+
+  test("lost main ref fails safe: trunk never resolves to a branch commit") {
+    val root = Files.createTempDirectory("refloss").toString
+    val t = new VersionedTable(spark, root)
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))     // v0
+    t.createBranch("exp")                                    // main → 0
+    t.overwrite(Seq((3, "c"), (4, "d"), (5, "e")).toDF("id", "v")) // v1; bak-main = 0
+    t.commitToBranch("exp", (1 to 9).toDF("id").withColumn("v", $"id".cast("string"))) // v2, branch ahead of main
+    val refs = new java.io.File(root, "_refs")
+    // simulate a crash inside setRef's delete→rename window: the main
+    // ref file is gone, but the backup written BEFORE the window survives
+    assert(new java.io.File(refs, "main").delete())
+    assert(t.refHead("main").contains(0), "backup must resolve the pre-advance head")
+    assert(t.read().count() == 2, "trunk must read main's last durable head, not v2")
+    // recovery writes go through setRef and re-materialize the ref file
+    t.overwrite(Seq((6, "f")).toDF("id", "v"))               // v3
+    assert(new java.io.File(refs, "main").exists())
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(6))
+    // total ref loss (ref AND backup) with a branch present: reads
+    // throw rather than silently serving the branch's v2
+    assert(new java.io.File(refs, "main").delete())
+    assert(new java.io.File(refs, ".bak-main").delete())
+    val e = intercept[IllegalStateException] { t.read() }
+    assert(e.getMessage.contains("main ref lost"))
+  }
 }

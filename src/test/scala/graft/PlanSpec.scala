@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan("text_chunking").contains("hashpartitioning"))
   }
 
+  test("vocabulary rank has no single-reducer global window") {
+    // the rank is range-partition sort + zipWithIndex; a bare
+    // Window.orderBy would funnel the whole vocabulary through ONE task
+    val df = ext.TextAnalysis.queries("text_vocabulary")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global-rank window crept back:\n$p")
+  }
+
+  test("knn top-k aggregator pre-reduces map-side (partial aggregation)") {
+    val df = Similarity.queries("sim_knn_topk_agg")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // typed Aggregator plans as two-phase agg: partial_ before the
+    // exchange is what caps shuffle volume at O(k × partitions)
+    assert(p.contains("partial_topk") || p.contains("partial_TopK"),
+      s"map-side partial reduction missing:\n$p")
+  }
+
   test("minhash signature agg is hash-based (numeric mins, no SortAggregate)") {
     // 8 LONG mins pack into HashAggregate's fixed-width buffer; STRING
     // mins would force the whole shingle set through SortAggregate —

@@ -330,6 +330,74 @@ class Scd2Spec extends SparkSpec {
     assert(job.currentState.count() == 11)
   }
 
+  test("buckets=256: a 1-key merge rewrites 1/256 of the table's files") {
+    val staging = tmp() + "/staging"
+    val job = new Scd2Job(spark, staging, tmp() + "/table", tmp() + "/ck",
+      fixedClock, buckets = 256)
+    bronzeOf((1 to 2000).map(k => op("c", k, "100", t0 + k, k.toLong)))
+      .write.mode("append").partitionBy("dt").parquet(staging)
+    job.run()
+    bronzeOf(Seq(op("u", 7, "999", t0 + 5000, 9000)))
+      .write.mode("append").partitionBy("dt").parquet(staging)
+    job.run()
+    val t = job.table
+    val v0 = t.manifestFiles(0).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val v1 = t.manifestFiles(1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // 2000 keys over 256 buckets: essentially all buckets populated —
+    // write amplification of the 1-key merge is 1 bucket / ~256
+    assert(v0.size >= 240, s"expected ~256 populated buckets, got ${v0.size}")
+    val rewritten = v1.filter(_._2.exists(_.startsWith("v=00001"))).keySet
+    assert(rewritten.size == 1, s"1-key merge must rewrite exactly 1 bucket, got $rewritten")
+    (v0.keySet - rewritten.head).foreach { part =>
+      assert(v1(part) == v0(part), s"bucket $part must carry forward untouched")
+    }
+    assert(job.currentState.count() == 2001) // 2000 keys + 1 closed version
+  }
+
+  test("timestamp time travel resolves trunk ancestry, not branch commits (D7)") {
+    import spark.implicits._
+    var now = 1000L
+    val t = new graft.scd2.VersionedTable(spark, tmp() + "/t",
+      graft.scd2.Partitioning.Unpartitioned, () => now)
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))            // v0 @1000
+    now = 2000
+    t.append(Seq((2, "b")).toDF("id", "v"))               // v1 @2000
+    now = 3000
+    t.createBranch("exp")
+    t.commitToBranch("exp", Seq((9, "x")).toDF("id", "v")) // v2 @3000, branch only
+    now = 4000
+    t.overwrite(Seq((3, "c")).toDF("id", "v"))            // v3 @4000, trunk
+    assert(t.versionAsOf(1000) == 0)
+    assert(t.versionAsOf(1999) == 0)
+    assert(t.readAsOf(2500).count() == 2)                 // v1
+    // 3500 falls between the BRANCH commit (v2 @3000) and trunk v3:
+    // ancestry walk from trunk head must skip v2 and land on v1
+    assert(t.versionAsOf(3500) == 1)
+    assert(t.versionAsOf(4000) == 3)
+    intercept[IllegalStateException] { t.versionAsOf(999) }
+    // history exposes the commit clock
+    assert(t.history().map(v => (v._1, v._5)).toMap ==
+      Map(0 -> Some(1000L), 1 -> Some(2000L), 2 -> Some(3000L), 3 -> Some(4000L)))
+  }
+
+  test("timestamp time travel across partition-scoped batch commits") {
+    val staging = tmp() + "/staging"
+    var nowSec = 1900000000L
+    val clock = () => Timestamp.from(Instant.ofEpochSecond(nowSec))
+    val job = new Scd2Job(spark, staging, tmp() + "/table", tmp() + "/ck", clock)
+    bronzeOf((1 to 5).map(k => op("c", k, "100", t0 + k, k.toLong)))
+      .write.mode("append").partitionBy("dt").parquet(staging)
+    job.run()                                             // v0 @1900000000
+    nowSec += 1000
+    bronzeOf(Seq(op("u", 1, "999", t0 + 100, 50)))
+      .write.mode("append").partitionBy("dt").parquet(staging)
+    job.run()                                             // v1 (partition-scoped)
+    val t = job.table
+    assert(t.versionAsOf(1900000000500L) == 0)            // mid-window → v0
+    assert(t.readAsOf(1900000000000L).count() == 5)
+    assert(t.readAsOf(1900001000000L).count() == 6)       // after v1: 5 keys + 1 closed row
+  }
+
   test("random stream invariants over multiple batch splits") {
     checkInvariants(seed = 42, nKeys = 12, nOps = 120, batchSize = 40)
   }

@@ -139,4 +139,45 @@ class TableSpecSpec extends SparkSpec {
     assert(t.read().count() == 2)
     intercept[Exception] { t.readVersion(0).count() }
   }
+
+  test("date-partitioned retention: expired partitions drop metadata-only (D10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("retdate").toString
+    val t = new VersionedTable(spark, root, graft.scd2.Partitioning.ByColumn("d"))
+    val day = 86400000L
+    val now = 1800000000000L + day / 2          // midday → a real boundary day
+    val cutoff = now - 30 * day
+    val rows = Seq(
+      (1, Some(cutoff - 35 * day)),             // fully expired day
+      (2, Some(cutoff - 2 * day)),              // fully expired day
+      (3, Some(cutoff - 3600000L)),             // boundary day, expired half
+      (4, Some(cutoff + 3600000L)),             // boundary day, surviving half
+      (5, Some(now)),                           // live day
+      (6, None))                                // NULL ts → kept, null partition
+    t.overwrite(rows.toDF("id", "ts")
+      .withColumn("d", to_date(from_unixtime($"ts" / 1000))))
+    val v0 = t.manifestFiles(0).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val v1num = Retention.enforceDatePartitioned(t, RetentionSpec("ts", 30), now)
+    assert(v1num == 1)
+    assert(t.read().select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5, 6))
+    val v1 = t.manifestFiles(1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val boundaryDay = java.time.Instant.ofEpochMilli(cutoff)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    // expired-day partitions vanished from the manifest
+    assert(!v1.keySet.exists(p => p != boundaryDay && p < boundaryDay &&
+      !p.startsWith("__")), s"expired partitions must be dropped: ${v1.keySet}")
+    // only the boundary partition's files were rewritten; every other
+    // surviving partition carries its v0 files BY REFERENCE
+    (v1.keySet - boundaryDay).foreach { part =>
+      assert(v1(part) == v0(part), s"partition $part must carry forward untouched")
+      assert(!v1(part).exists(_.startsWith("v=00001")))
+    }
+    assert(v1(boundaryDay).forall(_.startsWith("v=00001")))
+    // nothing left to expire → no-op returns the current head
+    assert(Retention.enforceDatePartitioned(t, RetentionSpec("ts", 30), now) == 1)
+    // vacuum reclaims the dropped partitions' data files
+    t.vacuum(keepVersions = 1)
+    assert(t.read().count() == 3)
+  }
 }
