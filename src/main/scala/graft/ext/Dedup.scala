@@ -39,9 +39,23 @@ object Dedup {
     * the oracle gate would catch it deterministically. The signature
     * path still hashes the STRING (md5) — the sketch definition is
     * shared with the oracle verbatim. */
+  /** Pre-fan-out spread: the explode+hash stages below multiply their
+    * input ~100× (shingles per doc) and are CPU-bound on md5, so their
+    * parallelism must be at least cluster width. A small/freshly-
+    * filtered input often arrives in fewer partitions than cores (one
+    * 3 MB parquet file = ONE partition — the whole corpus hashes on one
+    * thread); repartitioning the pre-explode rows costs an input-sized
+    * shuffle and buys cluster-wide fan-out compute. No-op when the
+    * input is already at least cluster-wide, so at 100 TB (thousands of
+    * scan partitions) no shuffle is added. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    spread(Tables.documents(s, d).select($"doc_id", $"text"))
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", explode(expr(
@@ -95,21 +109,29 @@ object Dedup {
     * `(ca, cb)` — intersections join the candidate list back to the
     * full shingle sets, so the work is O(candidates × shingles-per-doc),
     * never O(all sharing pairs). */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+  /** Candidate-driven exact verify: true Jaccard only for `(ca, cb)`
+    * pairs. `sz` is a precomputed per-doc set-size table (doc_id, n) —
+    * the minhash path derives it inside the signature agg (same
+    * shuffle, zero extra pass over the shingles). */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, sz: DataFrame,
+                            minJ: Double): DataFrame = {
     val inter = cands
       .join(sh.as("a"), col("a.doc_id") === col("ca"))
       .join(sh.as("b"), col("b.doc_id") === col("cb") &&
         col("a.shash") === col("b.shash"))
       .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("inter"))
-    scorePairs(inter, sh, minJ)
+    scorePairs(inter, sz, minJ)
   }
 
+  /** Per-doc shingle-set sizes (doc_id, n). */
+  private def sizesOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
   /** Shared scoring tail: per-pair intersection counts → jaccard vs the
-    * per-doc set sizes, thresholded and totally ordered. `inter` has
-    * columns (ca, cb, inter). */
-  private def scorePairs(inter: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    * per-doc set sizes `sz` (doc_id, n), thresholded and totally
+    * ordered. `inter` has columns (ca, cb, inter). */
+  private def scorePairs(inter: DataFrame, sz: DataFrame, minJ: Double): DataFrame = {
     inter
       .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
       .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
@@ -139,9 +161,16 @@ object Dedup {
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.filter(col("df") <= maxBlockDf).select("shash"), "shash")
-    val hot = sh.join(dfreq.filter(col("df") > maxBlockDf).select("shash"), "shash")
+    // Document frequency via a count window partitioned by the 8-byte
+    // shingle hash — NOT a separate groupBy+join-back: one exchange on
+    // shash serves the df computation, the rare/hot split, and both
+    // sides of the blocking self-join below (identical partitioning and
+    // sort → planned as one reused exchange; the agg+join formulation
+    // paid a second full shuffle of the shingle table).
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("shash"))
+    val sh2 = sh.withColumn("df", count(lit(1)).over(wdf))
+    val rare = sh2.filter(col("df") <= maxBlockDf)
+    val hot = sh2.filter(col("df") > maxBlockDf)
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
@@ -156,7 +185,7 @@ object Dedup {
       .join(interHot, col("ca") === col("ha") && col("cb") === col("hb"), "left")
       .select(col("ca"), col("cb"),
         (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
-    scorePairs(inter, sh, minJ = 0.8)
+    scorePairs(inter, sizesOf(sh), minJ = 0.8)
   }
 
   // no checkpoint here: the self-join's two sides are the same subtree
@@ -166,8 +195,13 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
 
+  // checkpoint only (doc_id, shash): unlike the minhash path nothing
+  // downstream hashes the shingle STRING, and carrying ~80 B of text
+  // per row through the materialization + window exchange was the
+  // single heaviest stage of this query at sf0.1
   private val ngramJaccardBlocked: Q = (s, d) =>
-    jaccardPairsBlocked(shingleSets(s, d).localCheckpoint(), maxBlockDf = 1000)
+    jaccardPairsBlocked(shingleSets(s, d).select("doc_id", "shash").localCheckpoint(),
+      maxBlockDf = 1000)
 
   /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
   def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
@@ -210,41 +244,44 @@ object Dedup {
       val src = if (i < 4) "m0" else "m1"
       min(conv(substring(col(src), (i % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"h$i")
     }
-    withH.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+    // set size rides along in the SAME aggregate — the verify tail's
+    // jaccard denominator then needs no second pass over the shingles
+    withH.groupBy(col("doc_id")).agg(sigs.head, sigs.tail :+ count(lit(1)).as("n"): _*)
   }
 
   private val minhashLsh: Q = (s, d) => {
-    // sh is re-derived per use (cheap explode); only the tiny per-doc
-    // signature table is materialized — via localCheckpoint, not
-    // cache(): the RDD is reclaimed by the ContextCleaner once the
-    // query's plan is unreachable, so repeated Bench/Verify runs in one
-    // JVM don't accumulate pinned cache partitions.
-    // sh itself is checkpointed too: the signature agg, sizes, and both
-    // verify sides otherwise re-derive the explode+distinct four times.
+    // sh is materialized once via localCheckpoint (not cache(): the RDD
+    // is reclaimed by the ContextCleaner once the plan is unreachable)
+    // because the signature agg, sizes, and both verify sides would
+    // otherwise re-derive the explode four times. sig needs no
+    // checkpoint: the banded self-join's two sides are the identical
+    // subtree, so its exchanges (and the partial agg below them) plan
+    // as ReusedExchange.
     val sh = shingleSets(s, d).localCheckpoint()
     val sig = minhashSignatures(sh).localCheckpoint()
-    // Band j matches on the (h_{2j}, h_{2j+1}) pair directly — a
-    // two-column equi-join, no concatenated band-key materialization.
-    // First-matching-band emission: pair (a,b) comes only from the
-    // lowest band index where they collide → each candidate appears
-    // exactly once, no distinct() over the candidate blowup (the
-    // shuffle-killer at corpus scale).
-    def bandEq(j: Int) =
-      col(s"a.h${2 * j}") === col(s"b.h${2 * j}") &&
-        col(s"a.h${2 * j + 1}") === col(s"b.h${2 * j + 1}")
-    def bandNe(j: Int) =
-      col(s"a.h${2 * j}") =!= col(s"b.h${2 * j}") ||
-        col(s"a.h${2 * j + 1}") =!= col(s"b.h${2 * j + 1}")
-    val cands = (0 until BANDS).map { j =>
-      val noEarlier = (0 until j).map(bandNe).foldLeft(lit(true))(_ && _)
-      sig.as("a").join(sig.as("b"),
-          bandEq(j) && col("a.doc_id") < col("b.doc_id") && noEarlier)
-        .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
-    }.reduce(_.unionByName(_))
+    // ONE banded self-join, not one join per band: each signature
+    // explodes into (band, key0, key1) rows and candidates meet in a
+    // single equi-join on the band triple — same shuffled volume
+    // (BANDS rows/doc either way), but one exchange instead of four
+    // AQE materialization barriers (measured ≈0.5 s of near-idle
+    // ~150 ms stage floors at sf0.1). Pairs agreeing on several bands
+    // are collapsed by a distinct over the CANDIDATE set — bounded by
+    // the near-dup population, not the corpus.
+    val banded = sig.select(col("doc_id"), explode(expr(
+      (0 until BANDS).map(j =>
+        s"named_struct('j', $j, 'k1', h${2 * j}, 'k2', h${2 * j + 1})")
+        .mkString("array(", ",", ")"))).as("b"))
+      .select(col("doc_id"), col("b.j").as("j"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.j") === col("b.j") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+      .distinct()
     // Candidate-driven verify: intersections are computed ONLY for LSH
     // candidates (vs the all-sharing-pairs join of the exact pass) —
     // this is the part that keeps the plan linear-ish at corpus scale.
-    verifyJaccard(cands, sh, 0.8)
+    verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")), 0.8)
   }
   private val minhashLshSql = {
     val sigCols = (0 until K).map { i =>
@@ -300,7 +337,7 @@ object Dedup {
     * per-digit strpos formulation. */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
+    val tok = spread(Tables.documents(s, d).select($"doc_id", $"text"))
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .withColumn("h", md5($"w"))
     val withV = tok
