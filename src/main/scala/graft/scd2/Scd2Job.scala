@@ -70,7 +70,12 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
                       * the table, so size to ~(table size / buckets) ≈
                       * a comfortable rewrite unit. 16 suits the test SFs;
                       * hundreds-to-thousands at 100 TB. */
-                    buckets: Int = 16) {
+                    buckets: Int = 16,
+                    /** Merge-on-read commits (see
+                      * [[Scd2Processor.applyBatch]]) — the reference
+                      * table's own write mode
+                      * (`scd2_spark_processor.py:155`). */
+                    mor: Boolean = false) {
 
   // Bucketed by id (Iceberg bucket(N, id) transform analog) so each
   // incremental merge reads+rewrites only the buckets its keys hash to;
@@ -134,7 +139,7 @@ final class Scd2Job(spark: SparkSession, stagingPath: String, tableRoot: String,
         val tag = Scd2Job.incrementTag(
           maxTs.map(_.getTime).getOrElse(0L), maxLsn.getOrElse(0L))
         Scd2Processor.applyBatch(table, Scd2Processor.processBatch(fresh),
-          meta = Some(tag), exactDedup = exactDedup)
+          meta = Some(tag), exactDedup = exactDedup, mor = mor)
       }
       maxTs.foreach(ts => checkpoints.advance(ts, maxLsn, n))
       n

@@ -155,6 +155,45 @@ object Scd2Processor {
     updated.unionByName(newRecords.drop("operation_type"))
   }
 
+  /** Merge-on-read twin of [[merge]]: instead of returning the full new
+    * contents of the touched buckets, returns only
+    * `(changedRows, deleteKeys)` — the stored CURRENT rows a delete or
+    * close actually rewrites, plus their equality-delete keys — for a
+    * [[VersionedTable.mergeDeltas]] commit ([[merge]]'s when-branches
+    * mirrored; golden-pinned equal to the copy-on-write result).
+    *
+    * Delete key = (id, effective_start_ts, is_current): start ts alone
+    * is ambiguous when a delete + same-second re-insert later closes
+    * the re-inserted row — its delete key would also suppress the
+    * HISTORY row sharing (id, start). Closes only ever target
+    * is_current=true rows, so keying the flag exempts history rows. */
+  def mergeChanged(target: DataFrame, scd2Batch: DataFrame): (DataFrame, DataFrame) = {
+    val deletes = scd2Batch.filter(col("operation_type") === "DELETE")
+    val newRecords = scd2Batch.filter(col("operation_type") === "INSERT_UPDATE")
+    val deleteSrc = deletes.groupBy(col("id").as("d_id"))
+      .agg(max("effective_start_ts").as("delete_ts"))
+    val closeSrc = newRecords.filter(col("is_current"))
+      .select(col("id").as("c_id"), col("effective_start_ts").as("close_ts"))
+      .distinct()
+    val affected = target
+      .join(deleteSrc, col("id") === col("d_id"), "left")
+      .join(closeSrc, col("id") === col("c_id"), "left")
+      .filter(col("is_current") &&
+        (col("delete_ts").isNotNull || col("close_ts").isNotNull))
+    val changed = affected.select(
+      col("id"), col("product_name"), col("category"), col("price"),
+      col("quantity"), col("sale_date"), col("created_at"),
+      col("effective_start_ts"),
+      when(col("delete_ts").isNotNull, col("delete_ts"))
+        .otherwise(col("close_ts")).as("effective_end_ts"),
+      lit(false).as("is_current"),
+      col("record_hash"),
+      when(col("delete_ts").isNotNull, lit(true))
+        .otherwise(col("is_deleted")).as("is_deleted"))
+    val delKeys = affected.select(col("id"), col("effective_start_ts"), col("is_current"))
+    (changed, delKeys)
+  }
+
   /** Apply one SCD2 batch to a versioned table — shared by the batch
     * job ([[Scd2Job.run]]) and the streaming lane
     * (`Streams.scd2Query`), so the two cannot drift.
@@ -180,7 +219,13 @@ object Scd2Processor {
     * nothing was committed. */
   def applyBatch(table: VersionedTable, scd2Batch: DataFrame,
                  meta: Option[String] = None,
-                 exactDedup: Boolean = false): Option[Int] = {
+                 exactDedup: Boolean = false,
+                 /** Merge-on-read: commit only the changed rows plus
+                   * equality-delete keys ([[mergeChanged]]) instead of
+                   * rewriting the touched buckets — O(batch) writes per
+                   * micro-batch at any bucket size. Compact
+                   * periodically to fold the deltas. */
+                 mor: Boolean = false): Option[Int] = {
     def shaped(df: DataFrame): DataFrame =
       df.withColumn("effective_start_date", to_date(col("effective_start_ts")))
     val clusterBy = Seq("id", "effective_start_ts") // tight zone maps for key lookups
@@ -198,8 +243,15 @@ object Scd2Processor {
         val touched = table.partitionValues(cached)
         val target = table.readPartitions(touched).drop("effective_start_date")
         val batch = if (exactDedup) dropCrossBatchNoOps(target, cached) else cached
-        Some(table.replacePartitions(shaped(merge(target, batch)), touched,
-          clusterBy, meta))
+        if (mor) {
+          val (changed, delKeys) = mergeChanged(target, batch)
+          val newRows = changed.unionByName(
+            batch.filter(col("operation_type") === "INSERT_UPDATE")
+              .drop("operation_type"))
+          Some(table.mergeDeltas(shaped(newRows), delKeys, touched, clusterBy, meta))
+        } else
+          Some(table.replacePartitions(shaped(merge(target, batch)), touched,
+            clusterBy, meta))
       }
     } finally { cached.unpersist(); () }
   }
@@ -227,7 +279,10 @@ object Scd2Processor {
     val delIds = deletes.select(col("id").as("del_id")).distinct()
     // chain order within an id: start ts, then closed-before-current,
     // then end ts — reconstructs the lead-window order (ties are
-    // second-precision events; the dedicated golden pins tie behavior)
+    // second-precision events; the dedicated golden pins tie behavior).
+    // This window re-partitions by id over the already-id-partitioned
+    // batch — AQE reuses the exchange in practice; if it surfaces in a
+    // profile, it is this second window, not the merge joins.
     val w = Window.partitionBy(col("id"))
       .orderBy(col("effective_start_ts"), col("is_current"), col("effective_end_ts"))
     newRecs.withColumn("_rn", row_number().over(w))

@@ -180,6 +180,11 @@ final class VersionedTable(spark: SparkSession, root: String,
   def manifestFiles(v: Int): Seq[(String, String)] =
     readManifest(v).entries.map(e => (e.part, e.relPath))
 
+  /** Full manifest detail: (partition, relPath, kind, seq) where kind
+    * is "d" (data) or "x" (equality-delete) — the MOR specs' view. */
+  def manifestDetail(v: Int): Seq[(String, String, String, Int)] =
+    readManifest(v).entries.map(e => (e.part, e.relPath, e.kind, e.seq))
+
   /** The `meta` stored with the current head's commit (None if absent). */
   def latestMeta: Option[String] = currentHead.flatMap(v => readManifest(v).meta)
 
@@ -255,6 +260,37 @@ final class VersionedTable(spark: SparkSession, root: String,
         advanceMain(v)
         v
     }
+
+  /** Merge-on-read commit (Iceberg equality-deletes, minimized — the
+    * reference table's `write.merge.mode=merge-on-read`,
+    * `scd2_spark_processor.py:155`): appends `newRows` as data files
+    * and `deleteKeys` as equality-delete files to the `touched`
+    * partitions, while EVERY prior file — including the touched
+    * partitions' own — carries forward by reference. At read time a
+    * delete key suppresses matching rows in data files of strictly
+    * OLDER commits (same-commit inserts are never self-suppressed), so
+    * an UPDATE is (delete key, new row) and write amplification is
+    * O(batch) regardless of partition size — the frequent-micro-batch
+    * path where [[replacePartitions]]' bucket rewrite is too coarse.
+    *
+    * `deleteKeys` carries ONLY the equality-key columns; the partition
+    * source column must be among them so deletes land beside the rows
+    * they suppress. Read cost grows with accumulated deltas — run
+    * [[compact]] (any full rewrite) to fold them away. */
+  def mergeDeltas(newRows: DataFrame, deleteKeys: DataFrame, touched: Seq[String],
+                  clusterBy: Seq[String] = Nil, meta: Option[String] = None): Int = {
+    val head = requireHead()
+    val prev = readManifest(head)
+    val v = nextVersion()
+    val entries = writeData(newRows, v, clusterBy) ++ writeDeleteFiles(deleteKeys, v)
+    val keep = touched.toSet
+    val stray = entries.map(_.part).distinct.filterNot(keep)
+    require(stray.isEmpty,
+      s"mergeDeltas: rows landed outside the touched partitions: $stray")
+    commit(v, meta, prev.schema, prev.entries ++ entries, parent = Some(head))
+    advanceMain(v)
+    v
+  }
 
   /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analog):
     * rewrite the current snapshot into few files — the maintenance job
@@ -434,23 +470,60 @@ final class VersionedTable(spark: SparkSession, root: String,
   private def requireHead(): Int =
     currentHead.getOrElse(throw new IllegalStateException(s"empty table at $root"))
 
-  private def dfFor(m: Manifest, entries: Seq[Entry]): DataFrame =
-    if (entries.isEmpty)
+  /** Resolve a snapshot's rows. Pure-data snapshots read as one scan
+    * (the plan COW tables always got). With equality-delete entries
+    * present (merge-on-read commits), data files are grouped by their
+    * commit seq and deletes by theirs, and ONE anti-join applies every
+    * delete to strictly-older data:
+    * `data ⟕̸ deletes ON keys ∧ delete.seq > data.seq`.
+    * The join keys are the delete files' own columns — the key schema
+    * travels with the data, no manifest metadata needed. Read cost
+    * grows with the number of distinct delta commits; [[compact]]
+    * folds deltas back into pure data files. */
+  private def dfFor(m: Manifest, entries: Seq[Entry]): DataFrame = {
+    val (dels, datas) = entries.partition(_.kind == "x")
+    def pathsOf(es: Seq[Entry]) = es.map(e => new Path(qRoot, e.relPath).toString)
+    if (datas.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      spark.read.schema(m.schema)
-        .parquet(entries.map(e => new Path(qRoot, e.relPath).toString): _*)
+    else if (dels.isEmpty)
+      spark.read.schema(m.schema).parquet(pathsOf(datas): _*)
+    else {
+      val dataDf = datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
+        spark.read.schema(m.schema).parquet(pathsOf(es): _*)
+          .withColumn(SeqCol, lit(s))
+      }.reduce(_.unionByName(_))
+      val delDf = dels.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
+        spark.read.parquet(pathsOf(es): _*).withColumn(DelSeqCol, lit(s))
+      }.reduce(_.unionByName(_))
+      val keyCols = delDf.columns.filterNot(_ == DelSeqCol)
+      val cond = keyCols.map(c => dataDf(c) <=> delDf(c)).reduce(_ && _) &&
+        delDf(DelSeqCol) > dataDf(SeqCol)
+      dataDf.join(delDf, cond, "left_anti").drop(SeqCol)
+    }
+  }
 
   /** Write `df`'s rows under the version dir; return manifest entries.
     * Partitioned: a derived `__gp` column drives `partitionBy` routing
     * (and is NOT stored — the source column stays in the files). */
   private def writeData(df: DataFrame, v: Int, clusterBy: Seq[String]): Seq[Entry] = {
     val dir = dataDir(v)
+    writeEntries(df, dir, clusterBy, kind = "d", seq = v)
+  }
+
+  /** Equality-delete files of a [[mergeDeltas]] commit: the KEY columns
+    * only, routed to the same partitions as the rows they suppress
+    * (the partition source column must be among the key columns). They
+    * live under `v=<v>/__del/` so data listings never pick them up. */
+  private def writeDeleteFiles(keys: DataFrame, v: Int): Seq[Entry] =
+    writeEntries(keys, new Path(dataDir(v), DelDir), Nil, kind = "x", seq = v)
+
+  private def writeEntries(df: DataFrame, dir: Path, clusterBy: Seq[String],
+                           kind: String, seq: Int): Seq[Entry] = {
     partitioning.expr match {
       case None =>
         val out = if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
         out.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-        listFilesRec(dir).map(f => Entry("", relativize(f)))
+        listFilesRec(dir).map(f => Entry("", relativize(f), kind, seq))
       case Some(e) =>
         val keyed = df.withColumn(Gp, e).repartition(col(Gp))
         val sorted = if (clusterBy.nonEmpty) keyed.sortWithinPartitions(clusterBy.map(col): _*) else keyed
@@ -460,7 +533,7 @@ final class VersionedTable(spark: SparkSession, root: String,
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(Gp + "="))
           .toSeq.flatMap { d =>
             val part = unescapePathValue(d.getPath.getName.stripPrefix(Gp + "="))
-            listFilesRec(d.getPath).map(f => Entry(part, relativize(f)))
+            listFilesRec(d.getPath).map(f => Entry(part, relativize(f), kind, seq))
           }
     }
   }
@@ -497,8 +570,8 @@ final class VersionedTable(spark: SparkSession, root: String,
     sb.append("schema\t").append(schema.json).append('\n')
     // entry lines carry their own key so partition VALUES can never
     // collide with the reserved meta/parent/schema keys
-    entries.foreach(e => sb.append("file\t").append(enc(e.part))
-      .append('\t').append(e.relPath).append('\n'))
+    entries.foreach(e => sb.append(e.kind).append('\t').append(e.seq)
+      .append('\t').append(enc(e.part)).append('\t').append(e.relPath).append('\n'))
     fs.mkdirs(markerDir)
     val tmp = new Path(markerDir, f".tmp-$v%05d-${System.nanoTime()}%d")
     val out = fs.create(tmp, true)
@@ -528,10 +601,14 @@ final class VersionedTable(spark: SparkSession, root: String,
         case "parent" => parent = Some(rest.toInt)
         case "ts"     => ts = Some(rest.toLong)
         case "schema" => schema = DataType.fromJson(rest).asInstanceOf[StructType]
-        case "file" =>
+        case "file" => // legacy data line (pre-MOR): no seq column
           val j = rest.indexOf('\t')
           require(j >= 0, s"bad manifest file line: $line")
           entries += Entry(dec(rest.substring(0, j)), rest.substring(j + 1))
+        case "d" | "x" =>
+          val parts = rest.split("\t", 3)
+          require(parts.length == 3, s"bad manifest entry line: $line")
+          entries += Entry(dec(parts(1)), parts(2), k, parts(0).toInt)
         case other => throw new IllegalStateException(s"unknown manifest key: $other")
       }
     }
@@ -559,12 +636,20 @@ final class VersionedTable(spark: SparkSession, root: String,
 object VersionedTable {
   private val Header = "graft-manifest-v1"
   private val Gp = "__gp"
+  private val DelDir = "__del"
+  private val SeqCol = "__gseq"
+  private val DelSeqCol = "__gdseq"
   val MainBranch = "main"
   /** Partition value standing for NULL — matches the directory name the
     * parquet writer uses, so listed dirs and computed values agree. */
   val NullPart = "__HIVE_DEFAULT_PARTITION__"
 
-  private final case class Entry(part: String, relPath: String)
+  /** One manifest line. `kind` is "d" (data) or "x" (equality-delete);
+    * `seq` is the version that ADDED the file — an equality-delete
+    * suppresses matching rows only in data files with a STRICTLY
+    * smaller seq (Iceberg sequence-number semantics, minimized). */
+  private final case class Entry(part: String, relPath: String,
+                                 kind: String = "d", seq: Int = 0)
   private final case class Manifest(meta: Option[String], schema: StructType,
                                     entries: Seq[Entry],
                                     parent: Option[Int] = None,

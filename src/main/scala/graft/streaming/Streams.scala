@@ -110,7 +110,16 @@ object Streams {
                                   * after each upsert — bounds storage
                                   * under continuous micro-batches
                                   * (None = unbounded, vacuum manually). */
-                                retainVersions: Option[Int] = None) {
+                                retainVersions: Option[Int] = None,
+                                /** Merge-on-read: each upsert commits
+                                  * O(batch) delta files (winner rows +
+                                  * id delete keys) instead of rewriting
+                                  * the touched buckets — the
+                                  * frequent-micro-batch path; fold the
+                                  * deltas periodically with
+                                  * [[VersionedTable.compact]]. Same
+                                  * (ts, lsn) monotone contract. */
+                                mor: Boolean = false) {
     val table = new VersionedTable(spark, root, Partitioning.BucketBy("id", buckets))
 
     def upsert(batch: DataFrame): Unit = {
@@ -129,6 +138,24 @@ object Streams {
         val touched = table.partitionValues(latest)
         val tgt = table.readPartitions(touched)
         val cols = tgt.columns
+        if (mor) {
+          // winner = batch row that beats the stored row (or has none);
+          // commit = winner rows + delete keys for the stored losers —
+          // never a bucket rewrite. Same >= total order as below.
+          val stored = tgt.select(col("id").as("t_id"),
+            col("last_updated_ts").as("t_ts"), col("lsn").as("t_lsn"))
+          val winners = latest.join(stored, col("id") === col("t_id"), "left")
+            .filter(col("t_id").isNull ||
+              col("last_updated_ts") > col("t_ts") ||
+              (col("last_updated_ts") === col("t_ts") && col("lsn") >= col("t_lsn")))
+            .persist()
+          try {
+            val delKeys = winners.filter(col("t_id").isNotNull).select(col("id"))
+            table.mergeDeltas(winners.select(cols.map(col): _*), delKeys,
+              touched, clusterBy = Seq("id"))
+          } finally winners.unpersist()
+          return
+        }
         val s = latest.select(col("id").as("k"), struct(cols.map(col): _*).as("s"))
         val t = tgt.select(col("id").as("k"), struct(cols.map(col): _*).as("t"))
         // source wins on (last_updated_ts, lsn) >= — the same total order
@@ -229,7 +256,11 @@ object Streams {
                 /** Bucket count bounds per-micro-batch write
                   * amplification (see [[graft.scd2.Scd2Job]]) — raise to
                   * hundreds-to-thousands at production scale. */
-                buckets: Int = 16): StreamingQuery = {
+                buckets: Int = 16,
+                /** Merge-on-read commits: O(batch) delta files per
+                  * micro-batch instead of bucket rewrites (see
+                  * [[graft.scd2.Scd2Processor.applyBatch]]). */
+                mor: Boolean = false): StreamingQuery = {
     import graft.scd2.Scd2Processor
     val table = new VersionedTable(raw.sparkSession, tableRoot,
       graft.scd2.Partitioning.BucketBy("id", buckets))
@@ -239,7 +270,7 @@ object Streams {
         val tag = s"scd2-batch-$batchId"
         if (!batch.isEmpty && !table.latestMeta.contains(tag)) {
           Scd2Processor.applyBatch(table, Scd2Processor.processBatch(batch),
-            meta = Some(tag), exactDedup = exactDedup)
+            meta = Some(tag), exactDedup = exactDedup, mor = mor)
           retainVersions.foreach(table.vacuum)
           ()
         }
