@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.SqlSurface.queries ++
       scd2.Scd2Queries.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Multimodal.queries
+      ext.Similarity.queries ++ ext.Multimodal.queries ++
+      ext.Embeddings.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.SqlSurface.oracles ++
       scd2.Scd2Queries.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
-      ext.Similarity.oracles ++ ext.Multimodal.oracles
+      ext.Similarity.oracles ++ ext.Multimodal.oracles ++
+      ext.Embeddings.oracles
 }

@@ -10,7 +10,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop subset (mirrors Bench's SPARK_GRAFT_BENCH_ONLY); the
+    // driver sets neither, so its gate always runs every query
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    selected.foreach { case (name, fn) =>
       // per-query isolation for ordinary failures; fatal JVM errors
       // (OOM etc.) abort the run — continuing in a corrupted JVM would
       // silently produce a partial round.

@@ -431,12 +431,100 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ------------------------------------------------ duplicate clusters
+  /** Connected components over a duplicate-pair graph — the step that
+    * turns pairwise near-dup hits into KEEP/DROP decisions (one keeper
+    * per component; transitivity matters: A≈B and B≈C must land A, B,
+    * C in ONE cluster even when A≉C directly).
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * its own id; each round a node adopts the minimum label among
+    * itself and its neighbors; fixpoint = components labeled by their
+    * minimum member. One round = one equi-join (labels onto edge
+    * sources) + one min-groupBy — both hash-partitioned on doc_id, so
+    * rounds reuse the exchange layout; lineage is truncated per round
+    * with localCheckpoint (iterative plans otherwise nest O(rounds)
+    * deep). Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow stars/cliques around a template, so single
+    * digits in practice; `maxIters` fences the pathological chain. At
+    * planetary diameters swap in alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce") — same join
+    * primitive, O(log²) rounds; the propagation loop here is the right
+    * trade while diameters stay shallow.
+    *
+    * `pairs` needs columns (a_id, b_id); returns (doc_id, label). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+        .select(col("v").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  // Gated query: clusters over the exact jaccard ≥ 0.8 pair graph (the
+  // pair SOURCE is pluggable — feed minhashLsh/blocked candidates at
+  // scale; all three emit identical pairs on these fixtures). Keeper =
+  // component minimum, the deterministic convention every engine-side
+  // dedup uses.
+  private val clusters: Q = (s, d) => {
+    val pairs = jaccardPairs(shingleSets(s, d)).filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val lab = connectedComponents(pairs)
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+  // Oracle: transitive closure by recursive CTE — exact for the toy
+  // graph sizes the gate runs at; the engine-side loop is the one that
+  // scales.
+  private val clustersSql =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size,
+       |  l.doc_id = l.cluster_id AS is_keeper
+       |FROM lab l JOIN cs c ON l.cluster_id = c.cluster_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_jaccard_blocked" -> ngramJaccardBlocked,
     "dedup_minhash_lsh" -> minhashLsh,
-    "dedup_simhash" -> simhash)
+    "dedup_simhash" -> simhash,
+    "dedup_clusters" -> clusters)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -445,5 +533,6 @@ object Dedup {
     // the df cap only prunes candidate GENERATION, scores stay exact
     "dedup_ngram_jaccard_blocked" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+    "dedup_clusters" -> clustersSql)
 }

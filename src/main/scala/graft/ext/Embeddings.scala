@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column transforms for LLM data pipelines (driver north
+  * star — absent from the reference): per-class centroids and int8
+  * quantization — the two operations every embedding-heavy corpus job
+  * runs (cluster summaries / IVF codebook seeds, and 4× storage +
+  * bandwidth compression before similarity search).
+  *
+  * Cross-engine float discipline (see Relational.scala header): float
+  * SUMS are accumulation-order-dependent, so the centroid mean first
+  * quantizes each float onto a 1e-6 integer grid with exactly-defined
+  * double ops (`floor(x·1e6 + 0.5)` — every step IEEE-deterministic),
+  * sums the grid values as longs (exact, order-free), and divides once
+  * at the end. Quantization itself is per-element double arithmetic in
+  * a fixed op order — bit-identical in any engine.
+  */
+object Embeddings {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------- centroids
+  // Per-label mean vector, long format (label, dim, n, centroid) —
+  // one posexplode (×dim rows) + one (label, dim)-keyed aggregate with
+  // map-side partials; output is |labels|·dim rows, tiny at any corpus
+  // size. The integer-grid sum makes the result partitioning-invariant
+  // AND engine-exact (float sums are neither).
+  private val centroids: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"),
+        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+      .select($"label", $"dim", $"n",
+        ($"sq".cast("double") / $"n" / lit(1000000.0)).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+  private val centroidsSql =
+    """WITH e AS (
+      |  SELECT label, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |SELECT label, dim, COUNT(*) AS n,
+      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------------------- quantize
+  // Symmetric int8 quantization: scale = 127 / max|x|, qᵢ =
+  // ⌊xᵢ·scale + 0.5⌋ ∈ [-127, 127] (half-toward-+∞ — chosen because
+  // floor is the rounding op both engines define identically). Pure
+  // per-row map over the vector — no shuffle, the 4× compression pass
+  // before ANN index build or shipping vectors across the wire. The
+  // quantized vector travels as an md5 of its CSV so the oracle
+  // byte-checks all 64 lanes per row without widening the result.
+  private val quantize: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale",
+        when($"maxabs" > 0, lit(127.0) / $"maxabs").otherwise(lit(0.0)))
+      .select($"vec_id", size($"embedding").as("n_dims"), $"scale",
+        md5(concat_ws(",", expr(
+          "transform(embedding, x -> cast(cast(floor(cast(x as double) * scale + 0.5d) as int) as string))")))
+          .as("q_hash"))
+      .orderBy($"vec_id")
+  }
+  private val quantizeSql =
+    """WITH m AS (
+      |  SELECT vec_id, len(embedding) AS n_dims,
+      |    list_aggregate(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs,
+      |    embedding
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, n_dims,
+      |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+      |    embedding FROM m)
+      |SELECT vec_id, CAST(n_dims AS INT) AS n_dims, scale,
+      |  md5(array_to_string(list_transform(embedding,
+      |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS VARCHAR)), ',')) AS q_hash
+      |FROM s ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "emb_centroids" -> centroids,
+    "emb_quantize" -> quantize)
+
+  val oracles: Map[String, String] = Map(
+    "emb_centroids" -> centroidsSql,
+    "emb_quantize" -> quantizeSql)
+}

@@ -285,6 +285,151 @@ object TextAnalysis {
       |  ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rank
       |FROM v ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------- decontamination
+  // Train/test overlap detection (the n-gram decontamination step of
+  // LLM data pipelines): a TRAIN document sharing any long n-gram with
+  // a held-out TEST document leaks eval data into training. 8-token
+  // grams (industry practice is 8–13: long enough that chance overlap
+  // is ~impossible, short enough to catch partial copies); splits come
+  // from the same content-stable md5-nibble bucketing as
+  // `text_train_split` (bucket 15 = test, ≤ 13 = train, 14 = val).
+  //
+  // Scale shape: one explode per side + one equi-join keyed on the
+  // 8-byte xxhash64 of the gram (the oracle joins the strings — same
+  // result modulo 64-bit collisions, the established blocking-key
+  // pattern of `Dedup`). The test side is a 1/16 sample and shrinks to
+  // its DISTINCT grams, so AQE broadcasts it when small; at 100 TB it
+  // is an ordinary hash join — no all-pairs anything.
+  private val DecontamN = 8
+  private val decontaminate: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("bucket",
+        (expr("locate(substr(md5(cast(doc_id as string)),1,1),'0123456789abcdef')") - 1)
+          .cast("int"))
+    val grams = base.filter(size($"ws") >= DecontamN)
+      .select($"doc_id", $"bucket", explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws)-${DecontamN - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $DecontamN))))")).as("g"))
+      .withColumn("gh", xxhash64($"g"))
+    val testGrams = grams.filter($"bucket" === 15).select($"gh").distinct()
+    val overlap = grams.filter($"bucket" <= 13)
+      .join(testGrams, "gh")
+      .groupBy($"doc_id").agg(countDistinct($"gh").as("n_test_overlap"))
+    base.filter($"bucket" <= 13)
+      .join(overlap, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_test_overlap", lit(0L)).as("n_test_overlap"),
+        (coalesce($"n_test_overlap", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+  private val decontaminateSql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws,
+      |    CAST(strpos('0123456789abcdef',
+      |      substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 AS INT) AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    array_to_string(ws[CAST(i AS BIGINT) : CAST(i+7 AS BIGINT)], ' ') AS g
+      |  FROM b, unnest(generate_series(1, len(ws)-7)) t(i)
+      |  WHERE len(ws) >= 8),
+      |tg AS (SELECT DISTINCT g FROM g WHERE bucket = 15),
+      |ov AS (
+      |  SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_test_overlap
+      |  FROM g JOIN tg ON g.g = tg.g WHERE g.bucket <= 13 GROUP BY 1)
+      |SELECT b.doc_id, COALESCE(ov.n_test_overlap, 0) AS n_test_overlap,
+      |  COALESCE(ov.n_test_overlap, 0) > 0 AS contaminated
+      |FROM b LEFT JOIN ov ON b.doc_id = ov.doc_id
+      |WHERE b.bucket <= 13
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ----------------------------------------------------- repetition
+  // Gopher-style within-document repetition filters: the fraction of
+  // bigrams taken by the single most frequent bigram, the fraction of
+  // bigram occurrences that are duplicates, and the fraction of
+  // 5-gram occurrences that are duplicates — the signals that catch
+  // boilerplate/looping text which length and stopword gates miss.
+  // Two explode+count passes (2-grams, 5-grams) joined on doc_id; all
+  // fractions are double-of-exact-ints, engine-identical.
+  private def docNgrams(base: DataFrame, n: Int): DataFrame =
+    base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws)-${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+  private val repetition: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", split($"text", " ").as("ws"))
+    val a2 = docNgrams(base, 2).groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"), max($"cnt").as("top_bigram_count"),
+        sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("dup2"))
+    val a5 = docNgrams(base, 5).groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_5grams"),
+        sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("dup5"))
+    a2.join(a5, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bigrams", $"top_bigram_count",
+        ($"top_bigram_count".cast("double") / $"n_bigrams").as("top_bigram_frac"),
+        ($"dup2".cast("double") / $"n_bigrams").as("dup_bigram_frac"),
+        (coalesce($"dup5", lit(0L)).cast("double") / coalesce($"n_5grams", lit(1L)))
+          .as("dup_5gram_frac"))
+      .withColumn("passes_repetition",
+        $"top_bigram_frac" <= 0.05 && $"dup_5gram_frac" <= 0.30)
+      .orderBy($"doc_id")
+  }
+  private val repetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+1 AS BIGINT)],' ') AS g
+      |  FROM t, unnest(generate_series(1, len(ws)-1)) u(i) WHERE len(ws) >= 2),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1,2),
+      |a2 AS (SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram_count,
+      |       SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup2 FROM c2 GROUP BY 1),
+      |g5 AS (
+      |  SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)],' ') AS g
+      |  FROM t, unnest(generate_series(1, len(ws)-4)) u(i) WHERE len(ws) >= 5),
+      |c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY 1,2),
+      |a5 AS (SELECT doc_id, SUM(cnt) AS n_5grams,
+      |       SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup5 FROM c5 GROUP BY 1)
+      |SELECT a2.doc_id, CAST(a2.n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(a2.top_bigram_count AS BIGINT) AS top_bigram_count,
+      |  CAST(a2.top_bigram_count AS DOUBLE)/a2.n_bigrams AS top_bigram_frac,
+      |  CAST(a2.dup2 AS DOUBLE)/a2.n_bigrams AS dup_bigram_frac,
+      |  CAST(COALESCE(a5.dup5,0) AS DOUBLE)/COALESCE(a5.n_5grams,1) AS dup_5gram_frac,
+      |  (CAST(a2.top_bigram_count AS DOUBLE)/a2.n_bigrams <= 0.05
+      |   AND CAST(COALESCE(a5.dup5,0) AS DOUBLE)/COALESCE(a5.n_5grams,1) <= 0.30)
+      |    AS passes_repetition
+      |FROM a2 LEFT JOIN a5 ON a2.doc_id = a5.doc_id
+      |ORDER BY a2.doc_id""".stripMargin
+
+  // ---------------------------------------------------------- scrub
+  // Denylist token scrub: drop denylisted tokens and emit the cleaned
+  // text's hash + removal counts — the shape of boilerplate/bad-word/
+  // PII-token removal (the denylist is pluggable; this corpus is
+  // synthetic word soup with no PII surface, so the gate exercises the
+  // mechanism on the stopword list). Pure per-row array ops — a map,
+  // no shuffle, fully codegen'd.
+  private val scrub: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        expr("filter(ws, w -> NOT (w IN ('the','a')))").as("kept"))
+      .select($"doc_id",
+        (size($"ws") - size($"kept")).as("n_removed"),
+        size($"kept").as("n_tokens_clean"),
+        md5(concat_ws(" ", $"kept")).as("scrub_hash"))
+      .orderBy($"doc_id")
+  }
+  private val scrubSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws,
+      |        list_filter(ws, w -> w NOT IN ('the','a')) AS kept FROM t)
+      |SELECT doc_id, CAST(len(ws) - len(kept) AS INT) AS n_removed,
+      |  CAST(len(kept) AS INT) AS n_tokens_clean,
+      |  md5(array_to_string(kept, ' ')) AS scrub_hash
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
@@ -293,7 +438,10 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_train_split" -> trainSplit,
     "text_chunking" -> chunking,
-    "text_vocabulary" -> vocabulary)
+    "text_vocabulary" -> vocabulary,
+    "text_decontaminate" -> decontaminate,
+    "text_repetition" -> repetition,
+    "text_scrub" -> scrub)
 
   val oracles: Map[String, String] = Map(
     "text_winnow_fingerprint" -> winnowSql,
@@ -303,5 +451,8 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprintSql,
     "text_train_split" -> trainSplitSql,
     "text_chunking" -> chunkingSql,
-    "text_vocabulary" -> vocabularySql)
+    "text_vocabulary" -> vocabularySql,
+    "text_decontaminate" -> decontaminateSql,
+    "text_repetition" -> repetitionSql,
+    "text_scrub" -> scrubSql)
 }

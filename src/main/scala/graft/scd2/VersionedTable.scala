@@ -303,6 +303,22 @@ final class VersionedTable(spark: SparkSession, root: String,
       case Some(_) => overwrite(read(), clusterBy)
     }
 
+  /** Partition-scoped compaction: fold ONLY `parts`' accumulated
+    * [[mergeDeltas]] delete files and small data files into freshly
+    * written, delete-free data files; every other partition carries
+    * forward by reference. This is the maintenance granularity at
+    * scale — table-wide [[compact]] is a full rewrite, while a MOR
+    * table only accumulates deltas in the partitions it actually
+    * merges into. Pick `parts` from [[partitionsWithDeltas]]. */
+  def compactPartitions(parts: Seq[String], clusterBy: Seq[String] = Nil,
+                        meta: Option[String] = None): Int =
+    replacePartitions(readPartitions(parts), parts, clusterBy, meta)
+
+  /** Partitions of the current head that hold at least one
+    * equality-delete file — the [[compactPartitions]] work list. */
+  def partitionsWithDeltas: Seq[String] =
+    readManifest(requireHead()).entries.filter(_.kind == "x").map(_.part).distinct
+
   /** Expire old versions (Iceberg `expire_snapshots` / Delta VACUUM
     * analog, SURVEY D10): keep the newest `keepVersions` manifests,
     * delete the rest, then reclaim data files no retained manifest

@@ -185,6 +185,103 @@ class ExtSpec extends SparkSpec {
     } finally frames.unpersist()
   }
 
+  // ------------------------------------------------- connected components
+
+  test("connected components: transitivity, multiple components, min labels") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive closure without a direct 1-3 edge),
+    // pair 10-11, triangle 20-21-22
+    val prs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val lab = Dedup.connectedComponents(prs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: worst-case chain converges inside the fence") {
+    import spark.implicits._
+    // a path graph is the max-diameter worst case for min propagation
+    val n = 12
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val lab = Dedup.connectedComponents(chain)
+    assert(lab.count() == n)
+    assert(lab.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("dedup_clusters: pairs land in one cluster; keeper is the component min") {
+    val pr = pairs(Dedup.queries("dedup_ngram_jaccard")(spark, sfDir))
+    val cl = Dedup.queries("dedup_clusters")(spark, sfDir).collect()
+    val lab = cl.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pr.foreach { case (a, b) => assert(lab(a) == lab(b), s"pair ($a,$b) split") }
+    cl.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)), "keeper flag")
+    }
+    cl.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid, s"cluster $cid not labeled by min")
+      assert(rows.head.getLong(2) == rows.length, s"cluster $cid size drift")
+    }
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  test("decontaminate: planted train/test 8-gram overlap is flagged, clean doc is not") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def bucket(id: Long): Int = {
+      val h = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0) & 0xff).substring(0, 1).charAt(0) match {
+        case c if c <= '9' => c - '0'
+        case c => c - 'a' + 10
+      }
+    }
+    val testId = (0L to 200L).find(bucket(_) == 15).get
+    val trainIds = (0L to 400L).filter(bucket(_) <= 13)
+    val (dirtyId, cleanId) = (trainIds.head, trainIds(1))
+    val eight = "q w e r t y u i" // the shared 8-gram
+    val docs = Seq(
+      (testId, s"$eight zz held out doc"),
+      (dirtyId, s"copied prefix $eight trailing words here"),
+      (cleanId, "totally different words with no shared gram at all present"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("text_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(dirtyId)._2 && out(dirtyId)._1 >= 1, "planted overlap missed")
+    assert(!out(cleanId)._2 && out(cleanId)._1 == 0, "clean doc flagged")
+    assert(!out.contains(testId), "test docs must not appear in the train report")
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  test("emb_centroids: per-(label, dim) count equals the label population; dims complete") {
+    import spark.implicits._
+    val c = ext.Embeddings.queries("emb_centroids")(spark, sfDir)
+    val pop = Tables.embeddings(spark, sfDir).groupBy($"label").count()
+    val joined = c.join(pop, "label")
+    assert(joined.filter($"n" =!= $"count").isEmpty, "n drifts from label population")
+    val dims = c.groupBy($"label").agg(countDistinct($"dim").as("nd"),
+      min($"dim").as("lo"), max($"dim").as("hi")).collect()
+    dims.foreach { r =>
+      assert(r.getLong(1) == 64 && r.getInt(2) == 1 && r.getInt(3) == 64)
+    }
+  }
+
+  test("emb_quantize: dequantization reconstructs within half a grid step") {
+    import spark.implicits._
+    val worst = Tables.embeddings(spark, sfDir).limit(100)
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      // max |x - round_half_up(x*scale)/scale| * scale must be <= 0.5
+      .withColumn("err_steps", expr(
+        "array_max(transform(embedding, " +
+          "x -> abs(cast(x as double) * scale - floor(cast(x as double) * scale + 0.5d))))"))
+      .agg(max($"err_steps")).first().getDouble(0)
+    assert(worst <= 0.5 + 1e-9, s"quantization error $worst grid steps")
+  }
+
   test("approx distinct is within 5% of exact") {
     graft.operators.Relational.queries("rel_approx_distinct")(spark, sfDir)
       .collect().foreach { r =>

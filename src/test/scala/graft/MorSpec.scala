@@ -82,6 +82,28 @@ class MorSpec extends SparkSpec {
     assert(v0.subsetOf(morT.table.manifestDetail(head).toSet))
   }
 
+  test("compactPartitions folds only the targeted partition's deltas") {
+    val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
+    t.overwrite((1 to 16).map(i => (i, s"v$i")).toDF("id", "v"))
+    def delta(id: Int, v: String): Unit = {
+      val rows = Seq((id, v)).toDF("id", "v")
+      t.mergeDeltas(rows, Seq(Tuple1(id)).toDF("id"), t.partitionValues(rows))
+      ()
+    }
+    // deltas across ids until at least two buckets carry delete files
+    var id = 1
+    while (t.partitionsWithDeltas.size < 2) { delta(id, s"v${id}b"); id += 1 }
+    val withDeltas = t.partitionsWithDeltas
+    val target = Seq(withDeltas.head)
+    val before = t.read().orderBy("id").as[(Int, String)].collect().toSeq
+    val vc = t.compactPartitions(target)
+    val detail = t.manifestDetail(vc)
+    // the targeted partition is delete-free; the untargeted one kept its deltas
+    assert(!detail.exists(e => e._3 == "x" && e._1 == target.head))
+    assert(detail.exists(e => e._3 == "x" && e._1 == withDeltas(1)))
+    assert(t.read().orderBy("id").as[(Int, String)].collect().toSeq == before)
+  }
+
   // ---- SCD2 lane: golden equivalence against the COW merge ----------
   private val fixedClock = () => Timestamp.from(Instant.ofEpochSecond(1800000000L))
   private def bronzeOf(ops: Seq[CdcOp]): DataFrame =

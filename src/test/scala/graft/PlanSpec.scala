@@ -104,4 +104,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("SortAggregate"), s"string mins crept back in:\n$p")
   }
+
+  test("scrub and quantize are pure maps (no hash shuffle)") {
+    // per-row array transforms; only the presentation ORDER BY may
+    // exchange — a hash shuffle would mean an accidental aggregation
+    assert(!plan("text_scrub").contains("hashpartitioning"))
+    assert(!plan("emb_quantize").contains("hashpartitioning"))
+  }
+
+  test("centroids aggregate partially before the (label, dim) exchange") {
+    val df = ext.Embeddings.queries("emb_centroids")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // map-side partial sums cap the shuffle at O(labels × dims ×
+    // partitions) regardless of corpus row count
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("Partial"), s"no partial aggregation before exchange:\n$p")
+  }
 }
