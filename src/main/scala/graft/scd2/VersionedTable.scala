@@ -488,14 +488,20 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   /** Resolve a snapshot's rows. Pure-data snapshots read as one scan
     * (the plan COW tables always got). With equality-delete entries
-    * present (merge-on-read commits), data files are grouped by their
-    * commit seq and deletes by theirs, and ONE anti-join applies every
+    * present (merge-on-read commits), ONE anti-join applies every
     * delete to strictly-older data:
     * `data ⟕̸ deletes ON keys ∧ delete.seq > data.seq`.
     * The join keys are the delete files' own columns — the key schema
-    * travels with the data, no manifest metadata needed. Read cost
-    * grows with the number of distinct delta commits; [[compact]]
-    * folds deltas back into pure data files. */
+    * travels with the data, no manifest metadata needed.
+    *
+    * Each side's commit seq is recovered with a SINGLE scan over all
+    * its files plus a broadcast `_metadata.file_name → seq` lookup
+    * (task-written part files carry a per-write-job UUID, so names are
+    * unique; verified cheaply below) — the scan count stays 2 no
+    * matter how many delta commits accumulated between [[compact]]
+    * runs, where a scan-per-commit union would grow the plan linearly
+    * with commit count. The union remains as the fallback for the
+    * (never-observed) duplicate-file-name case. */
   private def dfFor(m: Manifest, entries: Seq[Entry]): DataFrame = {
     val (dels, datas) = entries.partition(_.kind == "x")
     def pathsOf(es: Seq[Entry]) = es.map(e => new Path(qRoot, e.relPath).toString)
@@ -504,13 +510,25 @@ final class VersionedTable(spark: SparkSession, root: String,
     else if (dels.isEmpty)
       spark.read.schema(m.schema).parquet(pathsOf(datas): _*)
     else {
-      val dataDf = datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
-        spark.read.schema(m.schema).parquet(pathsOf(es): _*)
-          .withColumn(SeqCol, lit(s))
-      }.reduce(_.unionByName(_))
-      val delDf = dels.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
-        spark.read.parquet(pathsOf(es): _*).withColumn(DelSeqCol, lit(s))
-      }.reduce(_.unionByName(_))
+      import spark.implicits._
+      def nameOf(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+      val uniqueNames =
+        entries.iterator.map(e => nameOf(e.relPath)).toSet.size == entries.size
+      def withSeq(es: Seq[Entry], seqCol: String,
+                  schema: Option[StructType]): DataFrame =
+        if (uniqueNames) {
+          val seqOf = es.map(e => (nameOf(e.relPath), e.seq)).toDF(FileCol, seqCol)
+          schema.fold(spark.read)(sc => spark.read.schema(sc))
+            .parquet(pathsOf(es): _*)
+            .withColumn(FileCol, col("_metadata.file_name"))
+            .join(broadcast(seqOf), FileCol).drop(FileCol)
+        } else
+          es.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, se) =>
+            schema.fold(spark.read)(sc => spark.read.schema(sc))
+              .parquet(pathsOf(se): _*).withColumn(seqCol, lit(s))
+          }.reduce(_.unionByName(_))
+      val dataDf = withSeq(datas, SeqCol, Some(m.schema))
+      val delDf = withSeq(dels, DelSeqCol, None)
       val keyCols = delDf.columns.filterNot(_ == DelSeqCol)
       val cond = keyCols.map(c => dataDf(c) <=> delDf(c)).reduce(_ && _) &&
         delDf(DelSeqCol) > dataDf(SeqCol)
@@ -655,6 +673,7 @@ object VersionedTable {
   private val DelDir = "__del"
   private val SeqCol = "__gseq"
   private val DelSeqCol = "__gdseq"
+  private val FileCol = "__gfile"
   val MainBranch = "main"
   /** Partition value standing for NULL — matches the directory name the
     * parquet writer uses, so listed dirs and computed values agree. */

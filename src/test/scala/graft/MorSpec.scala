@@ -82,6 +82,21 @@ class MorSpec extends SparkSpec {
     assert(v0.subsetOf(morT.table.manifestDetail(head).toSet))
   }
 
+  test("MOR read plans a constant number of scans regardless of delta commits") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    (1 to 6).foreach { i =>
+      t.mergeDeltas(Seq((1, s"a$i")).toDF("id", "v"), Seq(Tuple1(1)).toDF("id"), Seq(""))
+    }
+    // contents resolve across all 6 delta generations
+    assert(t.read().as[(Int, String)].collect().toMap == Map(1 -> "a6", 2 -> "b"))
+    // one data scan + one delete scan via the broadcast file→seq map —
+    // NOT one scan per delta commit (7 data + 6 delete generations here)
+    val scans = "FileScan parquet|Scan parquet".r
+      .findAllIn(t.read().queryExecution.executedPlan.toString).length
+    assert(scans <= 2, s"MOR read planned $scans parquet scans, expected <= 2")
+  }
+
   test("compactPartitions folds only the targeted partition's deltas") {
     val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
     t.overwrite((1 to 16).map(i => (i, s"v$i")).toDF("id", "v"))
