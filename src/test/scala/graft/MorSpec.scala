@@ -143,6 +143,36 @@ class MorSpec extends SparkSpec {
     }
   }
 
+  test("streaming MOR lane: scd2Query(mor) ≡ COW lane, deltas actually committed") {
+    import java.nio.file.{Files => JFiles, Paths}
+    def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+      JFiles.createDirectories(Paths.get(dir))
+      JFiles.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
+      ()
+    }
+    val ops = randomStream(seed = 77, nKeys = 6, nOps = 40,
+      minStepMs = 1001, maxStepMs = 2000)
+    val (b1, b2) = ops.splitAt(25)
+    def lane(mor: Boolean): VersionedTable = {
+      val in = tmp(); val root = tmp() + "/tab"; val ck = tmp() + "/ck"
+      writeLines(in, "a.jsonl", b1.map(toJson))
+      Streams.scd2Query(Streams.rawFileStream(spark, in), root, ck,
+        availableNow = true, mor = mor).awaitTermination()
+      writeLines(in, "b.jsonl", b2.map(toJson))
+      Streams.scd2Query(Streams.rawFileStream(spark, in), root, ck,
+        availableNow = true, mor = mor).awaitTermination()
+      new VersionedTable(spark, root, Partitioning.BucketBy("id", 16))
+    }
+    val cow = lane(mor = false); val morT = lane(mor = true)
+    val order = Seq("id", "effective_start_ts", "is_current", "record_hash")
+    val a = cow.read().orderBy(order.map(col): _*).collect().toSeq
+    val b = morT.read().orderBy(order.map(col): _*).collect().toSeq
+    assert(a == b, "streaming MOR lane drifted from COW")
+    val head = morT.currentHead.get
+    assert(morT.manifestDetail(head).exists(_._3 == "x"),
+      "second micro-batch should have committed equality-delete files")
+  }
+
   test("MOR SCD2 ≡ COW across lifecycle batches incl delete + same-second reinsert") {
     val batches = Seq(
       (1 to 5).map(k => op("c", k, "100", t0 + k, k.toLong)),
