@@ -430,6 +430,120 @@ object TextAnalysis {
       |  md5(array_to_string(kept, ' ')) AS scrub_hash
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- stratified sampling
+  // Deterministic per-language downsampling to a target mix (corpus
+  // rebalancing — the step that stops one dominant language/source from
+  // swamping a pretraining mix). Rates are exact byte thresholds
+  // (rate = t/256): a doc survives iff the first BYTE of
+  // md5('samp:' || doc_id) < t(lang). Hash-keyed (not random) so the
+  // sample is reproducible, shard-invariant, and independent of the
+  // train-split nibble (different salt). Pure map + filter — no
+  // shuffle, no RNG state.
+  private val sampleRates: Map[String, Int] =
+    Map("en" -> 128, "de" -> 192, "fr" -> 64) // others keep all (256)
+  private val sampleStratified: Q = (s, d) => {
+    import s.implicits._
+    val hx = "0123456789abcdef"
+    val thr = sampleRates.foldLeft(lit(256)) { case (acc, (lang, t)) =>
+      when($"lang" === lang, lit(t)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("samp:"), $"doc_id".cast("string"))))
+      .withColumn("samp_key",
+        ((expr(s"locate(substr(h,1,1),'$hx')") - 1) * 16 +
+          expr(s"locate(substr(h,2,1),'$hx')") - 1).cast("int"))
+      .filter($"samp_key" < thr)
+      .select($"doc_id", $"lang", $"samp_key")
+      .orderBy($"doc_id")
+  }
+  private val sampleStratifiedSql = {
+    val cases = sampleRates.toSeq.sorted
+      .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang,
+       |    CAST((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16
+       |       + strpos('0123456789abcdef', substr(h,2,1)) - 1 AS INT) AS samp_key
+       |  FROM b)
+       |SELECT doc_id, lang, samp_key FROM k
+       |WHERE samp_key < (CASE lang $cases ELSE 256 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- sequence packing
+  // Pretraining sequence packing: lay documents head-to-tail into
+  // fixed token-budget context windows (bins) — per SHARD, because
+  // real packing jobs process shards independently (a single global
+  // stream would be one reducer; the shard is the md5-nibble bucket,
+  // so the layout is deterministic and shard-parallel). A doc's bin is
+  // the window its FIRST token lands in under running concatenation —
+  // one per-shard cumulative-sum window, no shuffle beyond the shard
+  // exchange.
+  private val PackBudget = 2048
+  private val packSequences: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        (expr("locate(substr(md5(cast(doc_id as string)),1,1),'0123456789abcdef')") - 1)
+          .cast("int").as("shard"),
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("bin", expr(s"start_tok div $PackBudget"))
+      .orderBy($"doc_id")
+  }
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(strpos('0123456789abcdef',
+       |      substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 AS INT) AS shard,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS start_tok
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(start_tok // $PackBudget AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- keyword extraction
+  // Top-3 keywords per document by (tf desc, rarity asc, term) — the
+  // rank-based tf-idf surrogate that avoids cross-engine transcendental
+  // drift (ln() can differ by an ulp between engines; ranks on exact
+  // ints cannot). One token-keyed shuffle for df + one doc-keyed window.
+  private val keywords: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"w".asc)
+    tf.join(df, "w")
+      .withColumn("rank", row_number().over(win))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank".cast("int").as("rank"), $"w", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+  private val keywordsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |r AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+      |  FROM tf JOIN df ON tf.w = df.w)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, w, tf, df
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
@@ -441,7 +555,10 @@ object TextAnalysis {
     "text_vocabulary" -> vocabulary,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
-    "text_scrub" -> scrub)
+    "text_scrub" -> scrub,
+    "text_sample_stratified" -> sampleStratified,
+    "text_pack_sequences" -> packSequences,
+    "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
     "text_winnow_fingerprint" -> winnowSql,
@@ -454,5 +571,8 @@ object TextAnalysis {
     "text_vocabulary" -> vocabularySql,
     "text_decontaminate" -> decontaminateSql,
     "text_repetition" -> repetitionSql,
-    "text_scrub" -> scrubSql)
+    "text_scrub" -> scrubSql,
+    "text_sample_stratified" -> sampleStratifiedSql,
+    "text_pack_sequences" -> packSequencesSql,
+    "text_keywords" -> keywordsSql)
 }

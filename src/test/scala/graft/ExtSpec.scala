@@ -253,6 +253,51 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(testId), "test docs must not appear in the train report")
   }
 
+  test("stratified sample equals an independent md5-threshold recomputation") {
+    import java.security.MessageDigest
+    def keyOf(id: Long): Int = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"samp:$id".getBytes("UTF-8"))
+      // first byte of the hex form = first two nibbles
+      h(0) & 0xff
+    }
+    val thr = Map("en" -> 128, "de" -> 192, "fr" -> 64).withDefaultValue(256)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.filter { case (id, l) => keyOf(id) < thr(l) }.map(_._1).toSet
+    val kept = ext.TextAnalysis.queries("text_sample_stratified")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expect, "sample drifted from the salted-md5 threshold law")
+    assert(kept.size < docs.length, "some stratum must actually downsample")
+  }
+
+  test("sequence packing: per-shard streams are contiguous, bins respect the budget") {
+    val out = ext.TextAnalysis.queries("text_pack_sequences")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == expect, "start_tok must be the running shard sum")
+        assert(r.getLong(4) == r.getLong(3) / 2048, "bin is the start's window")
+        expect += r.getLong(2)
+      }
+    }
+  }
+
+  test("keywords: ranks contiguous, ordered by (tf desc, df asc, term)") {
+    val out = ext.TextAnalysis.queries("text_keywords")(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), "rank gap")
+      sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+        val Seq(a, b) = w.toSeq
+        val ka = (-a.getLong(3), a.getLong(4), a.getString(2))
+        val kb = (-b.getLong(3), b.getLong(4), b.getString(2))
+        assert(Ordering[(Long, Long, String)].lt(ka, kb), "rank order violated")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- embeddings
 
   test("emb_centroids: per-(label, dim) count equals the label population; dims complete") {

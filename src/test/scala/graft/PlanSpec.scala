@@ -105,11 +105,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"string mins crept back in:\n$p")
   }
 
-  test("scrub and quantize are pure maps (no hash shuffle)") {
-    // per-row array transforms; only the presentation ORDER BY may
-    // exchange — a hash shuffle would mean an accidental aggregation
+  test("scrub, quantize and stratified sample are pure maps (no hash shuffle)") {
+    // per-row transforms; only the presentation ORDER BY may exchange —
+    // a hash shuffle would mean an accidental aggregation
     assert(!plan("text_scrub").contains("hashpartitioning"))
     assert(!plan("emb_quantize").contains("hashpartitioning"))
+    assert(!plan("text_sample_stratified").contains("hashpartitioning"))
   }
 
   test("centroids aggregate partially before the (label, dim) exchange") {
