@@ -49,9 +49,17 @@ object Tables {
 
   /** Register all tables as temp views so `spark.sql` mirrors the DuckDB
     * oracle's naming exactly (`events` gets its rebuilt µs timestamp). */
+  // One registration per (session, dir): temp views persist in the
+  // session, and re-registering re-lists files + re-reads 10 parquet
+  // footers of driver-side work per query — at sf0.1 that was most of
+  // each sql_* query's wall clock. Re-registers when the dir changes
+  // (specs hop between SFs in one session).
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
-    }
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      names.foreach { n =>
+        val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+        df.createOrReplaceTempView(n)
+      }
 }
