@@ -2,7 +2,7 @@ package graft.scd2
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -164,6 +164,68 @@ final class VersionedTable(spark: SparkSession, root: String,
     val keep = parts.toSet
     dfFor(m, m.entries.filter(e => keep(e.part)))
   }
+
+  /** Range read with zone-map file skipping: data files whose recorded
+    * [min, max] for `column` (collected at write when it led clusterBy)
+    * cannot intersect [lo, hi] are dropped DRIVER-SIDE — no open, no
+    * footer read — then the exact predicate filters the survivors.
+    * Files without stats (pre-stats commits, all-null zones,
+    * equality-delete files) are always read: pruning is only ever an
+    * optimization, never a correctness filter. clusterBy sorts rows
+    * within files, so zones are tight and point lookups on a compacted
+    * table touch one file per partition. */
+  def readRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val m = readManifest(requireHead())
+    val numeric = m.schema(column).dataType.isInstanceOf[NumericType]
+    val kept = m.entries.filter(mayOverlap(_, column, lo.toString, hi.toString, numeric))
+    dfFor(m, kept).filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Key lookup (the reference's Pinot point-lookup shape,
+    * `README.MD:288-295`): manifest-prunes to the buckets the keys hash
+    * to, zone-skips files inside them, then exact-matches with a
+    * broadcast semi join. `keys` must carry the partitioning source
+    * column. O(touched buckets) I/O, O(1-ish files) on a compacted
+    * bucketed-and-clustered table. */
+  def readForKeys(keys: DataFrame): DataFrame = {
+    val keyCol = partitioning match {
+      case Partitioning.BucketBy(c, _) => c
+      case Partitioning.ByColumn(c) => c
+      case Partitioning.Unpartitioned =>
+        throw new IllegalArgumentException("readForKeys needs a partitioned table")
+    }
+    val m = readManifest(requireHead())
+    val keep = partitionValues(keys).toSet
+    val inBuckets = m.entries.filter(e => keep(e.part))
+    // zone-skip within the buckets when the keys are a numeric range
+    val numeric = m.schema(keyCol).dataType.isInstanceOf[NumericType]
+    val pruned = if (numeric) {
+      val vals = keys.select(col(keyCol).cast("string")).distinct()
+        .collect().flatMap(r => Option(r.getString(0))).map(BigDecimal(_))
+      if (vals.isEmpty) inBuckets
+      else inBuckets.filter(
+        mayOverlap(_, keyCol, vals.min.toString, vals.max.toString, numeric = true))
+    } else inBuckets
+    dfFor(m, pruned).join(broadcast(keys.select(keyCol).distinct()),
+      Seq(keyCol), "left_semi")
+  }
+
+  /** Spec hook: (kept, total) data-file counts under zone pruning. */
+  def zonePrunedFileCount(column: String, lo: Any, hi: Any): (Int, Int) = {
+    val m = readManifest(requireHead())
+    val datas = m.entries.filter(_.kind == "d")
+    val numeric = m.schema(column).dataType.isInstanceOf[NumericType]
+    (datas.count(mayOverlap(_, column, lo.toString, hi.toString, numeric)), datas.size)
+  }
+
+  private def mayOverlap(e: Entry, column: String, lo: String, hi: String,
+                         numeric: Boolean): Boolean =
+    (e.zcol, e.zlo, e.zhi) match {
+      case (Some(c), Some(zlo), Some(zhi)) if c == column && e.kind == "d" =>
+        if (numeric) BigDecimal(zhi) >= BigDecimal(lo) && BigDecimal(zlo) <= BigDecimal(hi)
+        else zhi >= lo && zlo <= hi
+      case _ => true // no stats for this column → must read
+    }
 
   /** Distinct partition values this table's [[Partitioning]] assigns to
     * `df`'s rows — small by construction (≤ bucket count for BucketBy). */
@@ -553,7 +615,7 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   private def writeEntries(df: DataFrame, dir: Path, clusterBy: Seq[String],
                            kind: String, seq: Int): Seq[Entry] = {
-    partitioning.expr match {
+    val raw = partitioning.expr match {
       case None =>
         val out = if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
         out.write.mode(SaveMode.Overwrite).parquet(dir.toString)
@@ -569,6 +631,33 @@ final class VersionedTable(spark: SparkSession, root: String,
             val part = unescapePathValue(d.getPath.getName.stripPrefix(Gp + "="))
             listFilesRec(d.getPath).map(f => Entry(part, relativize(f), kind, seq))
           }
+    }
+    if (kind != "d" || clusterBy.isEmpty || raw.isEmpty) raw
+    else attachZoneMaps(raw, clusterBy.head)
+  }
+
+  /** Per-file zone maps for `zc` (the lead clusterBy column): ONE
+    * column-pruned scan over the just-written files — the Delta/Iceberg
+    * stats-collection analog, O(new data) at commit time. Aggregation
+    * runs on the TYPED column (string min of "9"/"10" would invert);
+    * only the result is stringified for the manifest. All-null files
+    * keep no stats and are never pruned. */
+  private def attachZoneMaps(entries: Seq[Entry], zc: String): Seq[Entry] = {
+    val stats = spark.read
+      .parquet(entries.map(e => new Path(qRoot, e.relPath).toString): _*)
+      .select(col("_metadata.file_name").as(FileCol), col(zc))
+      .groupBy(FileCol)
+      .agg(min(col(zc)).cast("string").as("zlo"), max(col(zc)).cast("string").as("zhi"))
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2))))
+      .toMap
+    entries.map { e =>
+      val name = e.relPath.substring(e.relPath.lastIndexOf('/') + 1)
+      stats.get(name) match {
+        case Some((Some(lo), Some(hi))) =>
+          e.copy(zcol = Some(zc), zlo = Some(lo), zhi = Some(hi))
+        case _ => e
+      }
     }
   }
 
@@ -603,9 +692,16 @@ final class VersionedTable(spark: SparkSession, root: String,
     parent.foreach(p => sb.append("parent\t").append(p).append('\n'))
     sb.append("schema\t").append(schema.json).append('\n')
     // entry lines carry their own key so partition VALUES can never
-    // collide with the reserved meta/parent/schema keys
-    entries.foreach(e => sb.append(e.kind).append('\t').append(e.seq)
-      .append('\t').append(enc(e.part)).append('\t').append(e.relPath).append('\n'))
+    // collide with the reserved meta/parent/schema keys; zone-map
+    // fields are appended only when collected (old lines parse fine)
+    entries.foreach { e =>
+      sb.append(e.kind).append('\t').append(e.seq)
+        .append('\t').append(enc(e.part)).append('\t').append(e.relPath)
+      for (c <- e.zcol; l <- e.zlo; h <- e.zhi)
+        sb.append('\t').append(enc(c)).append('\t').append(enc(l))
+          .append('\t').append(enc(h))
+      sb.append('\n')
+    }
     fs.mkdirs(markerDir)
     val tmp = new Path(markerDir, f".tmp-$v%05d-${System.nanoTime()}%d")
     val out = fs.create(tmp, true)
@@ -640,9 +736,14 @@ final class VersionedTable(spark: SparkSession, root: String,
           require(j >= 0, s"bad manifest file line: $line")
           entries += Entry(dec(rest.substring(0, j)), rest.substring(j + 1))
         case "d" | "x" =>
-          val parts = rest.split("\t", 3)
-          require(parts.length == 3, s"bad manifest entry line: $line")
-          entries += Entry(dec(parts(1)), parts(2), k, parts(0).toInt)
+          val parts = rest.split("\t", 6)
+          require(parts.length == 3 || parts.length == 6,
+            s"bad manifest entry line: $line")
+          val base = Entry(dec(parts(1)), parts(2), k, parts(0).toInt)
+          entries += (if (parts.length == 6)
+            base.copy(zcol = Some(dec(parts(3))), zlo = Some(dec(parts(4))),
+              zhi = Some(dec(parts(5))))
+          else base)
         case other => throw new IllegalStateException(s"unknown manifest key: $other")
       }
     }
@@ -682,9 +783,15 @@ object VersionedTable {
   /** One manifest line. `kind` is "d" (data) or "x" (equality-delete);
     * `seq` is the version that ADDED the file — an equality-delete
     * suppresses matching rows only in data files with a STRICTLY
-    * smaller seq (Iceberg sequence-number semantics, minimized). */
+    * smaller seq (Iceberg sequence-number semantics, minimized).
+    * `zcol`/`zlo`/`zhi` are the file's zone map — min/max of the lead
+    * clusterBy column, collected at write time (Delta/Iceberg file
+    * stats, minimized to the column point lookups key on). */
   private final case class Entry(part: String, relPath: String,
-                                 kind: String = "d", seq: Int = 0)
+                                 kind: String = "d", seq: Int = 0,
+                                 zcol: Option[String] = None,
+                                 zlo: Option[String] = None,
+                                 zhi: Option[String] = None)
   private final case class Manifest(meta: Option[String], schema: StructType,
                                     entries: Seq[Entry],
                                     parent: Option[Int] = None,

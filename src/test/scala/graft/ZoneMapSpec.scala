@@ -1,0 +1,82 @@
+package graft
+
+import graft.scd2.{Partitioning, VersionedTable}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Zone-map file skipping + key lookups (Delta/Iceberg file-stats
+  * analog): per-file min/max of the lead clusterBy column recorded in
+  * the manifest at write time; range reads drop non-overlapping files
+  * driver-side, point lookups combine bucket pruning with zone skips.
+  * Pruning must NEVER be a correctness filter — stats-less files (old
+  * manifests, all-null zones, delete files) are always read.
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("zone").toString
+
+  test("range read skips disjoint files, keeps results exact") {
+    val t = new VersionedTable(spark, tmp())
+    // 4 range-partitioned input partitions → 4 files with disjoint,
+    // sorted id ranges (clusterBy sorts within each)
+    val df = (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id")
+    t.overwrite(df, clusterBy = Seq("id"))
+    val (kept, total) = t.zonePrunedFileCount("id", 100, 120)
+    assert(total == 4, s"expected 4 data files, got $total")
+    assert(kept == 1, s"a 21-id range must hit exactly 1 file, kept $kept")
+    val rows = t.readRange("id", 100, 120).as[(Int, String)].collect().sorted
+    assert(rows.toSeq == (100 to 120).map(i => (i, s"v$i")))
+    // full-range read keeps everything
+    assert(t.zonePrunedFileCount("id", 1, 1000)._1 == 4)
+  }
+
+  test("zone maps use TYPED min/max (string compare would invert 9 vs 10)") {
+    val t = new VersionedTable(spark, tmp())
+    // one file spanning ids 9..10: a lexicographic zone ["10","9"]
+    // would wrongly exclude id 10 from [10, 10]
+    t.overwrite(Seq((9, "a"), (10, "b")).toDF("id", "v"), clusterBy = Seq("id"))
+    assert(t.readRange("id", 10, 10).as[(Int, String)].collect().toSeq ==
+      Seq((10, "b")))
+  }
+
+  test("pre-stats manifests and stats-less writes are never pruned") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(Seq((1, "a"), (500, "b")).toDF("id", "v")) // clusterBy Nil → no stats
+    val (kept, total) = t.zonePrunedFileCount("id", 1, 1)
+    assert(kept == total, "stats-less files must always be read")
+    assert(t.readRange("id", 500, 500).count() == 1)
+  }
+
+  test("key lookup: bucket pruning + zone skip + exact match, MOR-safe") {
+    val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 8))
+    t.overwrite((1 to 400).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"))
+    // MOR delta on one key: lookup must see the NEW value (delete file
+    // has no zone stats and must ride along)
+    t.mergeDeltas(Seq((7, "v7b")).toDF("id", "v"), Seq(Tuple1(7)).toDF("id"),
+      t.partitionValues(Seq((7, "")).toDF("id", "v")))
+    val keys = Seq(7, 250).toDF("id")
+    val got = t.readForKeys(keys).as[(Int, String)].collect().toMap
+    assert(got == Map(7 -> "v7b", 250 -> "v250"))
+    // and the manifest pruning actually narrowed the read: the keys
+    // hash to at most 2 of the 8 buckets
+    assert(t.partitionValues(keys).size <= 2)
+  }
+
+  test("zone maps survive partition-scoped commits and carry-forward") {
+    val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
+    t.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"))
+    val touched = t.partitionValues(Seq((1, "")).toDF("id", "v"))
+    t.replacePartitions(
+      t.readPartitions(touched).withColumn("v", concat($"v", lit("!"))),
+      touched, clusterBy = Seq("id"))
+    // carried entries keep their zones; rewritten partition got fresh ones
+    val (kept, total) = t.zonePrunedFileCount("id", 1, 100)
+    assert(kept == total && total >= 4)
+    val one = t.readForKeys(Seq(1).toDF("id")).as[(Int, String)].collect()
+    assert(one.toSeq == Seq((1, "v1!")))
+  }
+}
