@@ -467,7 +467,10 @@ object Dedup {
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+      // round 1 always changes something when any edge exists (the
+      // larger endpoint adopts the smaller label), so the convergence
+      // probe — a join + count job — starts at round 2
+      converged = i > 0 && next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") =!= col("prev")).isEmpty
       labels = next
       i += 1

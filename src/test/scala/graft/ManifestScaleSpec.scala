@@ -13,6 +13,26 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 class ManifestScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("optimistic concurrency: rename onto an existing manifest fails") {
+    // commit() assumes the FS contract that rename does NOT clobber an
+    // existing destination — that's what makes the last writer of a
+    // racing pair fail loudly instead of silently replacing the
+    // winner's manifest. Pin the assumption on the running FS.
+    val root = Files.createTempDirectory("race").toString
+    val t = new VersionedTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("id", "v")) // commits _versions/00000
+    val hpath = new org.apache.hadoop.fs.Path(root)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_versions/.tmp-racer")
+    val out = fs.create(tmp, true)
+    try out.write("loser".getBytes) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(root, "_versions/00000")
+    assert(!fs.rename(tmp, target),
+      "rename clobbered a committed manifest — optimistic concurrency is broken")
+    // the winner's manifest is intact
+    assert(t.read().as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
   test("2k-version commit log: resolve/read/vacuum stay sub-second-ish") {
     val root = Files.createTempDirectory("mscale").toString
     val t = new VersionedTable(spark, root)
