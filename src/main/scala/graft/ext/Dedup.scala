@@ -521,13 +521,50 @@ object Dedup {
        |FROM lab l JOIN cs c ON l.cluster_id = c.cluster_id
        |ORDER BY doc_id""".stripMargin
 
+  // The end-to-end dedupe: the corpus MINUS non-keeper cluster members —
+  // what a training pipeline actually feeds downstream. One anti join
+  // against the (tiny) drop list; survivors carry their content
+  // fingerprint so the oracle byte-checks the surviving text.
+  private val dedupe: Q = (s, d) => {
+    val drop = clusters(s, d).filter(!col("is_keeper")).select(col("doc_id"))
+    Tables.documents(s, d)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val dedupeSql =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |dropped AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+       |SELECT d.doc_id, md5(d.text) AS content_fp
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_jaccard_blocked" -> ngramJaccardBlocked,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_clusters" -> clusters)
+    "dedup_clusters" -> clusters,
+    "dedup_dedupe" -> dedupe)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -537,5 +574,6 @@ object Dedup {
     "dedup_ngram_jaccard_blocked" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_clusters" -> clustersSql)
+    "dedup_clusters" -> clustersSql,
+    "dedup_dedupe" -> dedupeSql)
 }

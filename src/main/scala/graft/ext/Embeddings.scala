@@ -84,11 +84,56 @@ object Embeddings {
       |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS VARCHAR)), ',')) AS q_hash
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ normalize
+  // L2 normalization (the prep step before cosine = dot product): the
+  // squared norm is an EXACT integer on the 1e-6 grid (order-free —
+  // Spark folds with aggregate(), the oracle unnests and SUMs; integer
+  // sums agree no matter how each engine associates), sqrt is
+  // correctly-rounded per IEEE-754, and each component division is one
+  // fixed-order double op. Normalized components travel as an md5 of
+  // their 1e-6-grid ints. Pure map (the fold replaces a posexplode
+  // shuffle). q2 < 2^53 for any realistic dim count, so the double
+  // sqrt sees the integer exactly.
+  private val normalize: Q = (s, d) => {
+    import s.implicits._
+    val g = "cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint)"
+    Tables.embeddings(s, d)
+      .withColumn("q2", expr(s"aggregate(embedding, 0L, (acc, x) -> acc + $g * $g)"))
+      .withColumn("s", sqrt($"q2".cast("double")))
+      .select($"vec_id",
+        ($"s" / lit(1000000.0)).as("l2_norm"),
+        when($"q2" === 0, lit(null).cast("string")).otherwise(
+          md5(concat_ws(",", expr(
+            "transform(embedding, x -> cast(cast(floor(cast(x as double) * 1000000d / s * 1000000d + 0.5d) as bigint) as string))"))))
+          .as("n_hash"))
+      .orderBy($"vec_id")
+  }
+  private val normalizeSql =
+    """WITH u AS (SELECT vec_id, unnest(embedding) AS e FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    SUM(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)
+      |      * CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS q2
+      |  FROM u GROUP BY 1),
+      |j AS (
+      |  SELECT m.vec_id, m.embedding, q.q2,
+      |    sqrt(CAST(q.q2 AS DOUBLE)) AS s
+      |  FROM embeddings m JOIN q ON m.vec_id = q.vec_id)
+      |SELECT vec_id, s / 1000000.0 AS l2_norm,
+      |  CASE WHEN q2 = 0 THEN NULL ELSE
+      |    md5(array_to_string(list_transform(embedding,
+      |      x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000 / s * 1000000 + 0.5)
+      |             AS BIGINT) AS VARCHAR)), ','))
+      |  END AS n_hash
+      |FROM j ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "emb_centroids" -> centroids,
-    "emb_quantize" -> quantize)
+    "emb_quantize" -> quantize,
+    "emb_normalize" -> normalize)
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> centroidsSql,
-    "emb_quantize" -> quantizeSql)
+    "emb_quantize" -> quantizeSql,
+    "emb_normalize" -> normalizeSql)
 }

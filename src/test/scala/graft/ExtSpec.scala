@@ -223,6 +223,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedupe keep-list: survivors = corpus minus non-keepers, one per cluster") {
+    val total = Tables.documents(spark, sfDir).count()
+    val cl = Dedup.queries("dedup_clusters")(spark, sfDir).collect()
+    val survivors = Dedup.queries("dedup_dedupe")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = cl.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(survivors.size == total - dropped.size, "partition law broken")
+    assert(dropped.forall(!survivors(_)), "a dropped doc survived")
+    // every cluster's keeper survives
+    cl.filter(_.getBoolean(3)).foreach(r => assert(survivors(r.getLong(0))))
+  }
+
+  test("normalize: grid-reconstructed vectors have unit norm within grid error") {
+    import spark.implicits._
+    // reconstruct n_i from the same grid the hash uses; ||n||² must be
+    // 1 within the accumulated quantization error (64 dims × 1e-6 grid)
+    val worst = Tables.embeddings(spark, sfDir).limit(100)
+      .withColumn("q2", expr(
+        "aggregate(embedding, 0L, (acc, x) -> acc + " +
+          "cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint) * " +
+          "cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))"))
+      .withColumn("s", sqrt($"q2".cast("double")))
+      .withColumn("n2", expr(
+        "aggregate(transform(embedding, " +
+          "x -> floor(cast(x as double) * 1000000d / s * 1000000d + 0.5d) / 1000000d), " +
+          "cast(0.0 as double), (acc, v) -> acc + v * v)"))
+      .agg(max(abs($"n2" - 1.0))).first().getDouble(0)
+    assert(worst < 1e-3, s"unit-norm drift $worst")
+  }
+
   // ------------------------------------------------------ decontamination
 
   test("decontaminate: planted train/test 8-gram overlap is flagged, clean doc is not") {
