@@ -113,6 +113,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan("text_sample_stratified").contains("hashpartitioning"))
   }
 
+  test("sequence packing shuffles once, on the shard key") {
+    // one cumsum window per shard = exactly one hash exchange; a
+    // global-stream formulation would add a single-reducer sort
+    val df = ext.TextAnalysis.queries("text_pack_sequences")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 shard exchange, found $hashExchanges:\n$p")
+  }
+
   test("centroids aggregate partially before the (label, dim) exchange") {
     val df = ext.Embeddings.queries("emb_centroids")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

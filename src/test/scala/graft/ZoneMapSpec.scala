@@ -65,6 +65,19 @@ class ZoneMapSpec extends SparkSpec {
     assert(t.partitionValues(keys).size <= 2)
   }
 
+  test("string zone columns prune lexicographically and stay exact") {
+    val t = new VersionedTable(spark, tmp())
+    val df = ('a' to 'z').map(c => (s"$c-key", c.toInt)).toDF("k", "n")
+      .repartitionByRange(4, $"k")
+    t.overwrite(df, clusterBy = Seq("k"))
+    // the 4-key range may straddle one sampled range boundary → ≤ 2 files
+    val (kept, total) = t.zonePrunedFileCount("k", "m-key", "p-key")
+    assert(total == 4 && kept <= 2, s"string range hit $kept of $total files")
+    val got = t.readRange("k", "m-key", "p-key").as[(String, Int)]
+      .collect().map(_._1).sorted
+    assert(got.toSeq == Seq("m-key", "n-key", "o-key", "p-key"))
+  }
+
   test("zone maps survive partition-scoped commits and carry-forward") {
     val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
     t.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"),
