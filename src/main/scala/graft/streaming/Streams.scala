@@ -372,4 +372,35 @@ object Streams {
       .outputMode("append")
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  // ----------------------------------------------- stream-stream join
+  /** Watermarked stream-stream INNER join (the state-store join — the
+    * remaining stateful-streaming primitive after windows, sessions,
+    * and FMGWS): each CDC change event joins the OTHER stream's change
+    * events for the same key within ± `tolerance` of event time. Both
+    * sides carry a watermark and the join predicate bounds event-time
+    * distance, so Spark derives state-eviction watermarks for BOTH
+    * state stores — state is O(in-flight window), not O(stream).
+    * Shape: enrichment of a fact stream against a near-real-time
+    * context stream (payments vs orders, clicks vs impressions).
+    *
+    * Left columns keep their names; right columns arrive prefixed
+    * `r_`. One shuffle per side, hash-partitioned on the key. */
+  def streamStreamJoin(leftRaw: DataFrame, rightRaw: DataFrame,
+                       tolerance: String = "5 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    def side(raw: DataFrame, p: String): DataFrame = {
+      val flat = Envelope.flatten(raw)
+      flat
+        .filter(col("op").isin("c", "r", "u", "d"))
+        .select(coalesce(col("after_id"), col("before_id")).as(s"${p}id"),
+          col("op").as(s"${p}op"), col("lsn").as(s"${p}lsn"),
+          col("event_timestamp").as(s"${p}ts"))
+        .filter(col(s"${p}id").isNotNull && col(s"${p}ts").isNotNull)
+        .withWatermark(s"${p}ts", watermark)
+    }
+    side(leftRaw, "") .join(side(rightRaw, "r_"),
+      expr(s"id = r_id AND r_ts BETWEEN ts - INTERVAL $tolerance" +
+        s" AND ts + INTERVAL $tolerance"))
+  }
 }

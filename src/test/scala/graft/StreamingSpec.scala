@@ -170,6 +170,41 @@ class StreamingSpec extends SparkSpec {
     assert(table.latestVersion == vAfter, "replayed batch must not re-apply")
   }
 
+  test("stream-stream join: watermarked state-store join equals the batch join") {
+    val inL = tmp(); val inR = tmp(); val ck = tmp() + "/ck"
+    // two independent CDC streams over the same key space; timestamps
+    // span ~15 min so the ±5 min tolerance joins SOME pairs, not all
+    val left = randomStream(seed = 91, nKeys = 5, nOps = 30,
+      minStepMs = 1001, maxStepMs = 30000)
+    val right = randomStream(seed = 92, nKeys = 5, nOps = 30,
+      minStepMs = 1001, maxStepMs = 30000)
+    Files.createDirectories(Paths.get(inL))
+    Files.createDirectories(Paths.get(inR))
+    Files.write(Paths.get(inL, "l.jsonl"),
+      String.join("\n", left.map(toJson): _*).getBytes)
+    Files.write(Paths.get(inR, "r.jsonl"),
+      String.join("\n", right.map(toJson): _*).getBytes)
+    val q = Streams.streamStreamJoin(
+        Streams.rawFileStream(spark, inL), Streams.rawFileStream(spark, inR))
+      .writeStream.format("memory").queryName("ssj")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def batchRaw(dir: String) =
+      spark.read.text(dir).withColumnRenamed("value", "raw_message")
+    // withWatermark is a no-op on batch frames, so the SAME builder is
+    // the batch twin — nothing is late in one availableNow pass, so the
+    // state-store join must emit exactly the batch result
+    val expect = Streams.streamStreamJoin(batchRaw(inL), batchRaw(inR))
+    val cols = expect.columns.sorted.map(col).toIndexedSeq
+    val a = spark.table("ssj").select(cols: _*).collect().map(_.toSeq.toString).sorted
+    val b = expect.select(cols: _*).collect().map(_.toSeq.toString).sorted
+    assert(a.nonEmpty, "join produced no rows — fixture tolerance too tight")
+    assert(a.toSeq == b.toSeq, "stream-stream join drifted from batch twin")
+  }
+
   test("dedupe-by-lsn keeps snapshot rows sharing one LSN (wide key)") {
     val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
     // Debezium-style initial snapshot: every 'r' record same lsn
