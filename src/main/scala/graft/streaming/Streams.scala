@@ -31,8 +31,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** File-backed raw CDC stream: each line one Debezium envelope. */
-  def rawFileStream(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream.text(inputDir).withColumnRenamed("value", "raw_message")
+  def rawFileStream(spark: SparkSession, inputDir: String,
+                    /** Files per micro-batch (None = all available).
+                      * Multi-batch runs are how watermark-driven
+                      * emissions (outer-join eviction, late-data drops)
+                      * actually fire: the watermark only advances
+                      * BETWEEN batches. */
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(inputDir).withColumnRenamed("value", "raw_message")
+  }
 
   /** Kafka-backed raw CDC stream (S1) — the reference's actual ingest
     * edge (`cdc_to_parquet.py:77-88`), emitting the same one-column
@@ -388,7 +397,13 @@ object Streams {
     * `r_`. One shuffle per side, hash-partitioned on the key. */
   def streamStreamJoin(leftRaw: DataFrame, rightRaw: DataFrame,
                        tolerance: String = "5 minutes",
-                       watermark: String = "10 minutes"): DataFrame = {
+                       watermark: String = "10 minutes",
+                       /** "inner" or "left_outer": the outer variant
+                         * emits unmatched left rows (right side null)
+                         * once the watermark proves no match can still
+                         * arrive — the semantics that make streaming
+                         * enrichment loss-free. */
+                       joinType: String = "inner"): DataFrame = {
     def side(raw: DataFrame, p: String): DataFrame = {
       val flat = Envelope.flatten(raw)
       flat
@@ -401,6 +416,7 @@ object Streams {
     }
     side(leftRaw, "") .join(side(rightRaw, "r_"),
       expr(s"id = r_id AND r_ts BETWEEN ts - INTERVAL $tolerance" +
-        s" AND ts + INTERVAL $tolerance"))
+        s" AND ts + INTERVAL $tolerance"),
+      joinType)
   }
 }

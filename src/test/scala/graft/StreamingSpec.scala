@@ -205,6 +205,69 @@ class StreamingSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "stream-stream join drifted from batch twin")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once watermark passes") {
+    val inL = tmp(); val inR = tmp(); val ck = tmp() + "/ck"
+    // left keys 1..4; right covers only a prefix of the time span, so
+    // some left rows have no partner within tolerance
+    val left = randomStream(seed = 93, nKeys = 4, nOps = 24,
+      minStepMs = 60000, maxStepMs = 120000) // ~24-48 min span
+    val right = left.take(6) // partners only for the earliest rows
+    // outer rows only emit when the watermark ADVANCES, which happens
+    // BETWEEN micro-batches: ship the left side as two files
+    // (maxFilesPerTrigger=1) whose second file is a lone sentinel 2h
+    // later — batch 2's watermark then evicts batch 1's unmatched rows
+    val lastTs = left.map(_.tsMs).max
+    def sentinel(hoursLater: Int, lsn: Long): CdcOp = {
+      val at = lastTs + hoursLater * 3600 * 1000L
+      val img = SaleImage(999, "Phone", "Electronics", "1", 1, 19800, at * 1000)
+      CdcOp("c", None, Some(img), at, lsn, lsn)
+    }
+    Files.createDirectories(Paths.get(inL))
+    Files.createDirectories(Paths.get(inR))
+    Files.write(Paths.get(inL, "a.jsonl"),
+      String.join("\n", left.map(toJson): _*).getBytes)
+    Thread.sleep(50) // distinct mtimes: file source processes oldest first
+    // TWO sentinel batches: batch 2 advances the watermark past the
+    // main data, batch 3 runs UNDER that watermark and performs the
+    // eviction that emits the unmatched rows (watermark effects always
+    // lag one batch)
+    Files.write(Paths.get(inL, "b.jsonl"), toJson(sentinel(2, 900L)).getBytes)
+    Thread.sleep(50)
+    Files.write(Paths.get(inL, "c.jsonl"), toJson(sentinel(4, 901L)).getBytes)
+    // the GLOBAL watermark is the MIN across both streams — the right
+    // side needs its own late event or it pins the watermark at its
+    // early data and nothing ever evicts (id 998 matches no left key)
+    val rSentinel = {
+      val at = lastTs + 2 * 3600 * 1000L
+      val img = SaleImage(998, "Phone", "Electronics", "1", 1, 19800, at * 1000)
+      CdcOp("c", None, Some(img), at, 902, 902L)
+    }
+    Files.write(Paths.get(inR, "r.jsonl"),
+      String.join("\n", (right.map(toJson) :+ toJson(rSentinel)): _*).getBytes)
+    val q = Streams.streamStreamJoin(
+        Streams.rawFileStream(spark, inL, maxFilesPerTrigger = Some(1)),
+        Streams.rawFileStream(spark, inR),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def batchRaw(dir: String) =
+      spark.read.text(dir).withColumnRenamed("value", "raw_message")
+    // the sentinel itself is still held in state at query end (nothing
+    // later ever evicts it) — exclude it from both sides of the compare
+    val expect = Streams.streamStreamJoin(batchRaw(inL), batchRaw(inR),
+      joinType = "left_outer").filter(col("id") =!= 999)
+    val cols = expect.columns.sorted.map(col).toIndexedSeq
+    val a = spark.table("ssj_outer").filter(col("id") =!= 999).select(cols: _*)
+      .collect().map(_.toSeq.toString).sorted
+    val b = expect.select(cols: _*).collect().map(_.toSeq.toString).sorted
+    assert(a.exists(_.contains("null")), "no unmatched left rows emitted")
+    assert(a.toSeq == b.toSeq, "outer stream-stream join drifted from batch twin")
+  }
+
   test("dedupe-by-lsn keeps snapshot rows sharing one LSN (wide key)") {
     val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
     // Debezium-style initial snapshot: every 'r' record same lsn
