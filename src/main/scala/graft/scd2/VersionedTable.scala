@@ -43,13 +43,19 @@ object Partitioning {
   *   <root>/v=00007/__gp=<part>/part-*.parquet   data files of commit 7
   *   <root>/_versions/00007                      manifest (atomic rename)
   * }}}
-  * A manifest lists `(partitionValue, dataFile)` pairs plus the table
-  * schema and optional writer metadata. A version's manifest may
-  * reference files written by EARLIER commits: partition-scoped commits
-  * ([[replacePartitions]], [[append]]) carry untouched partitions
-  * forward **by reference**, so a commit is O(changed partitions), not
-  * O(table) — the property that makes per-micro-batch SCD2 merges
-  * viable at 100 TB (Iceberg's manifest-list mechanics, minimized).
+  * A manifest lists file entries — `(kind, commitSeq, partitionValue,
+  * path[, zoneCol, zoneMin, zoneMax])`, where kind is data or
+  * equality-delete ([[mergeDeltas]]) and the optional zone fields are
+  * per-file min/max stats of the lead clusterBy column ([[readRange]]/
+  * [[readForKeys]] pruning) — plus the table schema, commit timestamp,
+  * parent pointer, and optional writer metadata. A version's manifest
+  * may reference files written by EARLIER commits: partition-scoped
+  * commits ([[replacePartitions]], [[append]], [[mergeDeltas]]) carry
+  * untouched files forward **by reference**, so a commit is O(changed
+  * partitions) — or O(batch) in merge-on-read mode — not O(table):
+  * the property that makes per-micro-batch SCD2 merges viable at
+  * 100 TB (Iceberg's manifest-list + sequence-number mechanics,
+  * minimized).
   *
   * Commit protocol: data files are fully written first, then the
   * manifest is written to `_versions/.tmp-*` and atomically renamed to
