@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that would corrupt Bench's one-line JSON
+// contract with the driver. Inherit stdout/stderr instead.
+run / connectInput := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the LAST ~2000 chars of `sbt runMain` output for
+// Bench's one-line JSON; sbt's trailing "[success] Total time" banner
+// eats into that window, so suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

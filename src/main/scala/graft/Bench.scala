@@ -58,14 +58,41 @@ object Bench {
     val failures = results.count(_._2._2 < 0)
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
-    println(json)
-    // The stdout line is the driver contract, but captured tails have
-    // truncated it before (round 2's per-query map was cut mid-stream):
-    // persist the full artifact to a file alongside stdout.
+    // Full-precision artifact (cold + steady per query) goes to a file;
+    // see below for why stdout gets a trimmed twin.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
+    // The stdout line is the driver contract, but the driver keeps only
+    // the LAST ~2000 chars of output: rounds 1-3 all recorded
+    // `parsed: null` because the full-precision line outgrew that
+    // window. stdout therefore carries a compact twin — steady values
+    // at ms precision, cold map file-only — and if the per-query map
+    // STILL doesn't fit the budget, it keeps the slowest queries (the
+    // informative ones) and says how many were omitted. Never truncated
+    // mid-token: the line is always valid JSON.
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString // locale-safe, sheds trailing zeros
+    def compactLine(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => s"${jsonEscape(k)}:${ms(v)}" }.mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m$omit,"floor_sec":${ms(floor)},"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+    }
+    val budget = 1900 // chars; driver tail window is 2000 and this line is last — leave slack
+    val steady = results.map { case (k, v) => k -> v._2 }
+    val line = {
+      val all = compactLine(steady, 0)
+      if (all.length <= budget) all
+      else {
+        val bySlow = steady.sortBy(-_._2)
+        // largest prefix of slowest queries that fits the budget
+        val fitted = (bySlow.length to 1 by -1).iterator
+          .map(n => compactLine(bySlow.take(n).sortBy(_._1), bySlow.length - n))
+          .find(_.length <= budget)
+        fitted.getOrElse(compactLine(Nil, bySlow.length))
+      }
+    }
+    println(line)
     spark.stop()
     if (failures == results.size && results.nonEmpty) sys.exit(1)
   }
