@@ -680,6 +680,195 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------------- as-of join
+  // True point-in-time join: each event picks the latest order of the
+  // same key at-or-before its timestamp (the reference's Pinot
+  // "state as of" lookup generalized to two tables; README.MD:288-295).
+  // Spark-first shape: NOT a range join — union both sides tagged,
+  // ONE shuffle on the key, then a running last() per key in event-time
+  // order (the merge-asof plan; linear per partition, no quadratic
+  // candidate set, survives 100× both sides). Orders sort before events
+  // at equal timestamps so "at-or-before" is inclusive; o_orderkey is
+  // the tiebreak among equal-time orders — total order, both engines.
+  private val asofJoin: Q = (s, d) => {
+    import s.implicits._
+    val ords = Tables.orders(s, d).select(
+      $"o_custkey".as("k"), $"o_orderdate".cast("timestamp_ntz").as("t"),
+      $"o_orderkey".as("okey"), $"o_totalprice".as("oprice"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"))
+    val evs = Tables.events(s, d).select(
+      $"user_id".as("k"), $"ts".as("t"),
+      lit(null).cast("long").as("okey"), lit(null).cast("double").as("oprice"),
+      lit(1).as("is_event"), $"event_id", $"event_type")
+    val w = Window.partitionBy($"k").orderBy($"t", $"is_event", $"okey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ords.unionByName(evs)
+      .withColumn("last_order_key", last($"okey", ignoreNulls = true).over(w))
+      .withColumn("last_order_price", last($"oprice", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .select($"event_id", $"k".as("user_id"), $"event_type",
+        $"last_order_key", $"last_order_price")
+      .orderBy($"event_id")
+  }
+  private val asofJoinSql =
+    """WITH u AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS okey,
+      |         o_totalprice AS oprice, 0 AS is_event,
+      |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 1,
+      |         event_id, event_type
+      |  FROM events)
+      |SELECT event_id, k AS user_id, event_type,
+      |  LAST_VALUE(okey IGNORE NULLS) OVER w AS last_order_key,
+      |  LAST_VALUE(oprice IGNORE NULLS) OVER w AS last_order_price
+      |FROM u
+      |WINDOW w AS (PARTITION BY k ORDER BY t, is_event, okey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |QUALIFY is_event = 1
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------ set operations
+  // INTERSECT / EXCEPT (distinct set semantics in both engines): segment
+  // customers who have an open order but no large order. Spark plans
+  // both as aggregated joins — shuffle on the single key column.
+  private val setOps: Q = (s, d) => {
+    import s.implicits._
+    val building = Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val open = Tables.orders(s, d)
+      .filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey"))
+    val big = Tables.orders(s, d)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey".as("custkey"))
+    building.intersect(open).except(big).orderBy($"custkey")
+  }
+  private val setOpsSql =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------------------- pivot
+  // Pivot (crosstab): order counts by priority × status. Explicit pivot
+  // values keep the output schema static (no extra distinct-values job,
+  // and the plan is a single hash aggregate — exactly the CASE/FILTER
+  // formulation the oracle uses). Missing combinations are 0, not null,
+  // to match FILTER-count semantics.
+  private val pivotStatus: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("status_f"),
+        coalesce($"O", lit(0L)).as("status_o"),
+        coalesce($"P", lit(0L)).as("status_p"))
+      .orderBy($"o_orderpriority")
+  }
+  private val pivotStatusSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------ ranking windows
+  // rank / dense_rank / ntile / percent_rank / cume_dist over a
+  // tie-broken total order (c_custkey tiebreak makes every position —
+  // and therefore every ntile bucket — deterministic across engines).
+  // percent_rank and cume_dist are exact ratios of identical integers,
+  // so the doubles agree bit-for-bit.
+  private val windowRanks: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+  private val windowRanksSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // ------------------------------------------- higher-order array functions
+  // transform / filter / aggregate / array_distinct over tokenized text —
+  // the codegen'd lambda surface (no UDFs; SURVEY §2.11). Pure map over
+  // the scan: no shuffle, scales linearly.
+  private val arrayFuncs: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        size(filter($"ws", x => length(x) > 4)).cast("long").as("n_long"),
+        aggregate(transform($"ws", x => length(x)), lit(0), (a, x) => a + x)
+          .cast("long").as("sum_len"),
+        size(array_distinct($"ws")).cast("long").as("n_distinct"),
+        array_max(transform($"ws", x => length(x))).cast("long").as("max_len"))
+      .orderBy($"doc_id")
+  }
+  private val arrayFuncsSql =
+    """SELECT doc_id,
+      |  len(ws) AS n_tokens,
+      |  CAST(len(list_filter(ws, x -> length(x) > 4)) AS BIGINT) AS n_long,
+      |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_len,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |  CAST(list_max(list_transform(ws, x -> length(x))) AS BIGINT) AS max_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- TPC-H Q3 shipping priority
+  // The classic 3-way join + grouped revenue + ordered limit, with the
+  // plan you'd want at scale: the segment-filtered dimension broadcasts,
+  // the orders⋈lineitem fact join shuffles on the order key, and the
+  // final top-10 is TakeOrderedAndProject (no global sort).
+  private val shippingPriority: Q = (s, d) => {
+    import s.implicits._
+    val cut = lit(java.sql.Timestamp.valueOf("1997-06-15 00:00:00"))
+    val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(s, d).filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, d).filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+  private val shippingPrioritySql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |         * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -713,6 +902,12 @@ object Relational {
     "rel_global_aggs"        -> globalAggs,
     "rel_op_breakdown"       -> opBreakdown,
     "rel_incremental_filter" -> incrementalFilter,
+    "rel_asof_join"          -> asofJoin,
+    "rel_setops"             -> setOps,
+    "rel_pivot"              -> pivotStatus,
+    "rel_window_ranks"       -> windowRanks,
+    "rel_array_funcs"        -> arrayFuncs,
+    "rel_shipping_priority"  -> shippingPriority,
   )
 
   val oracles: Map[String, String] = Map(
@@ -745,5 +940,11 @@ object Relational {
     "rel_global_aggs"        -> globalAggsSql,
     "rel_op_breakdown"       -> opBreakdownSql,
     "rel_incremental_filter" -> incrementalFilterSql,
+    "rel_asof_join"          -> asofJoinSql,
+    "rel_setops"             -> setOpsSql,
+    "rel_pivot"              -> pivotStatusSql,
+    "rel_window_ranks"       -> windowRanksSql,
+    "rel_array_funcs"        -> arrayFuncsSql,
+    "rel_shipping_priority"  -> shippingPrioritySql,
   )
 }
