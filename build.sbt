@@ -15,7 +15,7 @@ run / fork := true
 // every line with "[info] " — that would corrupt Bench's one-line JSON
 // contract with the driver. Inherit stdout/stderr instead.
 run / connectInput := false
-outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The driver parses the LAST ~2000 chars of `sbt runMain` output for
 // Bench's one-line JSON; sbt's trailing "[success] Total time" banner
 // eats into that window, so suppress it.
@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default zone too: java.sql.Timestamp/LocalDateTime
+  // conversions outside Spark's session-zone machinery stay UTC-stable
+  // regardless of the host's /etc/localtime.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

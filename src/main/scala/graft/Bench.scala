@@ -76,7 +76,10 @@ object Bench {
     def compactLine(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.map { case (k, v) => s"${jsonEscape(k)}:${ms(v)}" }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m$omit,"floor_sec":${ms(floor)},"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+      // basename only: the full sfDir path is in the file artifact, and an
+      // arbitrarily long path here could push even the zero-query fallback
+      // line past the budget, breaking the always-valid-JSON guarantee.
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m$omit,"floor_sec":${ms(floor)},"failures":$failures,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
     }
     val budget = 1900 // chars; driver tail window is 2000 and this line is last — leave slack
     val steady = results.map { case (k, v) => k -> v._2 }

@@ -557,7 +557,43 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------- incremental dedup
+  // The production shape of corpus maintenance: a NEW batch of documents
+  // arrives and must be checked against the already-ingested corpus
+  // without rescoring the corpus itself. Fingerprint = md5 of the first
+  // 10 tokens (a coarse prefix key; the synthetic corpus has no exact
+  // full-text dups, but perturbed copies share prefixes so both the
+  // hit and miss paths fire at every SF). One equi-join on the 16-byte
+  // fingerprint against the DISTINCT corpus index — at 100 TB the
+  // corpus side is the big one, so the join shuffles on the fingerprint
+  // alone (no text movement) and a bloom-filter pre-pass over the batch
+  // would drop the guaranteed-new rows before the shuffle; AQE handles
+  // the toy scale here.
+  private def prefixFp(c: Column): Column =
+    md5(concat_ws(" ", slice(split(c, " "), 1, 10)))
+  private val incremental: Q = (s, d) => {
+    import s.implicits._
+    val fps = Tables.documents(s, d).select($"doc_id", prefixFp($"text").as("fp"))
+    val corpus = fps.filter($"doc_id" % 5 =!= 0)
+      .select($"fp").distinct().withColumn("hit", lit(1))
+    fps.filter($"doc_id" % 5 === 0)
+      .join(corpus, Seq("fp"), "left")
+      .select($"doc_id", $"fp", $"hit".isNotNull.as("is_dup"))
+      .orderBy($"doc_id")
+  }
+  private val incrementalSql =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string((string_split(text,' '))[1:10],' ')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+      |SELECT b.doc_id, b.fp, (c.fp IS NOT NULL) AS is_dup
+      |FROM fp b LEFT JOIN corpus c ON b.fp = c.fp
+      |WHERE b.doc_id % 5 = 0
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_incremental" -> incremental,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_jaccard_blocked" -> ngramJaccardBlocked,
@@ -567,6 +603,7 @@ object Dedup {
     "dedup_dedupe" -> dedupe)
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     // identical result set by the recall condition on jaccardPairsBlocked:

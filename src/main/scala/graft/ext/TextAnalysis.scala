@@ -544,7 +544,39 @@ object TextAnalysis {
       |SELECT doc_id, CAST(rank AS INT) AS rank, w, tf, df
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------ edit-distance verify
+  // Near-dup VERIFICATION by true Levenshtein distance, blocked the way
+  // a production pipeline would: candidates are generated by a cheap
+  // equi-join on a prefix fingerprint (md5 of the first 10 tokens — one
+  // hash-partitioned shuffle, never all-pairs), and only those pairs pay
+  // the O(len²) DP, on a bounded 120-char head so per-pair cost is a
+  // constant regardless of document size. Both engines implement
+  // classic Levenshtein → exact integer agreement.
+  private val editDistance: Q = (s, d) => {
+    import s.implicits._
+    val fp = Tables.documents(s, d).select(
+      $"doc_id",
+      md5(concat_ws(" ", slice(toks($"text"), 1, 10))).as("fp"),
+      substring($"text", 1, 120).as("head"))
+    val a = fp.as("a"); val b = fp.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+      .orderBy($"a_id", $"b_id")
+  }
+  private val editDistanceSql =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string((string_split(text,' '))[1:10],' ')) AS fp,
+      |    substr(text, 1, 120) AS head
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_edit_distance" -> editDistance,
     "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -561,6 +593,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_edit_distance" -> editDistanceSql,
     "text_winnow_fingerprint" -> winnowSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality" -> qualitySql,

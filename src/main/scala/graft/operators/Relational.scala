@@ -840,7 +840,10 @@ object Relational {
   // final top-10 is TakeOrderedAndProject (no global sort).
   private val shippingPriority: Q = (s, d) => {
     import s.implicits._
-    val cut = lit(java.sql.Timestamp.valueOf("1997-06-15 00:00:00"))
+    // tz-independent literal: Timestamp.valueOf parses in the JVM default
+    // zone, which shifts the instant vs the oracle's naive TIMESTAMP on a
+    // non-UTC host; an NTZ cast of the string never consults the zone.
+    val cut = lit("1997-06-15 00:00:00").cast("timestamp_ntz")
     val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       .select($"c_custkey")
     val ord = Tables.orders(s, d).filter($"o_orderdate" < cut)
