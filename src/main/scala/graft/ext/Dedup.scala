@@ -92,7 +92,10 @@ object Dedup {
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shash") === col("b.shash") &&
+    // shuffled-hash, not sort-merge: the blocking key (shash) is a
+    // salted-uniform 64-bit hash, so per-partition build sides are
+    // near-constant and the two O(n log n) sorts are pure overhead
+    val inter = a.hint("shuffle_hash").join(b, col("a.shash") === col("b.shash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -161,17 +164,17 @@ object Dedup {
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
-    // Document frequency via a count window partitioned by the 8-byte
-    // shingle hash — NOT a separate groupBy+join-back: one exchange on
-    // shash serves the df computation, the rare/hot split, and both
-    // sides of the blocking self-join below (identical partitioning and
-    // sort → planned as one reused exchange; the agg+join formulation
-    // paid a second full shuffle of the shingle table).
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("shash"))
-    val sh2 = sh.withColumn("df", count(lit(1)).over(wdf))
-    val rare = sh2.filter(col("df") <= maxBlockDf)
-    val hot = sh2.filter(col("df") > maxBlockDf)
-    val interRare = rare.as("a").join(rare.as("b"),
+    // Hot-key discovery by hash aggregate + BROADCAST, not a window:
+    // hot shingles are few by construction (≤ rows/maxBlockDf keys can
+    // exceed the cap), so the rare/hot split is a map-side anti/semi
+    // join against a broadcast set — no global sort of the shingle
+    // table, and the self-join below goes shuffled-hash on the
+    // uniform 64-bit key instead of paying two O(n log n) sorts.
+    val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBlockDf).select(col("shash"))
+    val rare = sh.join(broadcast(hotKeys), Seq("shash"), "left_anti")
+    val hot = sh.join(broadcast(hotKeys), Seq("shash"), "left_semi")
+    val interRare = rare.as("a").hint("shuffle_hash").join(rare.as("b"),
         col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
       .agg(count(lit(1)).as("inter_rare"))
@@ -463,16 +466,21 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbor = edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
-        .select(col("v").as("doc_id"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .select(col("v").as("doc_id"), col("label"),
+          lit(null).cast("long").as("prev"))
+      // the node's own row rides its previous label through the same
+      // aggregate (exactly one self row per doc_id → max(prev) IS the
+      // previous label), so convergence is a filter over the already-
+      // materialized checkpoint — no per-round join-with-previous job
+      val next = labels.withColumn("prev", col("label"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint()
       // round 1 always changes something when any edge exists (the
-      // larger endpoint adopts the smaller label), so the convergence
-      // probe — a join + count job — starts at round 2
-      converged = i > 0 && next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      // larger endpoint adopts the smaller label) → probe from round 2
+      converged = i > 0 && next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       i += 1
     }
     labels
