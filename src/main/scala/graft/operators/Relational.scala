@@ -874,7 +874,167 @@ object Relational {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------- funnel analysis
+  // Ordered conversion funnel view → click → purchase: each stage's
+  // timestamp is the user's first qualifying event STRICTLY AFTER the
+  // previous stage (not just "did both" — order matters). Spark-first
+  // shape: three keyed min-aggregates chained by equi-joins on user_id,
+  // so every stage re-uses the same hash partitioning (exchange reuse)
+  // and the plan is linear in events — no per-user window sort over the
+  // whole event log, which matters when one table is 100 TB of events.
+  private val funnel: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click").join(views, "user_id")
+      .filter($"ts" > $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase").join(clicks, "user_id")
+      .filter($"ts" > $"click_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    views.join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts")
+      .orderBy($"user_id")
+  }
+  private val funnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ------------------------------------------------------ retention cohorts
+  // Weekly cohort retention: cohort = the Monday of a user's first
+  // active week; one row per (cohort_week, active week) with distinct
+  // actives. Two shuffles total — user-keyed min for the cohort, then
+  // a (cohort, week)-keyed distinct count; the distinct-user dedup
+  // happens in the same user-keyed exchange as the cohort join.
+  private val retention: Q = (s, d) => {
+    import s.implicits._
+    val weeks = Tables.events(s, d)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks.distinct().join(cohorts, "user_id")
+      .groupBy($"cohort_week", $"week")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week")
+  }
+  private val retentionSql =
+    """WITH w AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |           FROM events),
+      |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, week FROM w)
+      |SELECT c.cohort_week, a.week, COUNT(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN coh c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------- grouping sets
+  // Explicit GROUPING SETS (beyond the cube/rollup surfaces): per-status,
+  // per-priority, and grand-total aggregates in ONE pass over orders —
+  // Spark expands the sets before the aggregate, so it's still a single
+  // shuffle. grouping() flags (not grouping_id) keep the bit semantics
+  // engine-portable.
+  private val groupingSetsQ: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"))
+      .orderBy($"g_status", $"g_priority", $"o_orderstatus", $"o_orderpriority")
+  }
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
+  // ------------------------------------------------- distribution windows
+  // ntile / percent_rank / cume_dist over a UNIQUE ordering (totalprice
+  // then orderkey) — the tiebreak makes every rank deterministic, so
+  // the exact-double (rank-1)/(n-1) arithmetic agrees across engines.
+  private val windowDistribution: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d).select(
+      $"o_orderkey", $"o_orderpriority",
+      ntile(4).over(w).cast("int").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
+  }
+  private val windowDistributionSql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ TPC-H Q5 nation volume
+  // The 6-way snowflake: facts (orders ⋈ lineitem) shuffle on the order
+  // key once; customer, supplier, nation, region all broadcast (each is
+  // tiny next to lineitem at any scale factor); the local-supplier
+  // predicate c_nationkey = s_nationkey rides the broadcast joins as a
+  // residual — no extra shuffle.
+  private val nationRevenue: Q = (s, d) => {
+    import s.implicits._
+    val lo = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            $"o_orderdate" < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+          .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+    lo.join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  private val nationRevenueSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |         * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rel_funnel"             -> funnel,
+    "rel_retention"          -> retention,
+    "rel_grouping_sets"      -> groupingSetsQ,
+    "rel_window_distribution" -> windowDistribution,
+    "rel_nation_revenue"     -> nationRevenue,
     "rel_cube"               -> cube,
     "rel_percentiles"        -> percentiles,
     "rel_string_funcs"       -> stringFuncs,
@@ -914,6 +1074,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_funnel"             -> funnelSql,
+    "rel_retention"          -> retentionSql,
+    "rel_grouping_sets"      -> groupingSetsSql,
+    "rel_window_distribution" -> windowDistributionSql,
+    "rel_nation_revenue"     -> nationRevenueSql,
     "rel_cube"               -> cubeSql,
     "rel_percentiles"        -> percentilesSql,
     "rel_string_funcs"       -> stringFuncsSql,

@@ -130,4 +130,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count") ||
       p.contains("Partial"), s"no partial aggregation before exchange:\n$p")
   }
+
+  test("nation revenue broadcasts all four dimensions") {
+    val p = plan("rel_nation_revenue")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    // customer, supplier, nation, region — every dim rides a broadcast;
+    // only the orders ⋈ lineitem fact edge may shuffle
+    assert(bhj >= 4, s"expected ≥4 broadcast joins, found $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("funnel prunes the event payload columns at the scan") {
+    val p = plan("rel_funnel")
+    // the funnel touches (user_id, event_type, ts) only — dragging the
+    // props JSON blob through three joins would dominate I/O at scale
+    assert(!p.contains("props") && !p.contains("value"),
+      s"event payload columns must not reach the funnel plan:\n$p")
+  }
+
+  test("grouping sets expand in one pass (single aggregate shuffle)") {
+    val p = plan("rel_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan Expand:\n$p")
+  }
+
+  test("jaccard self-joins are shuffled-hash, not sort-merge") {
+    // the blocking key is a uniform 64-bit hash: per-partition build
+    // sides are near-constant and the two O(n log n) sorts of the
+    // full shingle table are pure overhead at any scale
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), s"shingle self-join regressed to SMJ:\n$p")
+  }
 }
