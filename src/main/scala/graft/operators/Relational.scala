@@ -741,7 +741,9 @@ object Relational {
     val open = Tables.orders(s, d)
       .filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey"))
     val big = Tables.orders(s, d)
-      .filter($"o_totalprice" > 300000.0).select($"o_custkey".as("custkey"))
+      // 450000: keeps the EXCEPT leg selective at every fixture SF —
+      // at 300000 it swallowed the whole intersection at sf0.001
+      .filter($"o_totalprice" > 450000.0).select($"o_custkey".as("custkey"))
     building.intersect(open).except(big).orderBy($"custkey")
   }
   private val setOpsSql =
@@ -749,7 +751,7 @@ object Relational {
       |INTERSECT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |EXCEPT
-      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
       |ORDER BY custkey""".stripMargin
 
   // ------------------------------------------------------------- pivot
