@@ -419,4 +419,24 @@ object Streams {
         s" AND ts + INTERVAL $tolerance"),
       joinType)
   }
+
+  // ----------------------------------------------- streaming corpus dedup
+  /** Streaming exact dedup of a document ingest stream: the FIRST
+    * arrival per content fingerprint survives, later copies landing
+    * within the watermark horizon are dropped by keyed state
+    * (`dropDuplicatesWithinWatermark`). The watermark bounds the state
+    * store — a fingerprint is evictable once event time passes its
+    * horizon, so state is O(in-horizon distinct docs), never O(corpus).
+    * Re-arrivals beyond the horizon are deliberately out of scope for
+    * the hot path: at 100 TB the split is exactly this — streaming
+    * dedup absorbs the duplicate bursts (retries, crawler re-fetches),
+    * and the batch `Dedup.exact` pass over the landed corpus is the
+    * compaction-time backstop. Expects (doc_id, text, `tsCol`) columns;
+    * append mode emits each first-seen row immediately (first-wins is
+    * final, no window close to wait for). */
+  def dedupedIngest(docs: DataFrame, tsCol: String = "ingest_ts",
+                    watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_fp", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
 }

@@ -362,6 +362,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= expected.size + 1) // + at most the flush event's window
   }
 
+  test("streaming corpus dedup: first arrival per fingerprint survives") {
+    import spark.implicits._
+    val in = tmp(); val out = tmp() + "/dedup"; val ck = tmp() + "/ck"
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ingest_ts":"$ts"}"""
+    // batch 1: two distinct docs; batch 2: an exact re-fetch of doc 1's
+    // text (within the watermark → dropped) plus a genuinely new doc
+    writeLines(in, "b1.jsonl", Seq(
+      doc(1, "alpha beta gamma", "2024-01-01 10:00:00"),
+      doc(2, "delta epsilon", "2024-01-01 10:00:01")))
+    writeLines(in, "b2.jsonl", Seq(
+      doc(3, "alpha beta gamma", "2024-01-01 10:00:05"),
+      doc(4, "zeta eta", "2024-01-01 10:00:06")))
+    val schema = "doc_id LONG, text STRING, ingest_ts TIMESTAMP"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    Streams.dedupedIngest(stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L), s"doc 3 is a dup of doc 1's content: $got")
+    // every surviving fingerprint is unique
+    val fps = spark.read.parquet(out).select($"content_fp").as[String].collect()
+    assert(fps.distinct.length === fps.length)
+  }
+
   test("streaming session windows: per-key sessions close after the gap") {
     import spark.implicits._
     val in = tmp(); val out = tmp() + "/sess"; val ck = tmp() + "/ck"
