@@ -172,6 +172,18 @@ object Dedup {
     // uniform 64-bit key instead of paying two O(n log n) sorts.
     val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBlockDf).select(col("shash"))
+      .localCheckpoint()
+    // Adaptive shortcut (AQE-style stats-driven planning, exact by
+    // definition): if NO shingle exceeds the cap, "blocked" and
+    // uncapped are the same function — skip the split machinery
+    // (anti/semi splits, the hot-intersection branch, the final merge
+    // join) and run the plain pass. The probe costs one aggregate over
+    // the already-materialized shingles; a healthy cap on a clean
+    // corpus hits this path, a stopword-ridden crawl takes the split.
+    if (hotKeys.isEmpty) {
+      return jaccardPairs(sh).filter(col("jaccard") >= 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }
     val rare = sh.join(broadcast(hotKeys), Seq("shash"), "left_anti")
     val hot = sh.join(broadcast(hotKeys), Seq("shash"), "left_semi")
     val interRare = rare.as("a").hint("shuffle_hash").join(rare.as("b"),

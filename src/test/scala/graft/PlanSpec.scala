@@ -66,11 +66,27 @@ class PlanSpec extends SparkSpec {
     assert(logical.contains("Join"), logical)
   }
 
-  test("blocked jaccard plans the document-frequency cap on blocking") {
+  test("blocked jaccard plans the df-cap split when hot shingles exist") {
+    // tight cap → hot keys exist → the split machinery must plan:
+    // anti join (rare side) + semi join (hot side) against the
+    // broadcast hot-key set, with the df filter gating it
+    val df = Dedup.jaccardPairsBlockedForTest(spark, sfDir, maxBlockDf = 3)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // (the df filter itself lives inside the checkpointed hot-key RDD,
+    // so it can't appear in this plan; ExtSpec pins the tight-cap
+    // RESULT equals the uncapped pass)
+    assert(logical.contains("LeftAnti") && logical.contains("LeftSemi"),
+      s"rare/hot broadcast split missing:\n$logical")
+  }
+
+  test("blocked jaccard at a no-op cap takes the adaptive plain path") {
+    // stats probe finds no hot shingle at the default cap on these
+    // fixtures → blocked ≡ uncapped by definition, and the plan must
+    // BE the plain pass (no split joins, no hot-intersection branch)
     val df = Dedup.queries("dedup_ngram_jaccard_blocked")(spark, sfDir)
     val logical = df.queryExecution.optimizedPlan.toString
-    assert(logical.contains("(df#") || logical.contains("df <= 1000") ||
-      logical.contains("(df <="), s"df cap must gate candidate generation:\n$logical")
+    assert(!logical.contains("LeftAnti") && !logical.contains("LeftSemi"),
+      s"cap never fires here — split machinery should be elided:\n$logical")
   }
 
   test("train split and chunking are pure maps (no hash shuffle)") {
