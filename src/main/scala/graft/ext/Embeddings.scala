@@ -127,13 +127,78 @@ object Embeddings {
       |  END AS n_hash
       |FROM j ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------- cluster assignment
+  // The k-means assignment step: every vector goes to its nearest
+  // per-label centroid (the codebook the centroids query builds — the
+  // IVF quantizer made oracle-checkable). Distance stays EXACT until a
+  // final division: per dim, (q_v·n_l − sq_ld)² is an exact BIGINT
+  // (q_v = 1e-6-grid value, n_l = label count, sq_ld = label's grid
+  // sum), and Σ over dims is an order-free long sum; dist² = S/n_l² is
+  // ONE double division from identical integers → identical in every
+  // engine, so argmin needs no rounding. Tie break by label. Scale
+  // shape: the codebook (labels × dims rows) broadcasts; the vector
+  // side streams through one posexplode + one (vec_id, label) aggregate.
+  private val clusterAssign: Q = (s, d) => {
+    import s.implicits._
+    val qv = Tables.embeddings(s, d)
+      .select($"vec_id", $"label".as("true_label"), posexplode($"embedding"))
+      .select($"vec_id", $"true_label", ($"pos" + 1).cast("int").as("dim"),
+        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("q"))
+    val code = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"),
+        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+    val diff = $"q" * $"n" - $"sq"
+    qv.join(broadcast(code), "dim")
+      .groupBy($"vec_id", $"label")
+      .agg(first($"true_label").as("true_label"),
+        sum(diff * diff).as("s2"), first($"n").as("n"))
+      .select($"vec_id", $"true_label", $"label",
+        ($"s2".cast("double") / ($"n" * $"n")).as("dist2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"dist2", $"label")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"true_label", $"label".as("assigned_label"), $"dist2")
+      .orderBy($"vec_id")
+  }
+  private val clusterAssignSql =
+    """WITH u AS (
+      |  SELECT vec_id, label AS true_label, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT u.vec_id, MIN(u.true_label) AS true_label, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY u.vec_id, code.label),
+      |r AS (
+      |  SELECT vec_id, true_label, label,
+      |    CAST(s2 AS DOUBLE) / (n * n) AS dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |  FROM d)
+      |SELECT vec_id, true_label, label AS assigned_label, dist2
+      |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "emb_centroids" -> centroids,
     "emb_quantize" -> quantize,
-    "emb_normalize" -> normalize)
+    "emb_normalize" -> normalize,
+    "sim_cluster_assign" -> clusterAssign)
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> centroidsSql,
     "emb_quantize" -> quantizeSql,
-    "emb_normalize" -> normalizeSql)
+    "emb_normalize" -> normalizeSql,
+    "sim_cluster_assign" -> clusterAssignSql)
 }

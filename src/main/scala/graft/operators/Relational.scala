@@ -1031,7 +1031,51 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ----------------------------------------------------- salted join gate
+  // The skew-salting operator under the oracle gate: result must be
+  // EXACTLY the plain inner join (the oracle computes the plain join),
+  // while the engine-side plan shards each key over `salt` sub-keys —
+  // the mitigation for power-law keys whose single task would otherwise
+  // own a hot key at 100 TB. Aggregated output keeps the gate small.
+  private val saltedJoin: Q = (s, d) => {
+    import s.implicits._
+    val big = Tables.orders(s, d)
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val small = Tables.customer(s, d)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    Skew.saltedJoin(big, small, "custkey", salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+  private val saltedJoinSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------- histogram
+  // Fixed-width value histogram over the event stream: bucket =
+  // floor(value / 50) — double division of identical operands, exact
+  // in both engines. One aggregate shuffle keyed by bucket.
+  private val histogram: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(floor($"value" / lit(50.0)).cast("int").as("bucket"), $"value")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .orderBy($"bucket")
+  }
+  private val histogramSql =
+    """SELECT CAST(floor(value / 50.0) AS INT) AS bucket, COUNT(*) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rel_salted_join"        -> saltedJoin,
+    "rel_histogram"          -> histogram,
     "rel_funnel"             -> funnel,
     "rel_retention"          -> retention,
     "rel_grouping_sets"      -> groupingSetsQ,
@@ -1076,6 +1120,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_salted_join"        -> saltedJoinSql,
+    "rel_histogram"          -> histogramSql,
     "rel_funnel"             -> funnelSql,
     "rel_retention"          -> retentionSql,
     "rel_grouping_sets"      -> groupingSetsSql,
