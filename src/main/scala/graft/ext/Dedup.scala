@@ -577,6 +577,46 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------- containment
+  // ASYMMETRIC near-dup: containment C(A,B) = |A∩B| / min(|A|,|B|)
+  // catches a document swallowed by another (boilerplate wrappers,
+  // long quotations, page-of-pages) that symmetric Jaccard misses —
+  // |A∩B|/|A∪B| stays small when one side is much larger. Same
+  // blocking shape as the Jaccard pass: one shuffled-hash self-join on
+  // the 8-byte shingle hash, division is double-of-exact-ints.
+  private val containment: Q = (s, d) => {
+    val sh = shingleSets(s, d)
+    val sz = sizesOf(sh)
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.hint("shuffle_hash").join(b,
+        col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        greatest(col("inter").cast("double") / col("na"),
+          col("inter").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val containmentSql =
+    s"""WITH $shingleSqlCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  greatest(CAST(inter AS DOUBLE) / sa.n,
+       |           CAST(inter AS DOUBLE) / sb.n) AS containment
+       |FROM inter JOIN sz sa ON sa.doc_id = a_id
+       |           JOIN sz sb ON sb.doc_id = b_id
+       |WHERE greatest(CAST(inter AS DOUBLE) / sa.n,
+       |               CAST(inter AS DOUBLE) / sb.n) >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------- incremental dedup
   // The production shape of corpus maintenance: a NEW batch of documents
   // arrives and must be checked against the already-ingested corpus
@@ -614,6 +654,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> incremental,
+    "dedup_containment" -> containment,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_jaccard_blocked" -> ngramJaccardBlocked,
@@ -624,6 +665,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalSql,
+    "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     // identical result set by the recall condition on jaccardPairsBlocked:
