@@ -114,6 +114,40 @@ object Multimodal {
       |  substr(md5(text), 1, 8) AS content_key
       |FROM documents ORDER BY media_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("multimodal_meta" -> meta)
-  val oracles: Map[String, String] = Map("multimodal_meta" -> metaSql)
+  // Frame-sampling under the oracle gate: the whole typed pipeline
+  // (mediaTable → mapPartitions decode → flatMap frame explosion) is
+  // md5-deterministic, so DuckDB replays it from the hex digest — the
+  // stub codec's byte-2 duration arithmetic included. This gates the
+  // row-MULTIPLYING stage's output (count per video + key scheme), the
+  // part of the multimodal lane whose shape matters at scale.
+  private val frames: Q = (s, d) => {
+    import s.implicits._
+    sampleFrames(decode(mediaTable(s, d))).toDF()
+      .select($"media_id", $"frame_no".cast("int").as("frame_no"), $"frame_key")
+      .orderBy($"media_id", $"frame_no")
+  }
+  private val framesSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, md5(text) AS h, substr(md5(text),1,8) AS ck
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |v AS (
+      |  SELECT media_id, ck,
+      |    (strpos('0123456789abcdef', substr(h,5,1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(h,6,1)) - 1) AS b2
+      |  FROM m),
+      |f AS (
+      |  SELECT media_id, ck,
+      |    greatest(1, CAST((1000 * (b2 % 300 + 1)) // 10000 AS INT)) AS n
+      |  FROM v)
+      |SELECT media_id, CAST(i AS INT) AS frame_no,
+      |  ck || '-' || CAST(i AS VARCHAR) AS frame_key
+      |FROM f, unnest(generate_series(0, n - 1)) t(i)
+      |ORDER BY media_id, frame_no""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_meta" -> meta,
+    "multimodal_frames" -> frames)
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" -> metaSql,
+    "multimodal_frames" -> framesSql)
 }
