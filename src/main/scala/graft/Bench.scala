@@ -12,11 +12,13 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case NonFatal(_) => () }
     }
     // Three timed iterations per query: run 1 is COLD (includes codegen
-    // compilation and scan warmup — the one-off driver costs), run 3 is
-    // STEADY STATE (what scales with data). The headline total and the
-    // `queries` map carry steady numbers — same post-warm semantics as
-    // earlier rounds, so totals stay comparable — and `queries_cold`
-    // rides along so cold/steady drift is attributable per query.
+    // compilation and scan warmup — the one-off driver costs); STEADY
+    // is the MIN of the two post-warm runs — the standard steady-state
+    // estimator (a single third-run sample carried transient box noise
+    // straight into the headline; min of repeats measures the query,
+    // not the neighbor's GC). Same post-warm semantics as earlier
+    // rounds. `queries_cold` rides along so cold/steady drift is
+    // attributable per query.
     // Failed queries report -1 and are excluded from totals; fatal JVM
     // errors abort the run.
     // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (iteration)
@@ -31,8 +33,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val cold = timed()
-        timed()
-        val steady = timed()
+        val steady = math.min(timed(), timed())
         name -> (cold, steady)
       } catch {
         case NonFatal(e) =>
