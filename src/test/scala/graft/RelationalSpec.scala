@@ -87,4 +87,41 @@ class RelationalSpec extends SparkSpec {
     val expected = ev.filter($"ts" > lit(ck)).count()
     assert(total == expected)
   }
+
+  test("funnel stages are monotone and strictly ordered in time") {
+    import spark.implicits._
+    val f = run("rel_funnel").cache()
+    val views = f.count()
+    val clicks = f.filter($"click_ts".isNotNull)
+    val purchases = f.filter($"purchase_ts".isNotNull)
+    // each stage is a subset of the previous one
+    assert(views >= clicks.count() && clicks.count() >= purchases.count())
+    // a purchase_ts implies a click_ts (no stage skipping)
+    assert(purchases.filter($"click_ts".isNull).count() == 0)
+    // stage timestamps are STRICTLY increasing per user
+    assert(clicks.filter($"click_ts" <= $"view_ts").count() == 0)
+    assert(purchases.filter($"purchase_ts" <= $"click_ts").count() == 0)
+    f.unpersist()
+  }
+
+  test("retention cohorts: active week is never before the cohort week") {
+    import spark.implicits._
+    val r = run("rel_retention").cache()
+    assert(r.filter($"week" < $"cohort_week").count() == 0)
+    // each cohort's first active week is the cohort week itself
+    val firsts = r.groupBy($"cohort_week").agg(min($"week").as("w"))
+    assert(firsts.filter($"w" =!= $"cohort_week").count() == 0)
+    r.unpersist()
+  }
+
+  test("salted join result equals the plain join") {
+    import spark.implicits._
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_plain"))
+    val salted = run("rel_salted_join")
+    val joined = salted.join(plain, "c_mktsegment")
+    assert(joined.filter($"n_orders" =!= $"n_plain").count() == 0)
+    assert(salted.count() == plain.count())
+  }
 }
