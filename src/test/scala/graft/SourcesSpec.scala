@@ -65,4 +65,22 @@ class SourcesSpec extends SparkSpec {
     assert(par.rdd.getNumPartitions == 4)
     assert(par.select("ID").collect().map(_.getInt(0)).sorted.toSeq == (1 to 97))
   }
+
+  test("batch formats round-trip: csv, json, orc read back parquet truth") {
+    // the engine's batch-scan surface beyond parquet — schema-explicit
+    // reads (production never infers), identical content per format
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val truth = Tables.nation(spark, sfDir).orderBy("n_nationkey")
+    val rows = truth.collect().toSeq
+    truth.write.option("header", "true").csv(s"$dir/csv")
+    truth.write.json(s"$dir/json")
+    truth.write.orc(s"$dir/orc")
+    val schema = truth.schema
+    def back(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("n_nationkey").collect().toSeq
+    assert(back(spark.read.schema(schema).option("header", "true")
+      .csv(s"$dir/csv")) == rows)
+    assert(back(spark.read.schema(schema).json(s"$dir/json")) == rows)
+    assert(back(spark.read.schema(schema).orc(s"$dir/orc")) == rows)
+  }
 }
