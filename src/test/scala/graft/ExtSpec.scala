@@ -209,6 +209,38 @@ class ExtSpec extends SparkSpec {
     assert(lab.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("connected components: random graphs match a union-find ground truth") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 20 + trial * 10
+      val edges = (1 to n).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> find(v)).toMap
+      // min-relabel: union-find roots aren't guaranteed minimal, so
+      // normalize both sides to component-minimum labels
+      val minOf = truth.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val expected = truth.map { case (v, r) => v -> minOf(r) }
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
   test("dedup_clusters: pairs land in one cluster; keeper is the component min") {
     val pr = pairs(Dedup.queries("dedup_ngram_jaccard")(spark, sfDir))
     val cl = Dedup.queries("dedup_clusters")(spark, sfDir).collect()
