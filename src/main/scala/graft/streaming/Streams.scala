@@ -420,6 +420,51 @@ object Streams {
       joinType)
   }
 
+  // ----------------------------------------------- streaming funnel
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: java.sql.Timestamp)
+  final case class FunnelProgress(user_id: Long,
+                                  view_ts: Option[java.sql.Timestamp],
+                                  click_ts: Option[java.sql.Timestamp],
+                                  purchase_ts: Option[java.sql.Timestamp])
+
+  /** Real-time twin of the batch `rel_funnel`: per-user ordered
+    * view → click → purchase progression as keyed state (FMGWS). Each
+    * stage locks to the first qualifying event STRICTLY AFTER the
+    * previous stage; the group emits its progress row whenever a stage
+    * advances. State is O(users), one small fixed-size record each —
+    * partitioned by user, no global ordering requirement. Events
+    * inside a micro-batch apply in event-time order; CROSS-batch
+    * order is taken as delivered (matches the batch min-aggregate
+    * truth when the stream is time-ordered across batches — the
+    * kafka-per-key-partition delivery the reference assumes; a
+    * watermark + buffer would harden it against late storms). */
+  def funnelProgress(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          val before = state.getOption
+          var st = before.getOrElse(FunnelProgress(uid, None, None, None))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            e.event_type match {
+              case "view" if st.view_ts.isEmpty =>
+                st = st.copy(view_ts = Some(e.ts))
+              case "click" if st.click_ts.isEmpty && st.view_ts.exists(v =>
+                  e.ts.getTime > v.getTime) =>
+                st = st.copy(click_ts = Some(e.ts))
+              case "purchase" if st.purchase_ts.isEmpty && st.click_ts.exists(c =>
+                  e.ts.getTime > c.getTime) =>
+                st = st.copy(purchase_ts = Some(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          if (before.contains(st)) Iterator.empty else Iterator.single(st)
+      }
+  }
+
   // ----------------------------------------------- streaming corpus dedup
   /** Streaming exact dedup of a document ingest stream: the FIRST
     * arrival per content fingerprint survives, later copies landing

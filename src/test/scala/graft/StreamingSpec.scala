@@ -390,6 +390,45 @@ class StreamingSpec extends SparkSpec {
     assert(fps.distinct.length === fps.length)
   }
 
+  test("streaming funnel: per-user stage progression across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.{FunnelEvent, FunnelProgress}
+    val in = tmp(); val ck = tmp() + "/ck"
+    def ev(uid: Long, et: String, t: String) =
+      s"""{"user_id":$uid,"event_type":"$et","ts":"2024-01-01 $t"}"""
+    // batch 1: user 1 views; user 2 clicks WITHOUT a view (must not
+    // advance); user 3 views and clicks at the SAME ts (strictly-after
+    // fails → click ignored)
+    writeLines(in, "b1.jsonl", Seq(
+      ev(1, "view", "10:00:00"), ev(2, "click", "10:00:00"),
+      ev(3, "view", "10:00:05"), ev(3, "click", "10:00:05")))
+    // batch 2: user 1 converts fully; user 3 clicks properly
+    writeLines(in, "b2.jsonl", Seq(
+      ev(1, "click", "10:01:00"), ev(1, "purchase", "10:02:00"),
+      ev(3, "click", "10:00:06")))
+    val schema = "user_id LONG, event_type STRING, ts TIMESTAMP"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[FunnelEvent]
+    Streams.funnelProgress(stream).writeStream
+      .format("memory").queryName("funnel_prog")
+      .option("checkpointLocation", ck).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    // final state = last emitted row per user
+    val rows = spark.table("funnel_prog").as[FunnelProgress].collect()
+    val last = rows.groupBy(_.user_id).map { case (u, rs) =>
+      u -> rs.maxBy(r => (r.view_ts.size + r.click_ts.size + r.purchase_ts.size))
+    }
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $t")
+    assert(last(1L) == FunnelProgress(1L, Some(ts("10:00:00")),
+      Some(ts("10:01:00")), Some(ts("10:02:00"))))
+    // user 2 never viewed: no stage may be set
+    assert(last(2L) == FunnelProgress(2L, None, None, None))
+    // user 3: same-ts click rejected in batch 1, later click accepted
+    assert(last(3L) == FunnelProgress(3L, Some(ts("10:00:05")),
+      Some(ts("10:00:06")), None))
+  }
+
   test("streaming session windows: per-key sessions close after the gap") {
     import spark.implicits._
     val in = tmp(); val out = tmp() + "/sess"; val ck = tmp() + "/ck"
