@@ -652,8 +652,45 @@ object Dedup {
       |WHERE b.doc_id % 5 = 0
       |ORDER BY b.doc_id""".stripMargin
 
+  // ----------------------------------------- incremental dedup, bloom path
+  // The 100 TB upgrade the plain variant's docstring promises: before
+  // shuffling the batch against the corpus index, consult a Bloom
+  // filter built over the corpus fingerprints. Rows the bloom rejects
+  // are GUARANTEED new (no false negatives) and never enter the join;
+  // only possible hits — true dups plus the bloom's false positives —
+  // pay the fingerprint shuffle, where the exact left join settles
+  // them. The result is therefore bit-identical to `incremental` at
+  // ANY false-positive rate, which is exactly why the same oracle SQL
+  // gates it. Catalyst's own runtime-filter machinery
+  // (`InjectRuntimeFilter`) uses these same two expressions; here the
+  // bloom is built once (one aggregate job, a few-MB binary) and
+  // inlined as a literal — the collect-and-rebroadcast shape, sized by
+  // the corpus distinct-count estimate, not the data volume.
+  private val incrementalBloom: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fps = Tables.documents(s, d).select($"doc_id", prefixFp($"text").as("fp"))
+    val corpus = fps.filter($"doc_id" % 5 =!= 0).select($"fp")
+    val bloom: Array[Byte] = corpus
+      .select(asCol(new BloomFilterAggregate(asExpr(xxhash64($"fp")))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = asCol(new BloomFilterMightContain(
+      Literal.create(bloom), asExpr(xxhash64($"fp"))))
+    val batch = fps.filter($"doc_id" % 5 === 0)
+    val definitelyNew = batch.filter(!mightContain)
+      .select($"doc_id", $"fp", lit(false).as("is_dup"))
+    val verified = batch.filter(mightContain)
+      .join(corpus.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
+      .select($"doc_id", $"fp", $"hit".isNotNull.as("is_dup"))
+    verified.unionByName(definitelyNew).orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> incremental,
+    "dedup_incremental_bloom" -> incrementalBloom,
     "dedup_containment" -> containment,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -665,6 +702,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_bloom" -> incrementalSql,
     "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -138,7 +138,7 @@ object Embeddings {
   // engine, so argmin needs no rounding. Tie break by label. Scale
   // shape: the codebook (labels × dims rows) broadcasts; the vector
   // side streams through one posexplode + one (vec_id, label) aggregate.
-  private val clusterAssign: Q = (s, d) => {
+  private def assignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qv = Tables.embeddings(s, d)
       .select($"vec_id", $"label".as("true_label"), posexplode($"embedding"))
@@ -162,7 +162,10 @@ object Embeddings {
           .partitionBy($"vec_id").orderBy($"dist2", $"label")))
       .filter($"rk" === 1)
       .select($"vec_id", $"true_label", $"label".as("assigned_label"), $"dist2")
-      .orderBy($"vec_id")
+  }
+  private val clusterAssign: Q = (s, d) => {
+    import s.implicits._
+    assignments(s, d).orderBy($"vec_id")
   }
   private val clusterAssignSql =
     """WITH u AS (
@@ -190,15 +193,91 @@ object Embeddings {
       |SELECT vec_id, true_label, label AS assigned_label, dist2
       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // ----------------------------------------------------- semantic dedup
+  // Semantic near-dup detection with CLUSTER BLOCKING — the embedding
+  // twin of LSH banding: vectors are first assigned to their nearest
+  // centroid (the k-means assignment above), and the pair search runs
+  // only WITHIN each cluster, pruning the all-pairs O(n²) to
+  // O(Σ cluster²). Emitted per cluster: the 3 tightest pairs by exact
+  // integer-grid squared distance (Σ(qa−qb)² is an order-free BIGINT
+  // sum — the output is pure integers, nothing for engines to disagree
+  // on). On a corpus with true semantic dups the same plan runs with a
+  // distance threshold instead of top-3; top-3 keeps the gate
+  // non-degenerate on this fixture (no planted embedding dups).
+  // Scale shape: the codebook broadcast + one posexplode aggregate for
+  // assignment, then ONE equi-join on the cluster id (each cluster's
+  // pairs materialize on one partition's worth of keys — the blocking
+  // guarantee), a zip_with fold per pair, and a per-cluster top-3
+  // window over ≤ cluster² rows.
+  private val semanticDedup: Q = (s, d) => {
+    import s.implicits._
+    val qvecs = Tables.embeddings(s, d).select($"vec_id", expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))")
+      .as("qv"))
+    val va = assignments(s, d).select($"vec_id", $"assigned_label".as("cluster"))
+      .join(qvecs, "vec_id")
+    val a = va.select($"cluster", $"vec_id".as("a_id"), $"qv".as("qa"))
+    val b = va.select($"cluster", $"vec_id".as("b_id"), $"qv".as("qb"))
+    a.join(b, Seq("cluster")).filter($"a_id" < $"b_id")
+      .select($"cluster", $"a_id", $"b_id", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        .as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster").orderBy($"d2", $"a_id", $"b_id")))
+      .filter($"rk" <= 3)
+      .select($"cluster", $"rk".cast("int").as("rk"), $"a_id", $"b_id", $"d2")
+      .orderBy($"cluster", $"rk")
+  }
+  private val semanticDedupSql =
+    """WITH u AS (
+      |  SELECT vec_id, label AS true_label, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  SELECT true_label AS label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM u GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT u.vec_id, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY u.vec_id, code.label),
+      |assign AS (
+      |  SELECT vec_id, label AS cluster
+      |  FROM (SELECT vec_id, label,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |        FROM dists)
+      |  WHERE rk = 1),
+      |va AS (
+      |  SELECT a.cluster, u.vec_id, u.dim, u.q
+      |  FROM u JOIN assign a ON u.vec_id = a.vec_id),
+      |pairs AS (
+      |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    SUM((a.q - b.q) * (a.q - b.q)) AS d2
+      |  FROM va a JOIN va b
+      |    ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT cluster, a_id, b_id, d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY d2, a_id, b_id) AS INT) AS rk
+      |  FROM pairs)
+      |SELECT cluster, rk, a_id, b_id, d2
+      |FROM ranked WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "emb_centroids" -> centroids,
     "emb_quantize" -> quantize,
     "emb_normalize" -> normalize,
-    "sim_cluster_assign" -> clusterAssign)
+    "sim_cluster_assign" -> clusterAssign,
+    "sim_semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> centroidsSql,
     "emb_quantize" -> quantizeSql,
     "emb_normalize" -> normalizeSql,
-    "sim_cluster_assign" -> clusterAssignSql)
+    "sim_cluster_assign" -> clusterAssignSql,
+    "sim_semantic_dedup" -> semanticDedupSql)
 }

@@ -285,6 +285,56 @@ object TextAnalysis {
       |  ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rank
       |FROM v ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------- novelty
+  // Per-document n-gram novelty vs the corpus — the quality signal
+  // behind boilerplate filters (a page of nav chrome shares most of its
+  // 3-grams corpus-wide; genuinely new prose shares few). Each doc's
+  // DISTINCT 3-gram shingles join the corpus shingle-df table;
+  // novelty = fraction with df = 1 (unique to this doc), boilerplate =
+  // fraction with df ≥ 5. Counts are exact integers and each fraction
+  // is one division of identical ints → identical doubles everywhere.
+  // Scale shape: the df aggregate and the join both key on the 8-byte
+  // xxhash64 of the shingle (strings never enter a shuffle — the
+  // Dedup blocking-key pattern); one explode, two same-key shuffles,
+  // and the per-doc reaggregate.
+  private val novelty: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
+        .as("sh3"))
+      .select($"doc_id", xxhash64($"sh3").as("shash"))
+    val dfTab = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
+    sh.join(dfTab, "shash")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("novel"),
+        sum(when($"df" >= 5, 1L).otherwise(0L)).as("boiler"))
+      .select($"doc_id", $"n_shingles",
+        ($"novel".cast("double") / $"n_shingles").as("novelty"),
+        ($"boiler".cast("double") / $"n_shingles").as("boilerplate"))
+      .orderBy($"doc_id")
+  }
+  private val noveltySql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+      |        FROM tok WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh3
+      |       FROM idx),
+      |dft AS (SELECT sh3, COUNT(*) AS df FROM sh GROUP BY 1),
+      |j AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+      |    SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS novel,
+      |    SUM(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END) AS boiler
+      |  FROM sh s JOIN dft d ON s.sh3 = d.sh3 GROUP BY 1)
+      |SELECT doc_id, n_shingles,
+      |  CAST(novel AS DOUBLE) / n_shingles AS novelty,
+      |  CAST(boiler AS DOUBLE) / n_shingles AS boilerplate
+      |FROM j ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- decontamination
   // Train/test overlap detection (the n-gram decontamination step of
   // LLM data pipelines): a TRAIN document sharing any long n-gram with
@@ -585,6 +635,7 @@ object TextAnalysis {
     "text_train_split" -> trainSplit,
     "text_chunking" -> chunking,
     "text_vocabulary" -> vocabulary,
+    "text_novelty" -> novelty,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_scrub" -> scrub,
@@ -602,6 +653,7 @@ object TextAnalysis {
     "text_train_split" -> trainSplitSql,
     "text_chunking" -> chunkingSql,
     "text_vocabulary" -> vocabularySql,
+    "text_novelty" -> noveltySql,
     "text_decontaminate" -> decontaminateSql,
     "text_repetition" -> repetitionSql,
     "text_scrub" -> scrubSql,

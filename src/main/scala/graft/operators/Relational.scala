@@ -1073,7 +1073,122 @@ object Relational {
       |  MIN(value) AS lo, MAX(value) AS hi
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------- TPC-H Q10 returned revenue
+  // Top-20 customers by revenue lost to returns in one quarter: lineitem
+  // filtered to returnflag='R' joins the quarter's orders on the order
+  // key (the one fact shuffle), customer and nation broadcast, and the
+  // final top-20 is a TakeOrderedAndProject — no global sort
+  // materializes. Ordering ties break on the DECIMAL revenue before the
+  // double cast plus c_custkey, so the limit edge is deterministic in
+  // both engines.
+  private val returnedRevenue: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-07-01 00:00:00").cast("timestamp_ntz") &&
+            $"o_orderdate" < lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+          .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+      .orderBy($"rev".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"rev".cast("double").as("revenue"),
+        $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+  }
+  private val returnedRevenueSql =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name, c_acctbal, n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * CAST(1 - l_discount AS DECIMAL(18,4))) AS rev
+      |  FROM customer, orders, lineitem, nation
+      |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  GROUP BY 1, 2, 3, 4
+      |  ORDER BY rev DESC, c_custkey LIMIT 20)
+      |SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM r ORDER BY revenue DESC, c_custkey""".stripMargin
+
+  // ----------------------------------------------- integer-grid PageRank
+  // Graph analytics as iterated relational algebra: the undirected
+  // customer↔supplier trade graph (edge = any lineitem shipped, node id
+  // = 2·custkey / 2·suppkey+1 so the namespaces can't collide), scored
+  // by 3 PageRank power iterations. Arithmetic is drift-proof across
+  // engines: scores live on an integer micro-grid (init 1 000 000),
+  // each neighbor contribution is floor(score/deg) cast back to BIGINT
+  // before the order-free integer SUM, and the damping step
+  // 150 000 + floor(0.85·S) multiplies an exact integer-valued double —
+  // identical IEEE ops in every engine, so scores match bit-for-bit.
+  // Scale shape: each iteration is ONE join of the edge list against
+  // the (node, score) table — both hash-partitioned on the same key —
+  // plus one aggregate; the edge list's partitioning is reused every
+  // round, and a real deployment would localCheckpoint each iteration
+  // like Dedup.connectedComponents does to truncate lineage.
+  private val pagerank: Q = (s, d) => {
+    import s.implicits._
+    val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
+    val init = deg.select($"node", lit(1000000L).as("score"))
+    val scores = (1 to 3).foldLeft(init) { (sc, _) =>
+      edges
+        .join(sc.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src")
+          .withColumnRenamed("outdeg", "sdeg"), "src")
+        .select($"dst".as("node"),
+          floor($"score".cast("double") / $"sdeg").cast("long").as("c"))
+        .groupBy($"node")
+        .agg((lit(150000L) +
+          floor(lit(0.85) * sum($"c").cast("double")).cast("long")).as("score"))
+    }
+    scores.orderBy($"node")
+  }
+  private val pagerankSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM deg),
+      |s1 AS (
+      |  SELECT e.dst AS node, CAST(150000 + FLOOR(0.85 * CAST(
+      |      SUM(CAST(FLOOR(CAST(s.score AS DOUBLE) / d.outdeg) AS BIGINT))
+      |      AS DOUBLE)) AS BIGINT) AS score
+      |  FROM e JOIN s0 s ON e.src = s.node JOIN deg d ON e.src = d.node
+      |  GROUP BY e.dst),
+      |s2 AS (
+      |  SELECT e.dst AS node, CAST(150000 + FLOOR(0.85 * CAST(
+      |      SUM(CAST(FLOOR(CAST(s.score AS DOUBLE) / d.outdeg) AS BIGINT))
+      |      AS DOUBLE)) AS BIGINT) AS score
+      |  FROM e JOIN s1 s ON e.src = s.node JOIN deg d ON e.src = d.node
+      |  GROUP BY e.dst),
+      |s3 AS (
+      |  SELECT e.dst AS node, CAST(150000 + FLOOR(0.85 * CAST(
+      |      SUM(CAST(FLOOR(CAST(s.score AS DOUBLE) / d.outdeg) AS BIGINT))
+      |      AS DOUBLE)) AS BIGINT) AS score
+      |  FROM e JOIN s2 s ON e.src = s.node JOIN deg d ON e.src = d.node
+      |  GROUP BY e.dst)
+      |SELECT node, score FROM s3 ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rel_returned_revenue"   -> returnedRevenue,
+    "rel_pagerank"           -> pagerank,
     "rel_salted_join"        -> saltedJoin,
     "rel_histogram"          -> histogram,
     "rel_funnel"             -> funnel,
@@ -1120,6 +1235,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_returned_revenue"   -> returnedRevenueSql,
+    "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,
     "rel_histogram"          -> histogramSql,
     "rel_funnel"             -> funnelSql,

@@ -477,4 +477,71 @@ class ExtSpec extends SparkSpec {
     assert(fp.select("content_fp").distinct().count() ==
       Tables.documents(spark, sfDir).select("text").distinct().count())
   }
+
+  test("bloom-pre-filtered incremental dedup equals the plain variant") {
+    // the bloom has no false negatives, so pre-filtering the batch and
+    // exact-joining only the possible hits must reproduce the plain
+    // left-join answer row-for-row at ANY false-positive rate
+    val plain = Dedup.queries("dedup_incremental")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val bloom = Dedup.queries("dedup_incremental_bloom")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(bloom.toSeq == plain.toSeq)
+    // and the union of the two branches covers the batch exactly once
+    import spark.implicits._
+    val batchRows = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 5 === 0).count()
+    assert(bloom.length.toLong == batchRows)
+  }
+
+  test("novelty fractions are lawful and hash blocking changed nothing") {
+    import spark.implicits._
+    val n = TextAnalysis.queries("text_novelty")(spark, sfDir)
+    assert(n.filter($"novelty" < 0 || $"novelty" > 1 ||
+      $"boilerplate" < 0 || $"boilerplate" > 1).count() == 0)
+    // recompute one doc's novelty on shingle STRINGS (no xxhash64
+    // blocking) and compare — proves the 8-byte blocking key is an
+    // implementation detail, not a semantic change
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
+        .as("sh3"))
+    val dfTab = sh.groupBy($"sh3").agg(count(lit(1)).as("df"))
+    val expected = sh.join(dfTab, "sh3").groupBy($"doc_id")
+      .agg((sum(when($"df" === 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("novelty"))
+    val got = n.select($"doc_id", $"novelty".as("got"))
+    assert(expected.join(got, "doc_id")
+      .filter($"novelty" =!= $"got").count() == 0)
+  }
+
+  test("semantic dedup: cluster blocking laws hold and distances are true") {
+    import spark.implicits._
+    val sd = graft.ext.Embeddings.queries("sim_semantic_dedup")(spark, sfDir)
+    val rows = sd.collect()
+    assert(rows.nonEmpty)
+    // per-cluster: at most 3 pairs, rk 1..3, d2 non-decreasing in rk,
+    // and a_id < b_id everywhere
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val d2s = sorted.map(_.getLong(4))
+      assert(d2s.sameElements(d2s.sorted))
+      assert(sorted.forall(r => r.getLong(2) < r.getLong(3)))
+    }
+    // every emitted d2 equals the brute-force grid distance of that pair
+    val qv = Tables.embeddings(spark, sfDir).select($"vec_id", expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))")
+      .as("qv"))
+    val brute = sd.join(qv.select($"vec_id".as("a_id"), $"qv".as("qa")), "a_id")
+      .join(qv.select($"vec_id".as("b_id"), $"qv".as("qb")), "b_id")
+      .select($"d2", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        .as("bd2"))
+    assert(brute.filter($"d2" =!= $"bd2").count() == 0)
+  }
 }

@@ -176,4 +176,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("ShuffledHashJoin"), s"shingle self-join regressed to SMJ:\n$p")
   }
+
+  test("semantic dedup pair search is cluster-blocked (equi-join, no BNLJ)") {
+    // the whole point of the operator: pairs materialize via an
+    // equi-join on the cluster id, never an all-pairs nested loop
+    val p = plan("sim_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("returned revenue broadcasts dims and filters at the fact scans") {
+    val p = plan("rel_returned_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // returnflag predicate reaches the lineitem scan
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
+  }
+
+  test("pagerank iterations never plan a cartesian") {
+    val p = plan("rel_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -124,4 +124,45 @@ class RelationalSpec extends SparkSpec {
     assert(joined.filter($"n_orders" =!= $"n_plain").count() == 0)
     assert(salted.count() == plain.count())
   }
+
+  test("pagerank: node universe, damping floor, and score conservation bound") {
+    import spark.implicits._
+    val pr = run("rel_pagerank").cache()
+    // node set = every endpoint of the undirected trade graph
+    val e0 = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val nodes = e0.select($"src".as("n")).union(e0.select($"dst".as("n")))
+      .distinct().count()
+    assert(pr.count() == nodes)
+    // damping: every score >= the teleport floor 150000, and no score
+    // exceeds total injected mass (nodes × 1e6 micro-units)
+    assert(pr.filter($"score" < 150000L).count() == 0)
+    assert(pr.agg(max($"score")).first().getLong(0) < nodes * 1000000L)
+    pr.unpersist()
+  }
+
+  test("returned revenue is the true top-20 of the unlimited aggregate") {
+    import spark.implicits._
+    val q10 = run("rel_returned_revenue").collect()
+    assert(q10.length <= 20)
+    // revenue non-increasing down the list
+    val revs = q10.map(_.getDouble(2))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // recompute the full aggregate without the limit and check the edge
+    val full = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderdate" >= lit("1996-07-01 00:00:00").cast("timestamp_ntz") &&
+            $"o_orderdate" < lit("1996-10-01 00:00:00").cast("timestamp_ntz")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount").cast("decimal(18,4)")).as("rev"))
+      .orderBy($"rev".desc, $"c_custkey")
+      .limit(20).collect()
+    assert(q10.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
+  }
 }
