@@ -671,7 +671,10 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val fps = Tables.documents(s, d).select($"doc_id", prefixFp($"text").as("fp"))
+    // one materialization feeds all three consumers (bloom build,
+    // corpus-index join side, batch side) instead of three md5 passes
+    val fps = Tables.documents(s, d)
+      .select($"doc_id", prefixFp($"text").as("fp")).localCheckpoint()
     val corpus = fps.filter($"doc_id" % 5 =!= 0).select($"fp")
     val bloom: Array[Byte] = corpus
       .select(asCol(new BloomFilterAggregate(asExpr(xxhash64($"fp")))

@@ -214,14 +214,23 @@ object Embeddings {
     val qvecs = Tables.embeddings(s, d).select($"vec_id", expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))")
       .as("qv"))
+    // materialize the assigned+quantized vectors once: both pair-join
+    // legs read va, and the assignment pipeline (codebook aggregate +
+    // posexplode join + argmin window) would otherwise run twice
     val va = assignments(s, d).select($"vec_id", $"assigned_label".as("cluster"))
-      .join(qvecs, "vec_id")
+      .join(qvecs, "vec_id").localCheckpoint()
     val a = va.select($"cluster", $"vec_id".as("a_id"), $"qv".as("qa"))
     val b = va.select($"cluster", $"vec_id".as("b_id"), $"qv".as("qb"))
+    // per-cluster top-3 via a window, with the pair kernel codegen'd
+    // (LongSquaredDistance — the HOF fold was 2× slower). A map-side
+    // TopK-aggregator variant was measured and REJECTED: the typed
+    // groupByKey path deserializes every pair row out of whole-stage
+    // codegen, costing more than the window's pair-row shuffle saves
+    // at any cluster size where top-3 matters; the window sort is
+    // per-cluster (bounded by the blocking guarantee), not global.
     a.join(b, Seq("cluster")).filter($"a_id" < $"b_id")
-      .select($"cluster", $"a_id", $"b_id", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-        .as("d2"))
+      .select($"cluster", $"a_id", $"b_id",
+        graft.functions.VectorExpressions.vecL2Sq($"qa", $"qb").as("d2"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"cluster").orderBy($"d2", $"a_id", $"b_id")))

@@ -299,6 +299,9 @@ object TextAnalysis {
   // and the per-doc reaggregate.
   private val novelty: Q = (s, d) => {
     import s.implicits._
+    // materialized once: the df aggregate and the per-doc join both
+    // read the exploded shingles — without the checkpoint the explode
+    // (the expensive fan-out stage) runs twice
     val sh = Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
@@ -307,6 +310,7 @@ object TextAnalysis {
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("sh3"))
       .select($"doc_id", xxhash64($"sh3").as("shash"))
+      .localCheckpoint()
     val dfTab = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
     sh.join(dfTab, "shash")
       .groupBy($"doc_id")

@@ -101,9 +101,80 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd squared L2 distance over two LONG arrays — the
+  * pair kernel of the integer-grid similarity family (semantic dedup):
+  * Σ (aᵢ−bᵢ)² in pure long arithmetic, exact and order-free, so the
+  * result is the same BIGINT the DuckDB oracle computes. Same
+  * rationale as [[DotProduct]]: `aggregate(zip_with(...))` interprets
+  * two lambdas and allocates a zipped array per pair — ruinous inside
+  * a blocked O(Σc²) pair join; this compiles to a tight primitive
+  * loop. Ragged inputs → null (ragged grid vectors must surface, not
+  * truncate).
+  */
+case class LongSquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $dv = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $dv * $dv;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
   /** Column API: Σ aᵢ·bᵢ as a codegen'd primitive loop. */
   def vecDot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  /** Column API: Σ (aᵢ−bᵢ)² over long arrays, exact integer result. */
+  def vecL2Sq(a: Column, b: Column): Column =
+    column(LongSquaredDistance(expression(a), expression(b)))
 }

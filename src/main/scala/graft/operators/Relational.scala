@@ -1142,7 +1142,18 @@ object Relational {
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+    // the skinny (src, dst) edge list materializes ONCE: it feeds the
+    // degree aggregate, the init frame, and all 3 iteration joins —
+    // lazily each reference re-ran the lineitem⋈orders build + distinct
+    // (the dominant stages in the profile). Checkpointing only the
+    // 2-column list keeps the deg/score sides as ordinary aggregates
+    // whose runtime stats AQE still sees (an earlier variant that
+    // checkpointed the deg-JOINED list planned stat-blind SMJs and
+    // measured 2× slower). Open-ended iteration (CC-style, O(diameter)
+    // rounds) would also checkpoint per round like
+    // Dedup.connectedComponents.
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
     val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
     val init = deg.select($"node", lit(1000000L).as("score"))
     val scores = (1 to 3).foldLeft(init) { (sc, _) =>

@@ -84,4 +84,30 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0)) // ragged → null, never a truncated dot
     assert(out(1).isNullAt(0))
   }
+
+  test("LongSquaredDistance: eval ≡ codegen ≡ reference; ragged → null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array(1000000L, -2500000L, 0L, 77L)
+    val b = Array(-999999L, 2500000L, 4L, 77L)
+    val expected = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // interpreted path
+    val interpreted = graft.functions.LongSquaredDistance(
+      Literal(new GenericArrayData(a), ArrayType(LongType)),
+      Literal(new GenericArrayData(b), ArrayType(LongType)))
+      .eval(null).asInstanceOf[Long]
+    assert(interpreted == expected)
+    // codegen path through a real query
+    val df = Seq((a.toSeq, b.toSeq)).toDF("x", "y")
+    assert(df.select(graft.functions.VectorExpressions
+      .vecL2Sq(col("x"), col("y")).as("d")).first().getLong(0) == expected)
+    // and the HOF formulation agrees (the oracle's shape)
+    assert(df.select(expr(
+      "aggregate(zip_with(x, y, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+      .as("d")).first().getLong(0) == expected)
+    // ragged → null
+    val ragged = Seq((Seq(1L, 2L), Seq(3L))).toDF("x", "y")
+    assert(ragged.select(graft.functions.VectorExpressions
+      .vecL2Sq(col("x"), col("y")).as("d")).collect()(0).isNullAt(0))
+  }
 }
