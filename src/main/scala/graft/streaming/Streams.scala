@@ -420,6 +420,31 @@ object Streams {
       joinType)
   }
 
+  // ------------------------------------------ stream-static enrichment
+  /** Enrich a CDC stream against a STATIC dimension frame — the
+    * canonical streaming-ETL join (fact stream × slowly-changing dim).
+    * Stateless by construction: Spark re-evaluates the static side per
+    * micro-batch (so a dim backed by a table path picks up new
+    * snapshots between batches) and the explicit `broadcast` keeps the
+    * per-batch join a map-side hash probe — no state store, no
+    * watermark, no shuffle of the stream side. Left join: an event
+    * whose key misses the dim must flow through null-padded (dropping
+    * facts on a late-arriving dim row is silent data loss; the stream-
+    * stream variant with watermarks is the tool when BOTH sides move).
+    * At 100 TB the dim broadcast bound is the executor heap — beyond
+    * that, flip to the bucketed-table join (`Partitioning.BucketBy`)
+    * like the batch SCD2 lane.
+    */
+  def enrichStream(raw: DataFrame, dim: DataFrame, dimKey: String): DataFrame = {
+    val flat = Envelope.flatten(raw)
+      .filter(col("op").isin("c", "r", "u"))
+      .select(coalesce(col("after_id"), col("before_id")).as("id"),
+        col("op"), col("lsn"), col("event_timestamp"))
+      .filter(col("id").isNotNull)
+    flat.join(broadcast(dim), flat("id") === dim(dimKey), "left")
+      .drop(dimKey)
+  }
+
   // ----------------------------------------------- streaming funnel
   final case class FunnelEvent(user_id: Long, event_type: String,
                                ts: java.sql.Timestamp)

@@ -478,4 +478,33 @@ class StreamingSpec extends SparkSpec {
     assert(hist(2).isNullAt(hist(2).fieldIndex("after_id")))
     assert(hist(2).getAs[String]("before_price") == "150")
   }
+
+  test("stream-static enrichment equals the batch join; misses flow null-padded") {
+    import spark.implicits._
+    val in = tmp(); val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 77, nKeys = 6, nOps = 40)
+    writeLines(in, "e0.jsonl", ops.map(toJson))
+    // dim covers only keys 1..4 — keys 5..6 must survive null-padded
+    val dim = Seq((1L, "gold"), (2L, "gold"), (3L, "silver"), (4L, "bronze"))
+      .toDF("cust_id", "tier")
+    val q = Streams.enrichStream(Streams.rawFileStream(spark, in), dim, "cust_id")
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enriched")
+    val expect = Streams.enrichStream(
+      spark.read.text(in).withColumnRenamed("value", "raw_message"), dim, "cust_id")
+    val cols = expect.columns.sorted.map(col).toIndexedSeq
+    assert(got.count() > 0)
+    // no fact dropped: every c/r/u event appears exactly once
+    assert(got.count() == expect.count())
+    assert(got.select(cols: _*).collect().map(_.toSeq.toString).sorted.toSeq ==
+      expect.select(cols: _*).collect().map(_.toSeq.toString).sorted.toSeq)
+    // unmatched keys null-padded, matched keys carry the dim attribute
+    assert(got.filter($"id" > 4 && $"tier".isNotNull).count() == 0)
+    assert(got.filter($"id" <= 4 && $"tier".isNull).count() == 0)
+  }
 }
