@@ -143,6 +143,38 @@ class RelationalSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("recursive CTE BFS equals an independent DataFrame-composed BFS") {
+    import spark.implicits._
+    // the SQL surface (Spark 4 WITH RECURSIVE, byte-identical text to
+    // the DuckDB dialect) against a hand-rolled bounded BFS — two
+    // entirely different execution paths, one truth
+    val viaSql = operators.SqlSurface.recursiveReach(spark, sfDir)
+      .collect().map(_.toSeq)
+    val e0 = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    val r0 = Tables.customer(spark, sfDir)
+      .filter($"c_custkey" % 997 === 1)
+      .select(($"c_custkey" * 2).as("root"), ($"c_custkey" * 2).as("node"),
+        lit(0).as("depth"))
+    val levels = Iterator.iterate(r0)(prev =>
+      prev.join(edges, $"node" === $"src")
+        .select($"root", $"dst".as("node"), ($"depth" + 1).as("depth")))
+      .take(3).toSeq
+    val viaDf = levels.reduce(_ unionByName _)
+      .groupBy($"root", $"node").agg(min($"depth").as("depth"))
+      .groupBy($"root", $"depth")
+      .agg(countDistinct($"node").as("n_nodes"))
+      .orderBy($"root", $"depth")
+      .collect().map(_.toSeq)
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
   test("returned revenue is the true top-20 of the unlimited aggregate") {
     import spark.implicits._
     val q10 = run("rel_returned_revenue").collect()
