@@ -34,6 +34,17 @@ object Bench {
         }
         val cold = timed()
         val steady = math.min(timed(), timed())
+        // Between-query hygiene, OUTSIDE the timed region: each build of
+        // a checkpoint-bearing query pins localCheckpoint RDD blocks
+        // (and its broadcasts) in the shared BlockManager; across
+        // 92 queries × 3 runs that storage accrues until later queries
+        // pay eviction/GC storms that have nothing to do with their own
+        // plan (observed: a 1 s query measuring 78 s late in the pass).
+        // Unpersisting here is safe — every timed() builds a fresh plan,
+        // nothing references the previous run's RDDs.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         name -> (cold, steady)
       } catch {
         case NonFatal(e) =>
