@@ -387,6 +387,61 @@ final class VersionedTable(spark: SparkSession, root: String,
   def partitionsWithDeltas: Seq[String] =
     readManifest(requireHead()).entries.filter(_.kind == "x").map(_.part).distinct
 
+  /** Incremental read / change feed between two committed versions —
+    * the Delta CDF / Iceberg incremental-scan analog at FILE
+    * granularity, and the read half of a CDC round trip (the reference
+    * ingests Debezium CDC; this emits the table's own changes for
+    * downstream consumers). Returns `(inserts, deleteKeys)` where
+    * `inserts` are the rows of data files ADDED in `(fromV, toV]` with
+    * the span's own equality-deletes applied (same `delete.seq >
+    * data.seq` rule as the full read — an insert-then-delete within
+    * the span never surfaces), and `deleteKeys` (None when the span
+    * wrote no delete files) are the key tuples of delete files added
+    * in the span — they target pre-span rows, whose commit seq is
+    * necessarily lower.
+    *
+    * Contract (spec-pinned REPLAY LAW): for any ancestor pair,
+    * `readVersion(toV)` ≡ `readVersion(fromV)` ANTI-JOIN deleteKeys
+    * UNION inserts. File REMOVALS in the span (compaction, overwrite,
+    * replacePartitions) break that law at file granularity — rewritten
+    * rows would double-count — so they THROW by default, exactly like
+    * a Delta streaming source on a non-append change; pass
+    * `ignoreRewrites = true` to skip removed files knowingly (the
+    * caller owns dedup, e.g. downstream MERGE by key).
+    *
+    * Scale shape: pure manifest set-difference on the driver (no data
+    * I/O to decide the file list), then one scan of only the span's
+    * files — O(changed data), never O(table). */
+  def changesBetween(fromV: Int, toV: Int, ignoreRewrites: Boolean = false)
+      : (DataFrame, Option[DataFrame]) = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    require(isAncestor(fromV, toV),
+      s"changesBetween: $fromV is not an ancestor of $toV at $root")
+    val mTo = readManifest(toV)
+    val fromSet = readManifest(fromV).entries.map(_.relPath).toSet
+    val toSet = mTo.entries.map(_.relPath).toSet
+    val removed = fromSet -- toSet
+    if (removed.nonEmpty && !ignoreRewrites)
+      throw new IllegalStateException(
+        s"changesBetween($fromV, $toV) at $root: ${removed.size} file(s) were " +
+          "rewritten in the span (compaction/overwrite) — file-level changes " +
+          "would double-count their rows; re-read the snapshot or pass " +
+          "ignoreRewrites = true")
+    val added = mTo.entries.filterNot(e => fromSet(e.relPath))
+    val inserts = dfFor(mTo, added)
+    val dels = added.filter(_.kind == "x")
+    val deleteKeys =
+      if (dels.isEmpty) None
+      else Some(spark.read.parquet(
+        dels.map(e => new Path(qRoot, e.relPath).toString): _*))
+    (inserts, deleteKeys)
+  }
+
+  /** [[changesBetween]] from `fromV` to the current trunk head. */
+  def changesSince(fromV: Int, ignoreRewrites: Boolean = false)
+      : (DataFrame, Option[DataFrame]) =
+    changesBetween(fromV, requireHead(), ignoreRewrites)
+
   /** Expire old versions (Iceberg `expire_snapshots` / Delta VACUUM
     * analog, SURVEY D10): keep the newest `keepVersions` manifests,
     * delete the rest, then reclaim data files no retained manifest

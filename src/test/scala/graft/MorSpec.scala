@@ -198,4 +198,38 @@ class MorSpec extends SparkSpec {
       .orderBy(order.map(col): _*).collect().toSeq
     assert(c == aNoDate)
   }
+
+  test("change feed replay law: from-snapshot − deletes + inserts = to-snapshot") {
+    val t = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
+    t.overwrite((1 to 8).map(i => (i, s"v$i")).toDF("id", "v"))          // v0
+    t.append(Seq((9, "v9"), (10, "v10")).toDF("id", "v"))                // v1
+    t.mergeDeltas(Seq((3, "v3b"), (11, "v11")).toDF("id", "v"),          // v2
+      Seq(Tuple1(3)).toDF("id"),
+      touched = t.partitionValues(Seq((3, ""), (11, "")).toDF("id", "v")))
+    t.mergeDeltas(Seq((11, "v11b")).toDF("id", "v"),                     // v3
+      Seq(Tuple1(11)).toDF("id"),
+      touched = t.partitionValues(Seq((11, "")).toDF("id", "v")))
+    def snap(v: Int) = t.readVersion(v).as[(Int, String)].collect().toSet
+    for (from <- 0 to 3; to <- from to 3) {
+      val (ins, delKeys) = t.changesBetween(from, to)
+      val inserted = ins.as[(Int, String)].collect().toSet
+      val deletedIds = delKeys.map(_.as[Int].collect().toSet).getOrElse(Set.empty)
+      val replayed = snap(from).filterNot(r => deletedIds(r._1)) ++ inserted
+      assert(replayed == snap(to), s"replay law broke for ($from, $to)")
+    }
+    // insert-then-delete WITHIN the span never surfaces as an insert:
+    // v2 added id 11, v3 deleted+replaced it — the (v1, v3) feed must
+    // carry only the surviving v11b row
+    val (ins13, _) = t.changesBetween(1, 3)
+    assert(ins13.filter($"id" === 11).as[(Int, String)].collect().toSeq ==
+      Seq((11, "v11b")))
+    // rewrites (compaction) break file-level replay → throw by default,
+    // proceed only on explicit opt-in
+    val vc = t.compact(targetFileCount = 1)                              // v4
+    intercept[IllegalStateException] { t.changesBetween(3, vc) }
+    val (insR, _) = t.changesBetween(3, vc, ignoreRewrites = true)
+    assert(insR.count() > 0)
+    // non-ancestor pairs are rejected (branch commits can't feed trunk)
+    intercept[IllegalArgumentException] { t.changesBetween(2, 1) }
+  }
 }
