@@ -442,6 +442,52 @@ final class VersionedTable(spark: SparkSession, root: String,
       : (DataFrame, Option[DataFrame]) =
     changesBetween(fromV, requireHead(), ignoreRewrites)
 
+  // ------------------------------------------------- consumer cursors
+  /** Pull-based change-stream consumption over [[changesBetween]]:
+    * each named consumer owns a durable cursor (an atomic ref file,
+    * the same machinery as branches but namespaced apart) pointing at
+    * the last version it ACKNOWLEDGED. The loop is poll → process →
+    * [[ackChanges]]: a crash between poll and ack re-delivers the same
+    * span (at-least-once; exactly-once effect when the downstream
+    * apply is idempotent — e.g. a keyed MERGE, this table format's own
+    * write mode). The first poll delivers the current snapshot as
+    * inserts (`initial = true`) — the bootstrap every CDC consumer
+    * needs before tailing. [[vacuum]] pins every cursor's version, so
+    * a lagging consumer's resume point is never expired out from
+    * under it. */
+  def pollChanges(consumer: String, ignoreRewrites: Boolean = false)
+      : Option[ChangePoll] = {
+    val head = requireHead()
+    cursor(consumer) match {
+      case Some(v) if v >= head => None // caught up
+      case Some(v) =>
+        val (ins, dels) = changesBetween(v, head, ignoreRewrites)
+        Some(ChangePoll(v, head, ins, dels, initial = false))
+      case None =>
+        Some(ChangePoll(-1, head, readVersion(head), None, initial = true))
+    }
+  }
+
+  /** Durably advance `consumer`'s cursor to `toV` (call AFTER the
+    * polled span is applied downstream). */
+  def ackChanges(consumer: String, toV: Int): Unit = {
+    require(fs.exists(manifestPath(toV)),
+      s"ackChanges: version $toV is not committed at $root")
+    setRef(cursorRef(consumer), toV)
+  }
+
+  /** Last acknowledged version of a named consumer, if any. */
+  def cursor(name: String): Option[Int] = refHead(cursorRef(name))
+
+  /** All consumer cursors (name → acked version). */
+  def cursors: Seq[(String, Int)] =
+    if (!fs.exists(refsDir)) Nil
+    else fs.listStatus(refsDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(CursorPrefix))
+      .flatMap(n => refHead(n).map(n.stripPrefix(CursorPrefix) -> _))
+
+  private def cursorRef(name: String) = s"$CursorPrefix${validRef(name)}"
+
   /** Expire old versions (Iceberg `expire_snapshots` / Delta VACUUM
     * analog, SURVEY D10): keep the newest `keepVersions` manifests,
     * delete the rest, then reclaim data files no retained manifest
@@ -453,8 +499,16 @@ final class VersionedTable(spark: SparkSession, root: String,
       case None => Nil
       case Some(latest) =>
         val all = committedVersions()
-        val pinned = branches.map(_._2).toSet // ref heads must survive
-        val expire = all.filter(v => v <= latest - keepVersions && !pinned(v))
+        // ref heads must survive; consumer cursors pin their whole
+        // UNCONSUMED span (cursor → head needs every intermediate
+        // manifest for the ancestry walk) — retention must cover the
+        // slowest consumer, the Kafka/Delta-CDF rule. Manifests are
+        // tiny; data files still only survive while a retained
+        // manifest references them.
+        val minCursor = (cursors.map(_._2) :+ Int.MaxValue).min
+        val pinned = branches.map(_._2).toSet
+        val expire = all.filter(v => v <= latest - keepVersions &&
+          !pinned(v) && v < minCursor)
         val kept = all.filterNot(expire.contains)
         val referenced = kept.flatMap(v => readManifest(v).entries.map(_.relPath)).toSet
         expire.foreach(v => fs.delete(manifestPath(v), false))
@@ -516,7 +570,7 @@ final class VersionedTable(spark: SparkSession, root: String,
   def branches: Seq[(String, Int)] =
     if (!fs.exists(refsDir)) Nil
     else fs.listStatus(refsDir).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith("."))
+      .filterNot(n => n.startsWith(".") || n.startsWith(CursorPrefix))
       .flatMap(n => refHead(n).map(n -> _))
 
   def readBranch(name: String): DataFrame =
@@ -830,6 +884,15 @@ final class VersionedTable(spark: SparkSession, root: String,
 }
 
 object VersionedTable {
+  /** One [[VersionedTable.pollChanges]] delivery: the span
+    * `(fromV, toV]` (`fromV = -1` + `initial = true` on the bootstrap
+    * snapshot), its inserts, and the span's delete keys if any. Ack
+    * `toV` via `ackChanges` once applied. */
+  final case class ChangePoll(fromV: Int, toV: Int,
+                              inserts: org.apache.spark.sql.DataFrame,
+                              deleteKeys: Option[org.apache.spark.sql.DataFrame],
+                              initial: Boolean)
+  private val CursorPrefix = "cursor."
   private val Header = "graft-manifest-v1"
   private val Gp = "__gp"
   private val DelDir = "__del"

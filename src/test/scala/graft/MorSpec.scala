@@ -232,4 +232,37 @@ class MorSpec extends SparkSpec {
     // non-ancestor pairs are rejected (branch commits can't feed trunk)
     intercept[IllegalArgumentException] { t.changesBetween(2, 1) }
   }
+
+  test("consumer cursor: poll/ack redelivery, catch-up, and vacuum pinning") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))                 // v0
+    // bootstrap: first poll is the full snapshot
+    val p0 = t.pollChanges("etl").get
+    assert(p0.initial && p0.toV == 0 && p0.inserts.count() == 2)
+    t.ackChanges("etl", p0.toV)
+    assert(t.pollChanges("etl").isEmpty) // caught up
+    t.append(Seq((3, "c")).toDF("id", "v"))                              // v1
+    // crash between poll and ack → the SAME span is redelivered
+    val p1a = t.pollChanges("etl").get
+    val p1b = t.pollChanges("etl").get
+    assert(!p1a.initial && p1a.fromV == 0 && p1a.toV == 1)
+    assert(p1b.fromV == p1a.fromV && p1b.toV == p1a.toV)
+    assert(p1a.inserts.as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    t.ackChanges("etl", p1a.toV)
+    assert(t.pollChanges("etl").isEmpty)
+    // cursors are not branches, and vacuum pins a lagging cursor's
+    // version so its next poll can still resolve the span
+    assert(t.branches.forall(_._1 != "cursor.etl"))
+    assert(t.cursors == Seq("etl" -> 1))
+    t.append(Seq((4, "d")).toDF("id", "v"))                              // v2
+    t.append(Seq((5, "e")).toDF("id", "v"))                              // v3
+    t.vacuum(keepVersions = 1)
+    val p2 = t.pollChanges("etl").get
+    assert(p2.fromV == 1 && p2.toV == 3)
+    assert(p2.inserts.as[(Int, String)].collect().toSet ==
+      Set((4, "d"), (5, "e")))
+    t.ackChanges("etl", p2.toV)
+    // acking an uncommitted version is refused
+    intercept[IllegalArgumentException] { t.ackChanges("etl", 99) }
+  }
 }
