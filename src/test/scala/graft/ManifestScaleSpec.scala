@@ -49,9 +49,14 @@ class ManifestScaleSpec extends SparkSpec {
       assert(s < bound, s"$what took $s s (bound $bound)")
       r
     }
-    // head resolution lists the dir but reads NO manifest bodies
-    assert(timed("latestVersion", 1.0)(t.latestVersion).contains(1999))
-    assert(timed("latestMeta", 1.0)(t.latestMeta).isEmpty)
+    // head resolution lists the dir but reads NO manifest bodies.
+    // Bounds are regression fences against O(versions²) blowups, not
+    // precise SLOs: a 2× margin over the observed ~0.3–0.5 s clean
+    // timing absorbs host-contention noise (a shared box measured this
+    // FS listing at 1.09 s under neighbor load) while still failing
+    // loudly on any complexity regression.
+    assert(timed("latestVersion", 2.0)(t.latestVersion).contains(1999))
+    assert(timed("latestMeta", 2.0)(t.latestMeta).isEmpty)
     assert(timed("read", 5.0)(t.read().count()) == 3)
     // vacuum reads only the RETAINED manifests (5), deletes the rest
     val expired = timed("vacuum", 5.0)(t.vacuum(keepVersions = 5))
