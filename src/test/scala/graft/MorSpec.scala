@@ -265,4 +265,47 @@ class MorSpec extends SparkSpec {
     // acking an uncommitted version is refused
     intercept[IllegalArgumentException] { t.ackChanges("etl", 99) }
   }
+
+  test("change-feed rollup: incremental gold equals recompute at every step") {
+    import graft.scd2.ChangeFeedRollup
+    val src = new VersionedTable(spark, tmp(), Partitioning.BucketBy("id", 4))
+    val gold = new VersionedTable(spark, tmp())
+    def touched(ids: Int*) =
+      src.partitionValues(ids.map(i => (i, "", 0L)).toDF("id", "seg", "amount"))
+    def check(): Unit = {
+      ChangeFeedRollup.drain(spark, src, gold, "gold", "id", "seg", "amount")
+      val got = gold.read().as[(String, Long, Long)].collect().toSet
+      val want = src.read().groupBy($"seg")
+        .agg(sum($"amount").as("s"), count(lit(1)).as("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"gold drifted:\n got $got\nwant $want")
+    }
+    src.overwrite(Seq((1, "A", 10L), (2, "A", 20L), (3, "B", 5L))
+      .toDF("id", "seg", "amount"))                                      // v0
+    check()
+    // update moves id 2 to another group; id 4 inserted — both spans'
+    // retractions must hit the OLD row's group
+    src.mergeDeltas(Seq((2, "B", 25L), (4, "C", 7L)).toDF("id", "seg", "amount"),
+      Seq(Tuple1(2)).toDF("id"), touched(2, 4))                          // v1
+    check()
+    // two commits drained in ONE span, incl. delete-only and a key
+    // updated twice (insert+delete inside the span must net out)
+    src.mergeDeltas(spark.emptyDataset[(Int, String, Long)].toDF("id", "seg", "amount"),
+      Seq(Tuple1(3)).toDF("id"), touched(3))                             // v2
+    src.mergeDeltas(Seq((4, "C", 9L)).toDF("id", "seg", "amount"),
+      Seq(Tuple1(4)).toDF("id"), touched(4))                             // v3
+    src.mergeDeltas(Seq((4, "A", 11L)).toDF("id", "seg", "amount"),
+      Seq(Tuple1(4)).toDF("id"), touched(4))                             // v4
+    check()
+    // crash between gold commit and ack: rewind the cursor, re-apply —
+    // the idempotence tag recognizes the span as applied, gold does not
+    // advance, and the cursor re-acks
+    val goldHead = gold.currentHead.get
+    val srcHead = src.currentHead.get
+    src.ackChanges("gold", 1) // simulate lost ack
+    ChangeFeedRollup.applyOnce(spark, src, gold, "gold", "id", "seg", "amount")
+    assert(gold.currentHead.get == goldHead, "double-applied after crash replay")
+    assert(src.cursor("gold").contains(srcHead))
+    check()
+  }
 }
