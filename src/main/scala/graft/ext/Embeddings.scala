@@ -193,6 +193,77 @@ object Embeddings {
       |SELECT vec_id, true_label, label AS assigned_label, dist2
       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ product quantization
+  // PQ encoding — the vector-DB compression step between int8
+  // quantization and IVF: the 64-dim vector splits into 8 contiguous
+  // 8-dim subspaces, and each subspace is replaced by the id of its
+  // nearest per-label sub-centroid (the label codebook restricted to
+  // that subspace — the same oracle-checkable quantizer sim_cluster_
+  // assign uses). 64 floats → 8 small codes (with a 10-label codebook,
+  // ~4 bits each): 64× compression before any distance math, and the
+  // asymmetric-distance scan (query × code lookup tables) is a
+  // broadcast join away. Distances stay EXACT until one final double
+  // division, per the clusterAssign derivation — per subspace,
+  // Σ_dims (q·n − sq)² is an exact BIGINT and argmin needs no
+  // rounding. Scale shape: the sub-codebook (labels × dims) broadcasts;
+  // vectors stream through one posexplode + one (vec, sub, label)
+  // aggregate + one argmin window over labels per subspace.
+  private val pqEncode: Q = (s, d) => {
+    import s.implicits._
+    val qv = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("dim"),
+        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("q"))
+      // explicit floor: Spark's int cast truncates but DuckDB's ROUNDS,
+      // so the subspace index must be floored before the cast on both
+      // sides (dims are 1-based; (dim-1)/8 ∈ [0, 8))
+      .withColumn("sub", floor(($"dim" - 1) / lit(8)).cast("int"))
+    val code = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"),
+        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+    val diff = $"q" * $"n" - $"sq"
+    qv.join(broadcast(code), "dim")
+      .groupBy($"vec_id", $"sub", $"label")
+      .agg(sum(diff * diff).as("s2"), first($"n").as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id", $"sub")
+          .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"sub", $"label".as("code"),
+        ($"s2".cast("double") / ($"n" * $"n")).as("sub_dist2"))
+      .orderBy($"vec_id", $"sub")
+  }
+  private val pqEncodeSql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor((CAST(i AS INT) - 1) / 8) AS INT) AS sub,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT u.vec_id, u.sub, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT vec_id, sub, label,
+      |    CAST(s2 AS DOUBLE) / (n * n) AS sub_dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |  FROM d)
+      |SELECT vec_id, sub, label AS code, sub_dist2
+      |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
+
   // ----------------------------------------------------- semantic dedup
   // Semantic near-dup detection with CLUSTER BLOCKING — the embedding
   // twin of LSH banding: vectors are first assigned to their nearest
@@ -280,6 +351,7 @@ object Embeddings {
     "emb_centroids" -> centroids,
     "emb_quantize" -> quantize,
     "emb_normalize" -> normalize,
+    "emb_pq_encode" -> pqEncode,
     "sim_cluster_assign" -> clusterAssign,
     "sim_semantic_dedup" -> semanticDedup)
 
@@ -287,6 +359,7 @@ object Embeddings {
     "emb_centroids" -> centroidsSql,
     "emb_quantize" -> quantizeSql,
     "emb_normalize" -> normalizeSql,
+    "emb_pq_encode" -> pqEncodeSql,
     "sim_cluster_assign" -> clusterAssignSql,
     "sim_semantic_dedup" -> semanticDedupSql)
 }

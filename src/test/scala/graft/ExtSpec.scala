@@ -518,6 +518,26 @@ class ExtSpec extends SparkSpec {
       .filter($"novelty" =!= $"got").count() == 0)
   }
 
+  test("PQ encoding: 8 codes per vector; PQ distance lower-bounds assignment") {
+    import spark.implicits._
+    val pq = graft.ext.Embeddings.queries("emb_pq_encode")(spark, sfDir).cache()
+    // every vector carries exactly one code per subspace 0..7
+    val shape = pq.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), countDistinct($"sub").as("d"),
+        min($"sub").as("lo"), max($"sub").as("hi"))
+    assert(shape.filter($"n" =!= 8 || $"d" =!= 8 ||
+      $"lo" =!= 0 || $"hi" =!= 7).count() == 0)
+    // per-subspace minimization relaxes the joint constraint, so the
+    // summed PQ residual can never exceed the single-codeword residual
+    // of the full k-means assignment — the bound ADC search relies on
+    val pqSum = pq.groupBy($"vec_id").agg(sum($"sub_dist2").as("pq_d2"))
+    val ca = graft.ext.Embeddings.queries("sim_cluster_assign")(spark, sfDir)
+      .select($"vec_id", $"dist2")
+    assert(pqSum.join(ca, "vec_id")
+      .filter($"pq_d2" > $"dist2" + 1e-9).count() == 0)
+    pq.unpersist()
+  }
+
   test("semantic dedup: cluster blocking laws hold and distances are true") {
     import spark.implicits._
     val sd = graft.ext.Embeddings.queries("sim_semantic_dedup")(spark, sfDir)
