@@ -26,6 +26,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // Per-RUN hygiene, OUTSIDE the timed region: each build of a
+      // checkpoint-bearing query pins localCheckpoint RDD blocks (and
+      // broadcasts) in the shared BlockManager; across 93 queries × 3
+      // runs that storage accrues until later runs pay eviction/GC
+      // storms that have nothing to do with their own plan (observed:
+      // a 1 s query measuring 78 s late in the pass; and with a single
+      // end-of-query sweep, a checkpoint-heavy query's own runs 2-3
+      // inherited run 1's pinned blocks — steady 5.5 s > cold 2.5 s).
+      // Sweeping BETWEEN runs gives every run the identical clean
+      // starting state, so steady ≤ cold structurally. blocking=true so
+      // the eviction can't race into the next timed region; safe —
+      // every timed() builds a fresh plan, nothing references the
+      // previous run's RDDs.
+      def hygiene(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       try {
         def timed(): Double = {
           val t0 = System.nanoTime()
@@ -33,24 +51,19 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val cold = timed()
-        val steady = math.min(timed(), timed())
-        // Between-query hygiene, OUTSIDE the timed region: each build of
-        // a checkpoint-bearing query pins localCheckpoint RDD blocks
-        // (and its broadcasts) in the shared BlockManager; across
-        // 92 queries × 3 runs that storage accrues until later queries
-        // pay eviction/GC storms that have nothing to do with their own
-        // plan (observed: a 1 s query measuring 78 s late in the pass).
-        // Unpersisting here is safe — every timed() builds a fresh plan,
-        // nothing references the previous run's RDDs.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
+        hygiene()
+        val s1 = timed()
+        hygiene()
+        val s2 = timed()
+        val steady = math.min(s1, s2)
+        if (steady > cold * 1.2)
+          System.err.println(f"[bench] $name anomaly: steady $steady%.3f > cold $cold%.3f x1.2 — box noise or state leak")
         name -> (cold, steady)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
           name -> (-1.0, -1.0)
-      }
+      } finally hygiene()
     }
     // Per-job scheduling floor: the fixed cost of ANY Spark action in
     // this JVM (job submit, task scheduling, result fetch) — the

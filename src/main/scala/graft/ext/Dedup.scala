@@ -676,19 +676,33 @@ object Dedup {
     val fps = Tables.documents(s, d)
       .select($"doc_id", prefixFp($"text").as("fp")).localCheckpoint()
     val corpus = fps.filter($"doc_id" % 5 =!= 0).select($"fp")
-    val bloom: Array[Byte] = corpus
-      .select(asCol(new BloomFilterAggregate(asExpr(xxhash64($"fp")))
-        .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
-    val mightContain = asCol(new BloomFilterMightContain(
-      Literal.create(bloom), asExpr(xxhash64($"fp"))))
     val batch = fps.filter($"doc_id" % 5 === 0)
-    val definitelyNew = batch.filter(!mightContain)
-      .select($"doc_id", $"fp", lit(false).as("is_dup"))
-    val verified = batch.filter(mightContain)
-      .join(corpus.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
-      .select($"doc_id", $"fp", $"hit".isNotNull.as("is_dup"))
-    verified.unionByName(definitelyNew).orderBy($"doc_id")
+    // size the bloom from the corpus row count (cheap second scan of
+    // the checkpoint; an upper bound on the distinct fingerprints it
+    // must hold) — the default 1M-item sizing wastes bits on a small
+    // corpus and under-sizes past 1M, exploding the false-positive
+    // rate exactly when the pre-filter matters
+    val corpusRows = corpus.count()
+    if (corpusRows == 0L) {
+      // empty corpus: BloomFilterAggregate yields NULL, which would
+      // null out BOTH branch predicates and silently drop every batch
+      // row; with nothing ingested yet, every row is new by definition
+      batch.select($"doc_id", $"fp", lit(false).as("is_dup"))
+        .orderBy($"doc_id")
+    } else {
+      val bloom: Array[Byte] = corpus
+        .select(asCol(new BloomFilterAggregate(asExpr(xxhash64($"fp")),
+          math.max(corpusRows, 64L)).toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val mightContain = asCol(new BloomFilterMightContain(
+        Literal.create(bloom), asExpr(xxhash64($"fp"))))
+      val definitelyNew = batch.filter(!mightContain)
+        .select($"doc_id", $"fp", lit(false).as("is_dup"))
+      val verified = batch.filter(mightContain)
+        .join(corpus.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
+        .select($"doc_id", $"fp", $"hit".isNotNull.as("is_dup"))
+      verified.unionByName(definitelyNew).orderBy($"doc_id")
+    }
   }
 
   val queries: Map[String, Q] = Map(

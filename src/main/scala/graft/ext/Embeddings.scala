@@ -153,8 +153,8 @@ object Embeddings {
     val diff = $"q" * $"n" - $"sq"
     qv.join(broadcast(code), "dim")
       .groupBy($"vec_id", $"label")
-      .agg(first($"true_label").as("true_label"),
-        sum(diff * diff).as("s2"), first($"n").as("n"))
+      .agg(min($"true_label").as("true_label"),
+        sum(diff * diff).as("s2"), min($"n").as("n"))
       .select($"vec_id", $"true_label", $"label",
         ($"s2".cast("double") / ($"n" * $"n")).as("dist2"))
       .withColumn("rk", row_number().over(
@@ -227,7 +227,7 @@ object Embeddings {
     val diff = $"q" * $"n" - $"sq"
     qv.join(broadcast(code), "dim")
       .groupBy($"vec_id", $"sub", $"label")
-      .agg(sum(diff * diff).as("s2"), first($"n").as("n"))
+      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id", $"sub")
@@ -335,7 +335,7 @@ object Embeddings {
       |  FROM u JOIN assign a ON u.vec_id = a.vec_id),
       |pairs AS (
       |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
-      |    SUM((a.q - b.q) * (a.q - b.q)) AS d2
+      |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
       |  FROM va a JOIN va b
       |    ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
       |  GROUP BY 1, 2, 3),

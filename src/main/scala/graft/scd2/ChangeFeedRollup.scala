@@ -38,7 +38,22 @@ object ChangeFeedRollup {
     * None when the consumer is already caught up. */
   def applyOnce(spark: SparkSession, src: VersionedTable, gold: VersionedTable,
                 consumer: String, keyCol: String, groupCol: String,
-                valueCol: String): Option[Int] =
+                valueCol: String): Option[Int] = {
+    // Recovery fast-forward: if a crash landed between gold.overwrite
+    // and ackChanges AND the source gained commits since, the naive
+    // redelivered span widens to a NEW toV — its tag no longer matches
+    // gold's, and the already-applied prefix would re-aggregate onto a
+    // gold base that already contains it (silent double-count). Gold's
+    // own manifest meta is the truth of what was applied: parse the
+    // last applied version out of the `cfr-<consumer>-<V>` tag and, if
+    // it is ahead of the source cursor, replay ONLY the missing ack so
+    // the next poll starts exactly after the applied span.
+    val applied = gold.latestMeta.collect {
+      case m if m.startsWith(s"cfr-$consumer-") =>
+        m.stripPrefix(s"cfr-$consumer-").toIntOption
+    }.flatten
+    applied.filter(v => v > src.cursor(consumer).getOrElse(-1))
+      .foreach(v => src.ackChanges(consumer, v))
     src.pollChanges(consumer).map { p =>
       val tag = s"cfr-$consumer-${p.toV}"
       if (gold.exists && gold.latestMeta.contains(tag)) {
@@ -71,6 +86,7 @@ object ChangeFeedRollup {
         p.toV
       }
     }
+  }
 
   /** Drain every pending span (poll until caught up). Returns the
     * versions applied, oldest first. */

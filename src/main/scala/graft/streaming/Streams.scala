@@ -441,8 +441,14 @@ object Streams {
       .select(coalesce(col("after_id"), col("before_id")).as("id"),
         col("op"), col("lsn"), col("event_timestamp"))
       .filter(col("id").isNotNull)
-    flat.join(broadcast(dim), flat("id") === dim(dimKey), "left")
-      .drop(dimKey)
+    // alias the dim key before joining: a bare `.drop(dimKey)` after
+    // the join drops EVERY column with that name, so a dim keyed on
+    // e.g. "id" would silently delete the stream's own id column —
+    // the rename scopes the drop to the dim side only
+    val dimk = "__graft_dim_key"
+    val dimAliased = dim.withColumnRenamed(dimKey, dimk)
+    flat.join(broadcast(dimAliased), flat("id") === dimAliased(dimk), "left")
+      .drop(dimk)
   }
 
   // ----------------------------------------------- streaming funnel
