@@ -293,15 +293,19 @@ object TextAnalysis {
   // novelty = fraction with df = 1 (unique to this doc), boilerplate =
   // fraction with df ≥ 5. Counts are exact integers and each fraction
   // is one division of identical ints → identical doubles everywhere.
-  // Scale shape: the df aggregate and the join both key on the 8-byte
-  // xxhash64 of the shingle (strings never enter a shuffle — the
-  // Dedup blocking-key pattern); one explode, two same-key shuffles,
-  // and the per-doc reaggregate.
+  // Scale shape: df is an unbounded COUNT window over the ONE
+  // shingle-keyed exchange (8-byte xxhash64 keys — strings never enter
+  // a shuffle, the Dedup blocking-key pattern) instead of a separate
+  // df aggregate joined back — that join shape paid a second full
+  // shuffle of the shingle table plus the join itself, and forced a
+  // localCheckpoint to stop the explode running twice. Here the
+  // explode feeds a single pipeline (no checkpoint, no join): explode
+  // → exchange(shash)+sort → window df → exchange(doc_id) reaggregate.
+  // A corpus-wide boilerplate shingle makes one big window group;
+  // WindowExec buffers per GROUP with disk spill, the same skew
+  // exposure as the join's hot build key — no worse, one shuffle less.
   private val novelty: Q = (s, d) => {
     import s.implicits._
-    // materialized once: the df aggregate and the per-doc join both
-    // read the exploded shingles — without the checkpoint the explode
-    // (the expensive fan-out stage) runs twice
     val sh = Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
@@ -310,9 +314,8 @@ object TextAnalysis {
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("sh3"))
       .select($"doc_id", xxhash64($"sh3").as("shash"))
-      .localCheckpoint()
-    val dfTab = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
-    sh.join(dfTab, "shash")
+    sh.select($"doc_id", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shash")).as("df"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"df" === 1, 1L).otherwise(0L)).as("novel"),
@@ -570,16 +573,24 @@ object TextAnalysis {
   // Top-3 keywords per document by (tf desc, rarity asc, term) — the
   // rank-based tf-idf surrogate that avoids cross-engine transcendental
   // drift (ln() can differ by an ulp between engines; ranks on exact
-  // ints cannot). One token-keyed shuffle for df + one doc-keyed window.
+  // ints cannot). df is an unbounded COUNT window over the term-keyed
+  // exchange of the tf table, not a separate aggregate joined back:
+  // the join shape shuffled tf on w TWICE (agg build + probe) and paid
+  // a sort-merge join before the rank window's own doc-keyed exchange.
+  // Now: tokens →(partial-agg shuffle) tf →(exchange w + sort) df
+  // window →(exchange doc_id + sort) rank window. Three tf-sized
+  // exchanges, zero joins; the token stream itself still shuffles only
+  // once, map-combined. Hot-term skew (a stopword's window group is
+  // one doc-count-sized spillable buffer) matches the join's hot-key
+  // exposure — no worse, one shuffle and a join less.
   private val keywords: Q = (s, d) => {
     import s.implicits._
     val tf = Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val win = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"w".asc)
-    tf.join(df, "w")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"w")))
       .withColumn("rank", row_number().over(win))
       .filter($"rank" <= 3)
       .select($"doc_id", $"rank".cast("int").as("rank"), $"w", $"tf", $"df")

@@ -197,4 +197,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("keywords derives df from a window, not a second shuffle + join") {
+    val p = plan("text_keywords")
+    assert(!p.contains("Join"), s"df re-joined instead of windowed:\n$p")
+    // tokens→tf, tf→w window, tf→doc window: exactly three exchanges
+    val ex = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(ex == 3, s"expected 3 hash exchanges, found $ex:\n$p")
+  }
+
+  test("novelty is a single join-free pipeline (no checkpoint rescans)") {
+    val p = plan("text_novelty")
+    assert(!p.contains("Join"), s"df re-joined instead of windowed:\n$p")
+    // explode→shash window, →doc_id reaggregate: exactly two exchanges
+    val ex = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(ex == 2, s"expected 2 hash exchanges, found $ex:\n$p")
+    // the shingle strings are hashed before the exchange — only the
+    // 8-byte key and doc_id travel
+    assert(!p.contains("Scan ExistingRDD"), s"checkpoint crept back:\n$p")
+  }
 }
