@@ -99,13 +99,75 @@ object Scd2Queries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // Change feed under the hash gate: build a 3-commit MOR table from a
+  // deterministic slice of `orders`, then emit `changesBetween(v0, v2)`
+  // — inserts as 'I' rows, delete markers as 'D' rows. The oracle
+  // recomputes the expected feed from pure SQL over the same base
+  // table, so every piece of the feed machinery (manifest
+  // set-difference, span-scoped equality-delete application, the
+  // insert-then-delete-within-span fold) is value-checked, not just
+  // spec-asserted. Scenario:
+  //   v0 overwrite: keys with k%4 != 0           (rev 0)
+  //   v1 merge:     update k%8 == 1 → rev 1; insert all k%4 == 0 (rev 0)
+  //   v2 merge:     update k%16 == 8 → rev 2; delete k%16 == 2
+  // Feed (0→2): inserts = k%8==1 @rev1, k%4==0 @rev0 except the
+  // k%16==8 churn, which surfaces ONLY as its surviving rev-2 row;
+  // deletes = k%8==1 ∪ k%16==8 ∪ k%16==2. Scale shape: the feed itself
+  // is a driver-side manifest diff + one scan of only the span's
+  // files — O(changed data), never O(table).
+  private val changefeed: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // fixed per-sfDir location, wiped at the start of each run: the
+    // query is rerun by Verify and three times by Bench
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-changefeed-${Integer.toHexString(d.hashCode)}")
+    val fs = new org.apache.hadoop.fs.Path(root.getPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root.getPath), true)
+    val t = new VersionedTable(s, root.getPath)
+    val k = col("o_orderkey")
+    t.overwrite(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L)))     // v0
+    t.mergeDeltas(
+      base.filter(k % 8 === 1).withColumn("rev", lit(1L))
+        .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L))),
+      base.filter(k % 8 === 1).select(k), Seq(""))                       // v1
+    t.mergeDeltas(
+      base.filter(k % 16 === 8).withColumn("rev", lit(2L)),
+      base.filter(k % 16 === 8 || k % 16 === 2).select(k), Seq(""))      // v2
+    val (ins, dels) = t.changesBetween(0, 2)
+    ins.select(lit("I").as("change"), k, col("o_custkey"), col("rev"))
+      .unionByName(dels.get.select(lit("D").as("change"), k,
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("long").as("rev")))
+      .orderBy(col("change"), k)
+  }
+  private val changefeedSql =
+    """WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+      |ins AS (
+      |  SELECT 'I' AS change, o_orderkey, o_custkey,
+      |    CAST(CASE WHEN o_orderkey % 16 = 8 THEN 2
+      |              WHEN o_orderkey % 8 = 1 THEN 1
+      |              ELSE 0 END AS BIGINT) AS rev
+      |  FROM base
+      |  WHERE o_orderkey % 4 = 0 OR o_orderkey % 8 = 1),
+      |del AS (
+      |  SELECT 'D' AS change, o_orderkey,
+      |    CAST(NULL AS BIGINT) AS o_custkey, CAST(NULL AS BIGINT) AS rev
+      |  FROM base
+      |  WHERE o_orderkey % 8 = 1 OR o_orderkey % 16 = 8 OR o_orderkey % 16 = 2)
+      |SELECT * FROM ins UNION ALL SELECT * FROM del
+      |ORDER BY change, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "scd2_versions" -> versions,
     "scd2_current" -> current,
-    "scd2_version_stats" -> versionStats)
+    "scd2_version_stats" -> versionStats,
+    "scd2_changefeed" -> changefeed)
 
   val oracles: Map[String, String] = Map(
     "scd2_versions" -> versionsSql,
     "scd2_current" -> currentSql,
-    "scd2_version_stats" -> versionStatsSql)
+    "scd2_version_stats" -> versionStatsSql,
+    "scd2_changefeed" -> changefeedSql)
 }
