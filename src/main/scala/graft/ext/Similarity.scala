@@ -212,36 +212,42 @@ object Similarity {
   }
 
   // ---------------------------------------------------------- IVF path
-  /** Coarse quantizer: centroid per `label` cell (the corpus ships
-    * cluster labels; a real deployment k-means-trains these). Exposed
-    * for the spec + Bench; probing `nprobe` cells bounds the scanned
-    * fraction to nprobe/nCells of the corpus. */
-  def centroids(emb: DataFrame): DataFrame = {
-    val exploded = emb.select(col("label"), posexplode(col("embedding")))
-    exploded.groupBy(col("label"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), expr("transform(pm, x -> x.m)").as("centroid"))
-  }
-
-  /** IVF top-k: rank cells per query by centroid cosine, scan the best
-    * `nprobe` cells only. With nprobe = nCells this is exactly brute
-    * force (spec-pinned); smaller nprobe trades recall for a bounded
-    * scan — the knob that makes 100 TB ANN feasible. */
+  /** IVF top-k: rank cells per query by EXACT integer-grid L2 distance
+    * to the per-`label` centroid (the sim_cluster_assign recipe:
+    * q = floor(x·10⁶ + ½) is an exact BIGINT, dist² ∝ Σ(q·n − sq)²
+    * needs no rounding until one final double division), then scan
+    * only the best `nprobe` cells. The integer grid is what makes the
+    * WHOLE pipeline oracle-checkable: centroid means in floating point
+    * rank cells differently across engines at the ulp, exact integers
+    * cannot. With nprobe = nCells this is exactly brute force
+    * (spec-pinned); smaller nprobe trades recall for a bounded scan —
+    * the knob that makes 100 TB ANN feasible. Scale shape: the
+    * codebook aggregate is centroid-sized, broadcasts to the query
+    * side, and the corpus is scanned only in probed cells via an
+    * equi-join on the cell label. */
   def knnIvf(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
     import s.implicits._
-    val cents = centroids(Tables.embeddings(s, d))
-    val queries = querySet(s, d)
-    val probe = queries.join(broadcast(cents))
-      .select($"query_id", $"q_emb", $"label",
-        cosine($"q_emb", $"centroid").as("ccos"))
-    val wq = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label")
-    val cells = probe.withColumn("r", row_number().over(wq))
-      .filter($"r" <= nprobe)
-      .select($"query_id", $"q_emb", $"label")
+    val grid = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
+    val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), posexplode($"embedding"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("q"))
+    val code = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+    val diff = $"q" * $"n" - $"sq"
+    val wq = Window.partitionBy($"query_id")
+      .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")
+    val cells = qv.join(broadcast(code), "dim")
+      .groupBy($"query_id", $"label")
+      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+      .withColumn("crk", row_number().over(wq))
+      .filter($"crk" <= nprobe)
+      .select($"query_id", $"label")
+    val probes = cells.join(querySet(s, d), "query_id")
     val corpus = corpusSet(s, d, extra = Seq("label"))
-    val scored = corpus.join(broadcast(cells), "label")
+    val scored = corpus.join(broadcast(probes), "label")
       .select($"query_id", $"neighbor_id",
         round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
@@ -251,10 +257,53 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  // Driver-gated entry for the IVF path: deterministic, but the probe
-  // set prunes cells, so this is NOT SQL-oracle'd (rows-only check);
-  // SimilaritySpec pins nprobe=10 ≡ brute force.
+  // Driver-gated entry for the IVF path, under the FULL hash oracle:
+  // the SQL twin replicates the integer-grid cell ranking, the probe
+  // cut, and the probed-cell scan — the gate checks the actual ANN
+  // result rows, strictly stronger than a recall bound (and immune to
+  // this corpus's weak cluster structure, which caps honest recall at
+  // ~0.4 for any real pruning). SimilaritySpec pins nprobe=10 ≡ brute.
   private val knnIvfQ: Q = (s, d) => knnIvf(s, d, k = 5, nprobe = 3)
+  private val knnIvfSql =
+    """WITH u AS (
+      |  SELECT vec_id AS query_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      |  WHERE vec_id < 10),
+      |code AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT u.query_id, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT query_id, label
+      |  FROM (SELECT query_id, label,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS crk
+      |        FROM d)
+      |  WHERE crk <= 3),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(
+      |      CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_sim
+      |  FROM embeddings q
+      |  JOIN cells ON cells.query_id = q.vec_id
+      |  JOIN embeddings c ON c.vec_id >= 10 AND c.label = cells.label
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos_sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------ hyperplane LSH
   /** Deterministic pseudo-random hyperplanes: component (p, dim) from
@@ -312,6 +361,42 @@ object Similarity {
   }
 
   private val knnLshQ: Q = (s, d) => knnHyperplaneLsh(s, d, k = 5, nPlanes = 4)
+
+  /** Hash-oracle twin of the multiprobe LSH path, the same literal-
+    * inlining technique as [[nearDupLshSql]]: the md5-seeded planes
+    * render as shortest-round-trip double array literals (DuckDB
+    * parses back the exact IEEE values Spark folds with), bucketing
+    * uses the RAW vectors (the sign of plane·v is normalization-
+    * invariant), and the probe set is the query's bucket plus every
+    * 1-bit flip — so the gate checks the actual candidate generation
+    * and ranking, not a recall proxy. */
+  private val knnLshSql: String = {
+    val nPlanes = 4
+    val planes = hyperplanes(nPlanes, 64)
+    def planeLit(p: Seq[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    val bucketExpr = (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(planes(p))}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val probeMatch = (Seq("c.bucket = q.qbucket") ++ (0 until nPlanes).map(p =>
+      s"c.bucket = xor(q.qbucket, ${1 << p})")).mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+       |       FROM bkt WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, c.v), 5) AS cos_sim
+       |  FROM qb q JOIN bkt c ON c.vec_id >= 10 AND ($probeMatch)),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // Driver-gated entry for the PRUNING near-dup path (the production
   // shape for corpora with real near-dups). minCos 0.4 sits in this
@@ -379,5 +464,7 @@ object Similarity {
     "sim_knn_bruteforce" -> knnBruteSql,
     "sim_neardup_top_pairs" -> nearDupTopPairsSql,
     "sim_neardup_lsh" -> nearDupLshSql,
-    "sim_knn_topk_agg" -> knnBruteSql)
+    "sim_knn_topk_agg" -> knnBruteSql,
+    "sim_knn_ivf" -> knnIvfSql,
+    "sim_knn_lsh" -> knnLshSql)
 }
