@@ -111,3 +111,57 @@ object Jdbc {
   def read(spark: SparkSession, config: JdbcSourceConfig): DataFrame =
     spark.read.format("jdbc").options(readerOptions(config)).load()
 }
+
+/** Multi-catalog federation under the hash gate — the reference's
+  * Trino Iceberg↔Postgres acceptance shape (`README.MD:316-327`): one
+  * plan joining an OPERATIONAL-database dimension against a lakehouse
+  * parquet fact. The dimension lives in an in-memory Derby instance
+  * (loaded from the nation table at query start — the 25-row
+  * bootstrap a real deployment does once); the query reads it back
+  * THROUGH the JDBC source and broadcasts it into the customer scan.
+  * Scale shape: the dim is broadcast (operational tables are dim-
+  * sized by definition), the fact never leaves its parquet scan
+  * partitioning until the one aggregate exchange, and the JDBC read
+  * would range-partition on the key for a big operational table
+  * ([[Jdbc.read]]'s partitionColumn knobs, spec-pinned). */
+object Federated {
+  type Q = (SparkSession, String) => DataFrame
+  import org.apache.spark.sql.functions._
+
+  private val federatedJoin: Q = (s, d) => {
+    val url = s"jdbc:derby:memory:graftfed${Integer.toHexString(d.hashCode)};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE nation_dim")
+      catch { case _: java.sql.SQLException => () } // first run: no table yet
+      st.execute("CREATE TABLE nation_dim (n_nationkey BIGINT, n_name VARCHAR(64))")
+      st.close()
+      val ps = conn.prepareStatement("INSERT INTO nation_dim VALUES (?, ?)")
+      graft.Tables.nation(s, d).select("n_nationkey", "n_name").collect().foreach { r =>
+        ps.setLong(1, r.getAs[Number](0).longValue); ps.setString(2, r.getString(1)); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally conn.close()
+    // Derby folds unquoted identifiers to upper case; re-alias so the
+    // output schema matches the oracle
+    val dim = Jdbc.read(s, JdbcSourceConfig(url, "nation_dim",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver")))
+      .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"))
+    val fact = graft.Tables.customer(s, d)
+    fact.join(broadcast(dim), fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+  private val federatedJoinSql =
+    """SELECT n.n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map("rel_federated_join" -> federatedJoin)
+  val oracles: Map[String, String] = Map("rel_federated_join" -> federatedJoinSql)
+}

@@ -198,6 +198,13 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("federated join broadcasts the JDBC dimension into the parquet fact") {
+    val p = plan("rel_federated_join")
+    assert(p.contains("JDBCRelation"), s"dim must come through the JDBC source:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"JDBC dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the dim:\n$p")
+  }
+
   test("keywords derives df from a window, not a second shuffle + join") {
     val p = plan("text_keywords")
     assert(!p.contains("Join"), s"df re-joined instead of windowed:\n$p")
