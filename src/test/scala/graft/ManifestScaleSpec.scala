@@ -33,7 +33,15 @@ class ManifestScaleSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSeq == Seq((1, "a")))
   }
 
-  test("2k-version commit log: resolve/read/vacuum stay sub-second-ish") {
+  test("2k-version commit log: resolve/read/vacuum touch only claimed manifests") {
+    // Deterministic complexity fences (VERDICT r5 #7 — wall-time
+    // bounds flaked on shared hosts): every manifest body the
+    // operations CLAIM not to read is replaced with garbage bytes. If
+    // head resolution ever parsed a non-head body, read ever resolved
+    // more than the head, or vacuum ever parsed an EXPIRED manifest,
+    // the corrupt body would throw — the O(listing + retained)
+    // contract becomes a hard behavioral invariant independent of box
+    // noise.
     val root = Files.createTempDirectory("mscale").toString
     val t = new VersionedTable(spark, root)
     t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))             // v0
@@ -43,28 +51,32 @@ class ManifestScaleSpec extends SparkSpec {
       Files.copy(src, Paths.get(root, "_versions", f"$v%05d"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    def timed[A](what: String, bound: Double)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      val s = (System.nanoTime() - t0) / 1e9
-      assert(s < bound, s"$what took $s s (bound $bound)")
-      r
+    // corrupt everything below the vacuum retention window (the last
+    // 5 versions, 1995..1999, stay valid — vacuum legitimately parses
+    // those to compute the retained file set; the ops before vacuum
+    // may touch only the head, 1999)
+    (2 until 1995).foreach { v =>
+      Files.write(Paths.get(root, "_versions", f"$v%05d"),
+        "CORRUPT — this manifest body must never be parsed".getBytes)
     }
-    // head resolution lists the dir but reads NO manifest bodies.
-    // Bounds are regression fences against O(versions²) blowups, not
-    // precise SLOs: a 2× margin over the observed ~0.3–0.5 s clean
-    // timing absorbs host-contention noise (a shared box measured this
-    // FS listing at 1.09 s under neighbor load) while still failing
-    // loudly on any complexity regression.
-    assert(timed("latestVersion", 2.0)(t.latestVersion).contains(1999))
-    assert(timed("latestMeta", 2.0)(t.latestMeta).isEmpty)
-    assert(timed("read", 5.0)(t.read().count()) == 3)
-    // vacuum reads only the RETAINED manifests (5), deletes the rest
-    val expired = timed("vacuum", 5.0)(t.vacuum(keepVersions = 5))
+    // head resolution: pure listing, no bodies
+    assert(t.latestVersion.contains(1999))
+    // meta + read parse exactly one body: the head's
+    assert(t.latestMeta.isEmpty)
+    assert(t.read().count() == 3)
+    // and the read plans a bounded number of scans — one manifest's
+    // file set, not one per version
+    val scans = "FileScan parquet|Scan parquet".r
+      .findAllIn(t.read().queryExecution.executedPlan.toString).length
+    assert(scans <= 2, s"head read planned $scans parquet scans")
+    // vacuum parses only the RETAINED manifests, deletes the rest by
+    // listing — 1993 of the expired 1995 bodies are garbage and it
+    // must never notice
+    val expired = t.vacuum(keepVersions = 5)
     assert(expired.size == 1995)
     assert(t.read().count() == 3)
     // v0's data files were referenced only by expired manifests → gone
     intercept[Exception] { t.readVersion(0).count() }
-    // post-vacuum the log is bounded again
-    assert(timed("latestVersion after vacuum", 0.5)(t.latestVersion).contains(1999))
+    assert(t.latestVersion.contains(1999))
   }
 }
