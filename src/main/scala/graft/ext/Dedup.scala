@@ -666,17 +666,14 @@ object Dedup {
   // bloom is built once (one aggregate job, a few-MB binary) and
   // inlined as a literal — the collect-and-rebroadcast shape, sized by
   // the corpus distinct-count estimate, not the data volume.
-  private val incrementalBloom: Q = (s, d) => {
-    import s.implicits._
+  /** Core of the bloom path, exposed for the spec: dedup `batch`
+    * (doc_id, fp) against `corpus` (fp) with a corpus-sized bloom
+    * pre-filter; result is bit-identical to the plain left join at any
+    * false-positive rate. */
+  private[graft] def bloomIncremental(corpus: DataFrame, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    // one materialization feeds all three consumers (bloom build,
-    // corpus-index join side, batch side) instead of three md5 passes
-    val fps = Tables.documents(s, d)
-      .select($"doc_id", prefixFp($"text").as("fp")).localCheckpoint()
-    val corpus = fps.filter($"doc_id" % 5 =!= 0).select($"fp")
-    val batch = fps.filter($"doc_id" % 5 === 0)
     // size the bloom from the corpus row count (cheap second scan of
     // the checkpoint; an upper bound on the distinct fingerprints it
     // must hold) — the default 1M-item sizing wastes bits on a small
@@ -687,22 +684,32 @@ object Dedup {
       // empty corpus: BloomFilterAggregate yields NULL, which would
       // null out BOTH branch predicates and silently drop every batch
       // row; with nothing ingested yet, every row is new by definition
-      batch.select($"doc_id", $"fp", lit(false).as("is_dup"))
-        .orderBy($"doc_id")
+      batch.select(col("doc_id"), col("fp"), lit(false).as("is_dup"))
     } else {
       val bloom: Array[Byte] = corpus
-        .select(asCol(new BloomFilterAggregate(asExpr(xxhash64($"fp")),
+        .select(asCol(new BloomFilterAggregate(asExpr(xxhash64(col("fp"))),
           math.max(corpusRows, 64L)).toAggregateExpression()).as("bf"))
         .head.getAs[Array[Byte]](0)
       val mightContain = asCol(new BloomFilterMightContain(
-        Literal.create(bloom), asExpr(xxhash64($"fp"))))
+        Literal.create(bloom), asExpr(xxhash64(col("fp")))))
       val definitelyNew = batch.filter(!mightContain)
-        .select($"doc_id", $"fp", lit(false).as("is_dup"))
+        .select(col("doc_id"), col("fp"), lit(false).as("is_dup"))
       val verified = batch.filter(mightContain)
         .join(corpus.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
-        .select($"doc_id", $"fp", $"hit".isNotNull.as("is_dup"))
-      verified.unionByName(definitelyNew).orderBy($"doc_id")
+        .select(col("doc_id"), col("fp"), col("hit").isNotNull.as("is_dup"))
+      verified.unionByName(definitelyNew)
     }
+  }
+
+  private val incrementalBloom: Q = (s, d) => {
+    import s.implicits._
+    // one materialization feeds all three consumers (bloom build,
+    // corpus-index join side, batch side) instead of three md5 passes
+    val fps = Tables.documents(s, d)
+      .select($"doc_id", prefixFp($"text").as("fp")).localCheckpoint()
+    bloomIncremental(fps.filter($"doc_id" % 5 =!= 0).select($"fp"),
+      fps.filter($"doc_id" % 5 === 0))
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, Q] = Map(

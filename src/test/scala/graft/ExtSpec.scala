@@ -494,6 +494,18 @@ class ExtSpec extends SparkSpec {
     assert(bloom.length.toLong == batchRows)
   }
 
+  test("bloom incremental dedup: empty corpus marks every batch row new") {
+    // ADVICE r5: BloomFilterAggregate over zero rows returns NULL,
+    // which nulled BOTH branch predicates and silently emptied the
+    // result — a fresh pipeline's first batch must come back complete
+    import spark.implicits._
+    val batch = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "fp")
+    val empty = batch.filter(lit(false)).select($"fp")
+    val out = Dedup.bloomIncremental(empty, batch)
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(out == Set((1L, "aa", false), (2L, "bb", false)))
+  }
+
   test("novelty fractions are lawful and hash blocking changed nothing") {
     import spark.implicits._
     val n = TextAnalysis.queries("text_novelty")(spark, sfDir)

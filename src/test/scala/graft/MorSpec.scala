@@ -307,5 +307,20 @@ class MorSpec extends SparkSpec {
     assert(gold.currentHead.get == goldHead, "double-applied after crash replay")
     assert(src.cursor("gold").contains(srcHead))
     check()
+    // crash between gold commit and ack AND the source gains a commit
+    // before recovery: the redelivered span widens to a NEW toV, so
+    // the idempotence tag alone cannot recognize the applied prefix —
+    // recovery must fast-forward the cursor from gold's cfr tag before
+    // polling, else (v1, v4] re-aggregates onto a gold that already
+    // contains it (ADVICE r5: silent double-count)
+    src.ackChanges("gold", 1) // lost ack again
+    src.mergeDeltas(Seq((5, "B", 13L)).toDF("id", "seg", "amount"),
+      Seq(Tuple1(5)).toDF("id"), touched(5))                             // v5
+    ChangeFeedRollup.applyOnce(spark, src, gold, "gold", "id", "seg", "amount")
+    val got = gold.read().as[(String, Long, Long)].collect().toSet
+    val want = src.read().groupBy($"seg")
+      .agg(sum($"amount").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"widened-span replay double-counted:\n got $got\nwant $want")
   }
 }

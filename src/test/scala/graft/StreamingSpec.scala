@@ -506,5 +506,16 @@ class StreamingSpec extends SparkSpec {
     // unmatched keys null-padded, matched keys carry the dim attribute
     assert(got.filter($"id" > 4 && $"tier".isNotNull).count() == 0)
     assert(got.filter($"id" <= 4 && $"tier".isNull).count() == 0)
+
+    // a dim keyed like a stream column must not clobber it (ADVICE r5:
+    // the post-join drop removed EVERY column named `id`, the stream's
+    // included)
+    val dimId = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
+    val batch = Streams.enrichStream(
+      spark.read.text(in).withColumnRenamed("value", "raw_message"), dimId, "id")
+    assert(batch.columns.count(_ == "id") == 1, batch.columns.mkString(","))
+    assert(batch.filter($"id".isNull).count() == 0,
+      "stream id column was dropped by the dim-key collision")
+    assert(batch.filter($"id" <= 2 && $"tier".isNull).count() == 0)
   }
 }
