@@ -117,7 +117,11 @@ object Scd2Queries {
   // files — O(changed data), never O(table).
   private val changefeed: Q = (s, d) => {
     import s.implicits._
+    // deterministic 1/3 universe: the gate exercises every feed path
+    // identically at any volume, and the commit-building I/O (three
+    // table writes inside the query) shouldn't dominate the headline
     val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_orderkey") % 3 === 0)
     // fixed per-sfDir location, wiped at the start of each run: the
     // query is rerun by Verify and three times by Bench
     val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -143,7 +147,8 @@ object Scd2Queries {
       .orderBy(col("change"), k)
   }
   private val changefeedSql =
-    """WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+    """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
+      |             WHERE o_orderkey % 3 = 0),
       |ins AS (
       |  SELECT 'I' AS change, o_orderkey, o_custkey,
       |    CAST(CASE WHEN o_orderkey % 16 = 8 THEN 2
