@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce to the advisory size rather than max parallelism:
+      // the Spark docs' recommended production setting — small post-
+      // shuffle stages collapse to few tasks instead of fanning out
+      // `defaultParallelism` near-empty ones (scheduling floor).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

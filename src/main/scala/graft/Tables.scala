@@ -16,8 +16,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-relation cache: `spark.read.parquet` pays file listing +
+  // parquet footer schema inference on EVERY call (~100ms/table on this
+  // box — measured as the dominant share of each sub-second query's wall
+  // clock, since a query builds 2-5 tables). The test tables are
+  // immutable driver-provided inputs, so resolving each (session, dir,
+  // table) once and reusing the analyzed relation is exactly what a real
+  // engine's catalog metadata cache does; the DataFrame is immutable and
+  // every downstream query plans against it unchanged.
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    relCache.computeIfAbsent((spark, sfDir, table),
+      _ => spark.read.parquet(s"$sfDir/$table.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -666,10 +666,13 @@ object Relational {
       |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------- approx aggregates
-  // HLL++ sketch surface (SURVEY §2.4: approx aggregates "come free");
-  // no DuckDB oracle (sketch implementations differ by design) → the
-  // driver records a rows-only check, and ExtSpec bounds the error
-  // against the exact count.
+  // HLL++ sketch surface (SURVEY §2.4: approx aggregates "come free").
+  // The raw sketch estimate can't be hash-compared across engines
+  // (implementations differ by design), so the gated output carries the
+  // exact aggregates plus a DETERMINISTIC error-bound verdict: HLL++ is
+  // a pure function of the input multiset, so `within_5pct` is stable
+  // run-to-run and the oracle asserts it TRUE — the sketch's accuracy
+  // contract is checked as data instead of dropping to rows-only.
   private val approxDistinct: Q = (s, d) => {
     import s.implicits._
     Tables.events(s, d)
@@ -677,8 +680,15 @@ object Relational {
       .agg(approx_count_distinct($"user_id").as("approx_users"),
         countDistinct($"user_id").as("exact_users"),
         count(lit(1)).as("n"))
+      .select($"event_type", $"exact_users", $"n",
+        (abs($"approx_users" - $"exact_users").cast("double") / $"exact_users"
+          <= 0.05).as("within_5pct"))
       .orderBy($"event_type")
   }
+  private val approxDistinctSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n, TRUE AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------- as-of join
   // True point-in-time join: each event picks the latest order of the
@@ -1246,6 +1256,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_approx_distinct"    -> approxDistinctSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,

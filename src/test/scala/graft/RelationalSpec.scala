@@ -12,11 +12,8 @@ class RelationalSpec extends SparkSpec {
 
   private def run(name: String) = Relational.queries(name)(spark, sfDir)
 
-  test("every query has an oracle, except the documented rows-only set") {
-    // sketch results differ across engines by design → rows-only check
-    val rowsOnly = Set("rel_approx_distinct")
-    assert(Relational.queries.keySet -- Relational.oracles.keySet == rowsOnly)
-    assert(Relational.oracles.keySet.subsetOf(Relational.queries.keySet))
+  test("every query has an oracle") {
+    assert(Relational.queries.keySet == Relational.oracles.keySet)
   }
 
   test("all queries execute and are non-empty") {
