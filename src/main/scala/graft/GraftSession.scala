@@ -23,11 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce to the advisory size rather than max parallelism:
-      // the Spark docs' recommended production setting — small post-
-      // shuffle stages collapse to few tasks instead of fanning out
-      // `defaultParallelism` near-empty ones (scheduling floor).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at its default (true): with shuffle
+      // partitions already sized to the core count, advisory-size
+      // coalescing (the "production" setting) collapses the heavy
+      // shuffle stages to 1-2 partitions and serializes them — measured
+      // +1.5-2.3s on every shingle-join query, for a floor win that the
+      // relation cache already delivers.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -640,7 +640,185 @@ object TextAnalysis {
       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------- data-driven rebalancing
+  // Corpus mixing with weights DERIVED FROM THE DATA (vs the static
+  // rates of `text_sample_stratified`): observe the language histogram,
+  // compute per-language keep-probabilities that move the corpus toward
+  // a uniform target mix, and apply them with the same content-stable
+  // md5 sampling. The whole computation is exact integer arithmetic
+  // (ppm weights, 16-bit sample keys), so both engines agree bit-for-
+  // bit. Scale shape: the histogram is one partial-agg shuffle to ~5
+  // rows, the weights broadcast back onto the corpus, and the keep
+  // decision is a pure map — the standard two-pass reweighting job.
+  private val rebalanceMix: Q = (s, d) => {
+    import s.implicits._
+    val hx = "0123456789abcdef"
+    // per-language counts + grand total; the window runs over the
+    // ALREADY-AGGREGATED ~5-row frame, so the single partition is a
+    // driver-sized detail, not a reducer bottleneck
+    val stats = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total", sum($"n_lang").over(Window.partitionBy()))
+      // target = uniform 1/5 per language (200000 ppm); never upsample
+      .withColumn("w_ppm",
+        least(lit(1000000L), expr("200000L * n_total div n_lang")))
+      .select($"lang", $"w_ppm",
+        expr("w_ppm * 65536 div 1000000").as("thr"))
+    def nib(i: Int) = expr(s"locate(substr(h,$i,1),'$hx') - 1")
+    Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("mix:"), $"doc_id".cast("string"))))
+      .withColumn("samp_key",
+        (((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)).cast("long"))
+      .join(broadcast(stats), "lang")
+      .select($"doc_id", $"lang", $"w_ppm", ($"samp_key" < $"thr").as("kept"))
+      .orderBy($"doc_id")
+  }
+  private val rebalanceMixSql =
+    """WITH stats AS (
+      |  SELECT lang, COUNT(*) AS n_lang,
+      |    SUM(COUNT(*)) OVER () AS n_total
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang,
+      |    LEAST(1000000, (200000 * n_total) // n_lang) AS w_ppm,
+      |    (LEAST(1000000, (200000 * n_total) // n_lang) * 65536) // 1000000 AS thr
+      |  FROM stats),
+      |k AS (
+      |  SELECT doc_id, lang,
+      |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    CAST((((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16
+      |         + strpos('0123456789abcdef', substr(h,2,1)) - 1) * 16
+      |         + strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+      |         + strpos('0123456789abcdef', substr(h,4,1)) - 1 AS BIGINT) AS samp_key
+      |  FROM k)
+      |SELECT s.doc_id, s.lang, CAST(w.w_ppm AS BIGINT) AS w_ppm,
+      |  s.samp_key < w.thr AS kept
+      |FROM s JOIN w ON s.lang = w.lang
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------- bigram LM scoring
+  // N-gram language-model scoring (the perplexity-filter step of LLM
+  // data pipelines, KenLM-style but self-trained on the corpus): build
+  // corpus bigram conditional probabilities P(w2|w1) = c(w1 w2)/c(w1 ·),
+  // then score each document by the mean probability of its bigrams.
+  // Probabilities live on an exact integer ppm grid ((c*1e6) div cw) so
+  // both engines agree bit-for-bit — the repo's established alternative
+  // to cross-engine float/log drift. Scale shape: the LM is a hash agg
+  // over bigrams (partial map-side combine, output ~vocab² rows, far
+  // smaller than the corpus) + one window over its w1 prefix; document
+  // scoring re-joins occurrences to the LM keyed on the 8-byte xxhash64
+  // of the bigram, so the big shuffle carries (doc_id, hash) — no text.
+  private val lmScore: Q = (s, d) => {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1)))")).as("big"))
+    val lm = bg.groupBy($"big").agg(count(lit(1)).as("c"))
+      .withColumn("cw",
+        sum($"c").over(Window.partitionBy(expr("split_part(big, ' ', 1)"))))
+      .select(xxhash64($"big").as("bh"), expr("c * 1000000 div cw").as("p6"))
+    bg.select($"doc_id", xxhash64($"big").as("bh"))
+      .join(lm, "bh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"p6").as("sum_p6"))
+      .select($"doc_id", $"n_bigrams", $"sum_p6",
+        expr("sum_p6 div n_bigrams").as("avg_p6"))
+      .orderBy($"doc_id")
+  }
+  private val lmScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS big
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws)-1)) AS i FROM tok)),
+      |c AS (SELECT big, COUNT(*) AS c FROM bg GROUP BY 1),
+      |lm AS (
+      |  SELECT big,
+      |    (c * 1000000) // SUM(c) OVER (PARTITION BY split_part(big,' ',1)) AS p6
+      |  FROM c)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(p6) AS BIGINT) AS sum_p6,
+      |  CAST(SUM(p6) // COUNT(*) AS BIGINT) AS avg_p6
+      |FROM bg JOIN lm USING (big)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- linear quality model
+  // Model-based quality scoring (the fastText-classifier step of LLM
+  // pipelines, reduced to its distributed shape): engineered per-doc
+  // features in exact integer units, unpivoted to (doc_id, feature, v)
+  // rows, scored against a WEIGHTS TABLE via broadcast join + sum of
+  // w·v. The weights are data, not code — the pattern that serves any
+  // N-feature linear/logistic scorer at 100 TB (swap the literal Seq
+  // for a trained-weights parquet and nothing else changes). Stopword/
+  // digit tests avoid regex (dialect-dependent): digit detection is
+  // translate-strip, shared verbatim by both engines.
+  private val qualityWeights: Seq[(String, Long)] =
+    Seq(("tok", 3L), ("stop_ppm", 2L), ("num_ppm", -3L), ("awl_c", 5L))
+  private val qualityModel: Q = (s, d) => {
+    import s.implicits._
+    val stopList = "'the','a','of','and','to','in','is'"
+    val feats = Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("ws"), $"n_chars")
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        expr(s"cast(size(filter(ws, w -> w in ($stopList))) as long)").as("n_stop"),
+        expr("cast(size(filter(ws, w -> w <> '' and translate(w, '0123456789', '') = '')) as long)")
+          .as("n_num"),
+        $"n_chars")
+      .select($"doc_id",
+        expr("stack(4, 'tok', n_tokens," +
+          " 'stop_ppm', n_stop * 1000000L div n_tokens," +
+          " 'num_ppm', n_num * 1000000L div n_tokens," +
+          " 'awl_c', n_chars * 100L div n_tokens) as (feature, v)"))
+    val weights = s.createDataFrame(qualityWeights).toDF("feature", "w")
+    feats.join(broadcast(weights), "feature")
+      .groupBy($"doc_id")
+      .agg(sum($"w" * $"v").as("score"))
+      .select($"doc_id", $"score", ($"score" >= 500000L).as("quality_pass"))
+      .orderBy($"doc_id")
+  }
+  private val qualityModelSql = {
+    val weightRows = qualityWeights
+      .map { case (f, w) => s"('$f', ${w}::BIGINT)" }.mkString(", ")
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws, n_chars FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(ws,
+      |      w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(ws,
+      |      w -> w <> '' AND translate(w, '0123456789', '') = '')) AS BIGINT) AS n_num,
+      |    n_chars
+      |  FROM f),
+      |long AS (
+      |  SELECT doc_id, 'tok' AS feature, n_tokens AS v FROM m
+      |  UNION ALL
+      |  SELECT doc_id, 'stop_ppm', (n_stop * 1000000) // n_tokens FROM m
+      |  UNION ALL
+      |  SELECT doc_id, 'num_ppm', (n_num * 1000000) // n_tokens FROM m
+      |  UNION ALL
+      |  SELECT doc_id, 'awl_c', (n_chars * 100) // n_tokens FROM m),
+      |wt(feature, w) AS (VALUES __WEIGHTS__)
+      |SELECT long.doc_id, CAST(SUM(wt.w * long.v) AS BIGINT) AS score,
+      |  CAST(SUM(wt.w * long.v) AS BIGINT) >= 500000 AS quality_pass
+      |FROM long JOIN wt ON long.feature = wt.feature
+      |GROUP BY long.doc_id ORDER BY long.doc_id""".stripMargin
+      .replace("__WEIGHTS__", weightRows)
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_rebalance_mix" -> rebalanceMix,
+    "text_lm_score" -> lmScore,
+    "text_quality_model" -> qualityModel,
     "text_edit_distance" -> editDistance,
     "text_winnow_fingerprint" -> winnow,
     "text_token_stats" -> tokenStats,
@@ -659,6 +837,9 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_rebalance_mix" -> rebalanceMixSql,
+    "text_lm_score" -> lmScoreSql,
+    "text_quality_model" -> qualityModelSql,
     "text_edit_distance" -> editDistanceSql,
     "text_winnow_fingerprint" -> winnowSql,
     "text_token_stats" -> tokenStatsSql,

@@ -574,4 +574,57 @@ class ExtSpec extends SparkSpec {
         .as("bd2"))
     assert(brute.filter($"d2" =!= $"bd2").count() == 0)
   }
+
+  test("rebalance mix: weights derive from the observed histogram, never upsample") {
+    import spark.implicits._
+    val mix = TextAnalysis.queries("text_rebalance_mix")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val byLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row carries the weight its language histogram implies
+    mix.select($"lang", $"w_ppm").distinct().collect().foreach { r =>
+      val expected = math.min(1000000L, 200000L * total / byLang(r.getString(0)))
+      assert(r.getLong(1) == expected, s"lang ${r.getString(0)}")
+    }
+    // never upsample: weights capped at 1e6; minority langs keep all docs
+    assert(mix.filter($"w_ppm" > 1000000L).count() == 0)
+    mix.filter($"w_ppm" === 1000000L).groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum(when($"kept", 1L).otherwise(0L)).as("k"))
+      .collect().foreach(r =>
+        assert(r.getLong(1) == r.getLong(2), s"lang ${r.getString(0)} dropped docs at weight 1.0"))
+    // the mix is a subset decision over all docs
+    assert(mix.count() == total)
+  }
+
+  test("bigram LM score: bounds, bigram counts, and the perfect-predictability ceiling") {
+    import spark.implicits._
+    val lm = TextAnalysis.queries("text_lm_score")(spark, sfDir)
+    // per-doc bigram count is exactly token count - 1
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id", (size(split($"text", " ")) - 1).cast("long").as("exp_n"))
+    assert(lm.join(expected, "doc_id").filter($"n_bigrams" =!= $"exp_n").count() == 0)
+    // probabilities live on the (0, 1e6] ppm grid; a doc whose every
+    // bigram is unambiguous (P(w2|w1)=1) would hit exactly 1e6
+    assert(lm.filter($"avg_p6" <= 0 || $"avg_p6" > 1000000L).count() == 0)
+    assert(lm.filter($"sum_p6" > $"n_bigrams" * 1000000L).count() == 0)
+    // avg is the exact integer quotient
+    assert(lm.filter($"avg_p6" =!= expr("sum_p6 div n_bigrams")).count() == 0)
+  }
+
+  test("quality model: score equals the closed-form w·v recomputation") {
+    import spark.implicits._
+    val qm = TextAnalysis.queries("text_quality_model")(spark, sfDir)
+    // independent single-pass recomputation (no unpivot, no join)
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"), $"n_chars")
+      .select($"doc_id", expr(
+        """3L * size(ws)
+          | + 2L * (size(filter(ws, w -> w in ('the','a','of','and','to','in','is'))) * 1000000L div size(ws))
+          | - 3L * (size(filter(ws, w -> w <> '' and translate(w, '0123456789', '') = '')) * 1000000L div size(ws))
+          | + 5L * (n_chars * 100L div size(ws))""".stripMargin).as("exp_score"))
+    val joined = qm.join(direct, "doc_id")
+    assert(joined.filter($"score" =!= $"exp_score").count() == 0)
+    assert(joined.filter(($"score" >= 500000L) =!= $"quality_pass").count() == 0)
+  }
 }
