@@ -31,6 +31,20 @@ object Tables {
     relCache.computeIfAbsent((spark, sfDir, table),
       _ => spark.read.parquet(s"$sfDir/$table.parquet"))
 
+  /** Pre-fan-out spread (shared by the explode-heavy text/dedup
+    * pipelines): stages that multiply their input ~100× (shingles,
+    * bigrams, rolling windows) are CPU-bound on hashing and need at
+    * least cluster-width parallelism, but a small parquet file arrives
+    * as ONE scan partition (single row group), serializing the whole
+    * fan-out on one thread. Repartitioning the pre-explode rows costs
+    * an input-sized shuffle and buys cluster-wide compute. No-op when
+    * the scan is already at least cluster-wide — at 100 TB (thousands
+    * of scan partitions) no shuffle is added. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

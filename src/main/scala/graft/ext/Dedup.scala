@@ -39,19 +39,8 @@ object Dedup {
     * the oracle gate would catch it deterministically. The signature
     * path still hashes the STRING (md5) — the sketch definition is
     * shared with the oracle verbatim. */
-  /** Pre-fan-out spread: the explode+hash stages below multiply their
-    * input ~100× (shingles per doc) and are CPU-bound on md5, so their
-    * parallelism must be at least cluster width. A small/freshly-
-    * filtered input often arrives in fewer partitions than cores (one
-    * 3 MB parquet file = ONE partition — the whole corpus hashes on one
-    * thread); repartitioning the pre-explode rows costs an input-sized
-    * shuffle and buys cluster-wide fan-out compute. No-op when the
-    * input is already at least cluster-wide, so at 100 TB (thousands of
-    * scan partitions) no shuffle is added. */
-  private def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  /** Pre-fan-out spread — see [[graft.Tables.spread]] (shared helper). */
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

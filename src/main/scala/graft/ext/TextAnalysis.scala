@@ -150,7 +150,7 @@ object TextAnalysis {
     import s.implicits._
     // length guard: Spark sequence(1, n) goes descending for n < 1
     // (emitting bogus i=0 grams); the oracle's generate_series is empty.
-    val grams = Tables.documents(s, d)
+    val grams = Tables.spread(Tables.documents(s, d))
       .filter(length($"text") >= 5)
       .select($"doc_id", $"text",
         explode(expr("sequence(1, length(text) - 4)")).as("i"))
@@ -306,7 +306,7 @@ object TextAnalysis {
   // exposure as the join's hot build key — no worse, one shuffle less.
   private val novelty: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    val sh = Tables.spread(Tables.documents(s, d))
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", explode(expr(
@@ -417,7 +417,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
   private val repetition: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.documents(s, d).select($"doc_id", split($"text", " ").as("ws"))
+    val base = Tables.spread(Tables.documents(s, d)).select($"doc_id", split($"text", " ").as("ws"))
     val a2 = docNgrams(base, 2).groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"), max($"cnt").as("top_bigram_count"),
         sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("dup2"))
@@ -713,7 +713,7 @@ object TextAnalysis {
   // of the bigram, so the big shuffle carries (doc_id, hash) — no text.
   private val lmScore: Q = (s, d) => {
     import s.implicits._
-    val bg = Tables.documents(s, d)
+    val bg = Tables.spread(Tables.documents(s, d))
       .select($"doc_id", toks($"text").as("ws"))
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(

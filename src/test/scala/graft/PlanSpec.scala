@@ -223,4 +223,27 @@ class PlanSpec extends SparkSpec {
     // 8-byte key and doc_id travel
     assert(!p.contains("Scan ExistingRDD"), s"checkpoint crept back:\n$p")
   }
+
+  test("rebalance mix broadcasts the histogram back onto the corpus") {
+    val p = plan("text_rebalance_mix")
+    // the ~5-row weights frame joins the corpus as a broadcast, never
+    // a shuffle of all documents on lang
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on lang:\n$p")
+  }
+
+  test("quality model broadcasts the weights table") {
+    val p = plan("text_quality_model")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lm score ships hashes, not bigram text, into the scoring join") {
+    val p = plan("text_lm_score")
+    // the scoring join keys on the 8-byte xxhash64 (broadcast when the
+    // LM is small, shuffle on bh at scale) — never on the bigram string
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[bh".r
+      .findFirstIn(p).isDefined, s"scoring join must key on bh:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
