@@ -1041,6 +1041,111 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ------------------------------------------------ TPC-H Q7 trade volume
+  // Cross-region trade flow by ship year (TPC-H Q7 on the available
+  // schema, lifted to regions so the pair stays dense at every SF).
+  // The nation→region dimension chain joins TWICE under different
+  // roles (supplier's vs customer's) — the dual-role join shape
+  // Q5/Q10 don't exercise. Scale plan: one fact shuffle (lineitem ⋈
+  // orders on the order key); supplier, customer and both role chains
+  // broadcast; the either-direction pair predicate rides the
+  // broadcasts as a residual.
+  private val tradeVolume: Q = (s, d) => {
+    import s.implicits._
+    def roleRegion(role: String) =
+      Tables.nation(s, d).select($"n_nationkey", $"n_regionkey")
+        .join(Tables.region(s, d).select($"r_regionkey", $"r_name"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as(s"${role}_nk"), $"r_name".as(s"${role}_region"))
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(roleRegion("supp")), $"s_nationkey" === $"supp_nk")
+      .join(broadcast(roleRegion("cust")), $"c_nationkey" === $"cust_nk")
+      .filter(($"supp_region" === "ASIA" && $"cust_region" === "EUROPE") ||
+        ($"supp_region" === "EUROPE" && $"cust_region" === "ASIA"))
+      .groupBy($"supp_region", $"cust_region", year($"l_shipdate").as("l_year"))
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+        .cast("double").as("volume"))
+      .orderBy($"supp_region", $"cust_region", $"l_year")
+  }
+  private val tradeVolumeSql =
+    """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |         * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM supplier, lineitem, orders, customer,
+      |     nation n1, nation n2, region r1, region r2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+      |  AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+      |    OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ----------------------------------------------- TPC-H Q8 market share
+  // National market share inside a region for one part type (TPC-H Q8
+  // shape): share = conditional revenue / total revenue per order year.
+  // Exercises the part dimension + a ratio-of-aggregates — both DECIMAL
+  // sums stay exact until one final double division (deterministic IEEE
+  // on both engines). Scale plan: the filtered part dim broadcasts into
+  // the lineitem scan FIRST (cuts the fact before the order-key
+  // shuffle); region prunes customers via the broadcast chain.
+  private val marketShare: Q = (s, d) => {
+    import s.implicits._
+    val vol = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(s, d).filter($"p_type" === "PROMO")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")
+        .select($"r_regionkey")), $"n_regionkey" === $"r_regionkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        sum(when($"n_name" === "NATION_2", vol).otherwise(dec(lit(0)))).as("nat"),
+        sum(vol).as("tot"))
+      .select($"o_year",
+        ($"nat".cast("double") / $"tot".cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  private val marketShareSql =
+    """WITH v AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+      |    CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol
+      |  FROM lineitem, part, orders, customer, nation, region
+      |  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN n_name = 'NATION_2' THEN vol
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
+
   // ----------------------------------------------------- salted join gate
   // The skew-salting operator under the oracle gate: result must be
   // EXACTLY the plain inner join (the oracle computes the plain join),
@@ -1253,10 +1358,14 @@ object Relational {
     "rel_window_ranks"       -> windowRanks,
     "rel_array_funcs"        -> arrayFuncs,
     "rel_shipping_priority"  -> shippingPriority,
+    "rel_trade_volume"       -> tradeVolume,
+    "rel_market_share"       -> marketShare,
   )
 
   val oracles: Map[String, String] = Map(
     "rel_approx_distinct"    -> approxDistinctSql,
+    "rel_trade_volume"       -> tradeVolumeSql,
+    "rel_market_share"       -> marketShareSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,

@@ -34,6 +34,22 @@ class RelationalSpec extends SparkSpec {
     assert(rev.sameElements(rev.sorted(Ordering[Double].reverse)))
   }
 
+  test("market share is a lawful ratio; trade volume covers both directions") {
+    import spark.implicits._
+    val ms = run("rel_market_share").collect()
+    assert(ms.nonEmpty)
+    ms.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of [0,1]")
+    }
+    val tv = run("rel_trade_volume")
+    val dirs = tv.select($"supp_region", $"cust_region").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs == Set(("ASIA", "EUROPE"), ("EUROPE", "ASIA")),
+      s"expected both trade directions, got $dirs")
+    assert(tv.filter($"volume" <= 0.0).count() == 0)
+  }
+
   test("argmax yields exactly one row per user") {
     val df = run("rel_argmax_latest")
     assert(df.count() == df.select("user_id").distinct().count())
