@@ -690,6 +690,51 @@ object Relational {
       |  COUNT(*) AS n, TRUE AS within_5pct
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- count-min heavy hitters
+  // Count-min sketch (the streaming heavy-hitter sketch) built and
+  // queried relationally: depth×width counter grid from one pass
+  // (explode ×d, hash-bucket aggregate — map-side combinable, output
+  // d·w tiny regardless of input), point estimates = min over the d
+  // bucket counters. The raw estimate hashes differently across engines
+  // (xxhash64 seeds), so — like rel_approx_distinct — the gate carries
+  // the exact counts plus the two DETERMINISTIC sketch laws as data:
+  // CMS never underestimates, and the classic ε-bound est ≤ exact +
+  // e·N/w holds (checked against THIS data; both are pure functions of
+  // the input). At 100 TB the sketch aggregate is the only full-data
+  // pass and it partial-aggregates to d·w counters per map task.
+  private val heavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val depth = 4; val width = 256
+    val ev = Tables.events(s, d).select($"user_id")
+    val seeds = array((1 to depth).map(lit): _*)
+    val sketch = ev
+      .select($"user_id", explode(seeds).as("i"))
+      .select($"i", pmod(xxhash64($"user_id", $"i"), lit(width)).as("b"))
+      .groupBy($"i", $"b").agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"user_id").limit(20)
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    exact
+      .select($"user_id", $"exact_n", explode(seeds).as("i"))
+      .select($"user_id", $"exact_n", $"i",
+        pmod(xxhash64($"user_id", $"i"), lit(width)).as("b"))
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy($"user_id", $"exact_n").agg(min($"c").as("est"))
+      .crossJoin(broadcast(n))
+      .select($"user_id", $"exact_n",
+        ($"est" >= $"exact_n").as("never_underestimates"),
+        ($"est" <= $"exact_n" + ceil(lit(math.E) * $"n_total" / lit(width))
+          .cast("long")).as("within_bound"))
+      .orderBy($"exact_n".desc, $"user_id")
+  }
+  private val heavyHittersSql =
+    """WITH x AS (
+      |  SELECT user_id, COUNT(*) AS exact_n FROM events
+      |  GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 20)
+      |SELECT user_id, exact_n,
+      |  TRUE AS never_underestimates, TRUE AS within_bound
+      |FROM x ORDER BY exact_n DESC, user_id""".stripMargin
+
   // ------------------------------------------------------- as-of join
   // True point-in-time join: each event picks the latest order of the
   // same key at-or-before its timestamp (the reference's Pinot
@@ -1360,12 +1405,14 @@ object Relational {
     "rel_shipping_priority"  -> shippingPriority,
     "rel_trade_volume"       -> tradeVolume,
     "rel_market_share"       -> marketShare,
+    "rel_heavy_hitters"      -> heavyHitters,
   )
 
   val oracles: Map[String, String] = Map(
     "rel_approx_distinct"    -> approxDistinctSql,
     "rel_trade_volume"       -> tradeVolumeSql,
     "rel_market_share"       -> marketShareSql,
+    "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,

@@ -575,6 +575,22 @@ class ExtSpec extends SparkSpec {
     assert(brute.filter($"d2" =!= $"bd2").count() == 0)
   }
 
+  test("count-min heavy hitters: both sketch laws hold on this corpus") {
+    import spark.implicits._
+    val hh = graft.operators.Relational.queries("rel_heavy_hitters")(spark, sfDir)
+      .collect()
+    assert(hh.nonEmpty && hh.length <= 20)
+    hh.foreach { r =>
+      assert(r.getAs[Boolean]("never_underestimates"),
+        s"user ${r.getLong(0)}: CMS underestimated — impossible unless the sketch is broken")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"user ${r.getLong(0)}: estimate outside the e*N/w bound")
+    }
+    // the gate is the TRUE top-20 by exact count
+    val counts = hh.map(_.getAs[Long]("exact_n"))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+  }
+
   test("rebalance mix: weights derive from the observed histogram, never upsample") {
     import spark.implicits._
     val mix = TextAnalysis.queries("text_rebalance_mix")(spark, sfDir)
