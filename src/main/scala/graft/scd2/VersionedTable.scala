@@ -281,6 +281,37 @@ final class VersionedTable(spark: SparkSession, root: String,
     v
   }
 
+  /** Layout-maintenance commit (Delta `OPTIMIZE` + linear clustering
+    * analog): rewrite the CURRENT snapshot range-clustered on
+    * `clusterBy`, so per-file zone maps become tight and MUTUALLY
+    * DISJOINT — range/point reads then prune to O(result) files no
+    * matter how the data originally arrived (plain [[overwrite]] only
+    * sorts within whatever partitions the caller handed it; zones of
+    * shuffled input span the whole domain and prune nothing). Also
+    * compacts: MOR equality-deletes are resolved into the rewritten
+    * files (exactly Delta OPTIMIZE's behavior). The commit is tagged
+    * `optimize:<cols>` so consumers can tell layout commits from data
+    * commits, and it IS a rewrite — [[changesBetween]] spans crossing
+    * it throw unless `ignoreRewrites`, as for any file rewrite.
+    * `nFiles` bounds the rewritten file count (0 → the session's
+    * shuffle parallelism). On a partitioned table the per-partition
+    * routing still wins (one file per partition); optimize's range
+    * clustering applies to the unpartitioned path. */
+  def optimize(clusterBy: Seq[String], nFiles: Int = 0): Int = {
+    require(clusterBy.nonEmpty, "optimize requires at least one cluster column")
+    val head = requireHead()
+    val prev = readManifest(head)
+    val n = if (nFiles > 0) nFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val clustered = read().repartitionByRange(n, clusterBy.map(col): _*)
+    val v = nextVersion()
+    val entries = writeData(clustered, v, clusterBy)
+    commit(v, Some(s"optimize:${clusterBy.mkString(",")}"), prev.schema,
+      entries, parent = Some(head))
+    advanceMain(v)
+    v
+  }
+
   /** Partition-scoped commit — the O(changed partitions) write path.
     * `df` must contain ONLY rows belonging to `touched` partitions
     * (verified against the written files); every other partition's data

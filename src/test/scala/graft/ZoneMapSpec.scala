@@ -32,6 +32,45 @@ class ZoneMapSpec extends SparkSpec {
     assert(t.zonePrunedFileCount("id", 1, 1000)._1 == 4)
   }
 
+  test("optimize: shuffled input prunes nothing until the clustering rewrite") {
+    val t = new VersionedTable(spark, tmp())
+    // ids dealt round-robin across 4 input partitions: every file's
+    // zone spans ~the whole domain, so range pruning keeps all files
+    val shuffled = (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4)
+    t.overwrite(shuffled, clusterBy = Seq("id"))
+    val (kept0, total0) = t.zonePrunedFileCount("id", 100, 120)
+    assert(total0 == 4 && kept0 == 4,
+      s"shuffled zones must overlap the probe range: kept $kept0/$total0")
+    val before = t.read().as[(Int, String)].collect().sorted.toSeq
+
+    val v = t.optimize(Seq("id"), nFiles = 4)
+    // disjoint ranges now: a 21-id probe hits exactly one file
+    val (kept1, total1) = t.zonePrunedFileCount("id", 100, 120)
+    assert(total1 == 4, s"expected 4 rewritten files, got $total1")
+    assert(kept1 == 1, s"optimized zones must prune to 1 file, kept $kept1")
+    // pure layout change: same rows, new version, tagged commit
+    assert(t.read().as[(Int, String)].collect().sorted.toSeq == before)
+    val (hv, _, meta, _, _) = t.history().head
+    assert(hv == v && meta.contains("optimize:id"), s"history: $hv $meta")
+  }
+
+  test("optimize compacts MOR deletes and fences the change feed") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"))
+    t.mergeDeltas(Seq((7, "v7b")).toDF("id", "v"), Seq(Tuple1(7)).toDF("id"),
+      Seq(""))
+    val before = t.read().as[(Int, String)].collect().sorted.toSeq
+    val v = t.optimize(Seq("id"))
+    assert(t.read().as[(Int, String)].collect().sorted.toSeq == before)
+    // deletes are resolved into the rewrite: the new version carries
+    // no equality-delete files
+    assert(t.readVersion(v).as[(Int, String)].collect().sorted.toSeq == before)
+    // a span crossing the rewrite throws (same contract as any rewrite)
+    intercept[IllegalStateException](t.changesBetween(0, v))
+  }
+
   test("zone maps use TYPED min/max (string compare would invert 9 vs 10)") {
     val t = new VersionedTable(spark, tmp())
     // one file spanning ids 9..10: a lexicographic zone ["10","9"]
