@@ -17,6 +17,10 @@ object GraftSession {
   def build(appName: String): SparkSession = build(appName, envCores)
 
   def build(appName: String, cores: String): SparkSession = {
+    // dev experiment knobs (bench grid search); defaults are the
+    // committed engine config
+    val pFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+    val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -29,6 +33,9 @@ object GraftSession {
       // shuffle stages to 1-2 partitions and serializes them — measured
       // +1.5-2.3s on every shingle-join query, for a floor win that the
       // relation cache already delivers.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryMb}m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
@@ -37,7 +44,9 @@ object GraftSession {
     // `cores` may be a non-numeric master spec like "*"; shuffle
     // partitions must still be a number — fall back to the actual
     // parallelism instead of crashing the first shuffle.
-    val shuffleParts = cores.toIntOption
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
+      .flatMap(_.toIntOption)
+      .orElse(cores.toIntOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
     spark.sparkContext.setLogLevel("WARN")

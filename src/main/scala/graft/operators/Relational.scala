@@ -1357,7 +1357,99 @@ object Relational {
       |  GROUP BY e.dst)
       |SELECT node, score FROM s3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------ time-range frames
+  // RANGE (time-interval) window frames — the "activity in the trailing
+  // hour" shape that ROWS frames (rel_window_frames) can't express.
+  // Order key is epoch micros (a numeric range frame is engine-portable;
+  // INTERVAL frame syntax differs), and peers at the same ts are frame-
+  // equivalent by definition, so ties need no tiebreak to be
+  // deterministic. Scale shape: one hash exchange on user_id, then a
+  // per-partition ordered scan with a sliding two-pointer frame — the
+  // same work a 1000-executor cluster does per partition, no global sort.
+  private val windowRange: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_id",
+      unix_micros($"ts".cast("timestamp")).as("ts_us"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select($"user_id", $"event_id", $"ts_us",
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec($"value")).over(w).cast("double").as("sum_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val windowRangeSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------- triangle counting
+  // Triangle counting on the part co-purchase graph (edge = two parts
+  // in one order) via DEGREE ORIENTATION — the standard distributed
+  // algorithm (orient every edge from its lower-degree endpoint, count
+  // wedges only at sources, close against the edge set): wedge work
+  // drops from Σ deg² to Σ outdeg² with outdeg ≤ √(2m), the bound that
+  // makes the join tractable at 100 TB. Deterministic slice (orderkey
+  // % 4) bounds graph density, not semantics. The degree table is
+  // node-count-sized → broadcast; the wedge and closure joins are
+  // shuffled-hash on uniform keys (sorting wedge streams is pure
+  // overhead).
+  private val triangleCount: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).filter($"l_orderkey" % 4 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li.as("a").hint("shuffle_hash")
+      .join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .distinct()
+    val deg = e.select($"p1".as("node")).unionAll(e.select($"p2".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("dg"))
+    val lower = ($"d1" < $"d2") || ($"d1" === $"d2" && $"p1" < $"p2")
+    val o = e
+      .join(broadcast(deg.select($"node".as("p1"), $"dg".as("d1"))), "p1")
+      .join(broadcast(deg.select($"node".as("p2"), $"dg".as("d2"))), "p2")
+      .select(when(lower, $"p1").otherwise($"p2").as("src"),
+        when(lower, $"p2").otherwise($"p1").as("dst"))
+    val w = o.as("x").hint("shuffle_hash")
+      .join(o.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.dst".as("b"), $"y.dst".as("c"))
+    val closed = w.hint("shuffle_hash")
+      .join(e, $"b" === $"p1" && $"c" === $"p2")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(w.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+  private val triangleCountSql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |            WHERE l_orderkey % 4 = 0),
+      |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS dg FROM (
+      |          SELECT p1 AS node FROM e
+      |          UNION ALL SELECT p2 AS node FROM e) GROUP BY 1),
+      |o AS (SELECT
+      |        CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND p1 < p2)
+      |             THEN p1 ELSE p2 END AS src,
+      |        CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND p1 < p2)
+      |             THEN p2 ELSE p1 END AS dst
+      |      FROM e JOIN deg d1 ON e.p1 = d1.node
+      |             JOIN deg d2 ON e.p2 = d2.node),
+      |w AS (SELECT x.dst AS b, y.dst AS c FROM o x
+      |      JOIN o y ON x.src = y.src AND x.dst < y.dst),
+      |t AS (SELECT COUNT(*) AS n_triangles FROM w
+      |      JOIN e ON w.b = e.p1 AND w.c = e.p2)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |       (SELECT COUNT(*) FROM w) AS n_wedges,
+      |       (SELECT n_triangles FROM t) AS n_triangles""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rel_window_range"       -> windowRange,
+    "rel_triangle_count"     -> triangleCount,
     "rel_returned_revenue"   -> returnedRevenue,
     "rel_pagerank"           -> pagerank,
     "rel_salted_join"        -> saltedJoin,
@@ -1409,6 +1501,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_window_range"       -> windowRangeSql,
+    "rel_triangle_count"     -> triangleCountSql,
     "rel_approx_distinct"    -> approxDistinctSql,
     "rel_trade_volume"       -> tradeVolumeSql,
     "rel_market_share"       -> marketShareSql,

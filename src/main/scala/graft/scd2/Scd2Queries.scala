@@ -131,14 +131,18 @@ object Scd2Queries {
     fs.delete(new org.apache.hadoop.fs.Path(root.getPath), true)
     val t = new VersionedTable(s, root.getPath)
     val k = col("o_orderkey")
-    t.overwrite(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L)))     // v0
+    // single-file commits: each write here is a dim-sized delta, and a
+    // real writer coalesces those (small-file avoidance) — also keeps
+    // the in-query table build from dominating the feed-read timing
+    def one(df: DataFrame) = df.coalesce(1)
+    t.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L)))) // v0
     t.mergeDeltas(
-      base.filter(k % 8 === 1).withColumn("rev", lit(1L))
-        .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L))),
-      base.filter(k % 8 === 1).select(k), Seq(""))                       // v1
+      one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
+        .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
+      one(base.filter(k % 8 === 1).select(k)), Seq(""))                   // v1
     t.mergeDeltas(
-      base.filter(k % 16 === 8).withColumn("rev", lit(2L)),
-      base.filter(k % 16 === 8 || k % 16 === 2).select(k), Seq(""))      // v2
+      one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
+      one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))  // v2
     val (ins, dels) = t.changesBetween(0, 2)
     ins.select(lit("I").as("change"), k, col("o_custkey"), col("rev"))
       .unionByName(dels.get.select(lit("D").as("change"), k,
