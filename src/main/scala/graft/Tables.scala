@@ -27,9 +27,28 @@ object Tables {
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // Entries for stopped sessions would otherwise pin the session and its
+  // analyzed plans for the JVM lifetime (test suites create many
+  // sessions). Swept on every cache MISS — misses are one-per-table
+  // post-warmup and the sweep is a driver-side O(entries) scan.
+  private def sweepStopped(): Unit = {
+    relCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    registeredDir.keySet.removeIf(s => s.sparkContext.isStopped)
+  }
+
+  /** Drop cached relations (and view registrations) for `dir` — the
+    * hook for any path that rewrites a source table in place, which
+    * would otherwise keep serving the stale file listing. */
+  def invalidate(dir: String): Unit = {
+    relCache.keySet.removeIf(k => k._2 == dir)
+    registeredDir.entrySet.removeIf(e => e.getValue == dir)
+  }
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    relCache.computeIfAbsent((spark, sfDir, table),
-      _ => spark.read.parquet(s"$sfDir/$table.parquet"))
+    relCache.computeIfAbsent((spark, sfDir, table), _ => {
+      sweepStopped()
+      spark.read.parquet(s"$sfDir/$table.parquet")
+    })
 
   /** Pre-fan-out spread (shared by the explode-heavy text/dedup
     * pipelines): stages that multiply their input ~100× (shingles,

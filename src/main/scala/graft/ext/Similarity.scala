@@ -188,12 +188,15 @@ object Similarity {
                    * nulls every plane dot, collapsing all vectors into
                    * bucket 0 (correct results, no pruning). */
                  dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bands * planesPerBand, dim)
-    val planesCol = typedLit(planes)
-    val unit = withUnitVector(emb.select(col("vec_id"), col("embedding")), "embedding")
+    val planesCol = typedLit(hyperplanesInt(bands * planesPerBand, dim))
+    // quantize the RAW vector once; every band's sign bits fold over
+    // the same exact integer grid (engine-exact, see [[gridVec]]) —
+    // then normalize for the 1-fold-per-pair verify
+    val unit = withUnitVector(emb.select(col("vec_id"), col("embedding"))
+      .withColumn("_grid", gridVec(col("embedding"))), "embedding")
     def bucket(b: Int): Column = (0 until planesPerBand).map { p =>
       val idx = b * planesPerBand + p
-      when(dot(element_at(planesCol, idx + 1), col("embedding")) > 0, lit(1 << p))
+      when(dot(element_at(planesCol, idx + 1), col("_grid")) > 0, lit(1 << p))
         .otherwise(lit(0))
     }.reduce(_ + _)
     val bucketed = unit.select(col("vec_id") +: col("embedding") +:
@@ -319,6 +322,24 @@ object Similarity {
       }
     }
 
+  /** Integer-grid hyperplanes: every md5-seeded component is exactly
+    * n/32768 − 1 for an integer n, so scaling by 32768 recovers the
+    * integer EXACTLY — the planes render as integer-valued doubles
+    * both engines agree on bit-for-bit. */
+  def hyperplanesInt(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    hyperplanes(nPlanes, dim).map(_.map(x => math.rint(x * 32768.0)))
+
+  /** Quantize a vector to the exact integer grid q = ⌊x·10⁶ + ½⌋ (the
+    * sim_cluster_assign / knnIvf recipe). The LSH bucket bit — the
+    * sign of planeInt·grid(v) — is then a pure integer predicate:
+    * every product and partial sum stays < 2⁵³, so double arithmetic
+    * on them is exact under ANY summation order, FMA contraction, or
+    * SIMD regrouping, on both engines. The float-dot sign this
+    * replaces could flip between engines for near-orthogonal
+    * (near-zero-dot) vectors. */
+  def gridVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+
   /** Sign-bit LSH bucketing for cosine: bucket = sign bits of the dot
     * with `nPlanes` hyperplanes. Queries multiprobe their own bucket
     * plus every 1-bit flip (nPlanes+1 buckets); corpus is scanned only
@@ -329,15 +350,24 @@ object Similarity {
   def knnHyperplaneLsh(s: SparkSession, d: String, k: Int = 5,
                        nPlanes: Int = 4, probeAll: Boolean = false): DataFrame = {
     import s.implicits._
-    val planes = hyperplanes(nPlanes, 64)
-    val planesCol = typedLit(planes)
+    val planesCol = typedLit(hyperplanesInt(nPlanes, 64))
+    // bucket from the RAW vector on the integer grid (sign of plane·v
+    // is normalization-invariant; the grid makes it engine-exact), so
+    // buckets are computed BEFORE unit normalization — same vectors the
+    // oracle buckets
     def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (0 until nPlanes).map { p =>
-        when(dot(element_at(planesCol, p + 1), v) > 0, lit(1 << p)).otherwise(lit(0))
+        when(dot(element_at(planesCol, p + 1), gridVec(v)) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
 
-    val corpus = corpusSet(s, d).withColumn("bucket", bucketOf($"c_emb"))
-    val queries = querySet(s, d).withColumn("qbucket", bucketOf($"q_emb"))
+    val corpus = withUnitVector(
+      Tables.embeddings(s, d).filter($"vec_id" >= 10)
+        .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+        .withColumn("bucket", bucketOf($"c_emb")), "c_emb")
+    val queries = withUnitVector(
+      Tables.embeddings(s, d).filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+        .withColumn("qbucket", bucketOf($"q_emb")), "q_emb")
     // multiprobe: own bucket + all 1-bit flips (or every bucket)
     val probes =
       if (probeAll)
@@ -363,20 +393,22 @@ object Similarity {
   private val knnLshQ: Q = (s, d) => knnHyperplaneLsh(s, d, k = 5, nPlanes = 4)
 
   /** Hash-oracle twin of the multiprobe LSH path, the same literal-
-    * inlining technique as [[nearDupLshSql]]: the md5-seeded planes
-    * render as shortest-round-trip double array literals (DuckDB
-    * parses back the exact IEEE values Spark folds with), bucketing
-    * uses the RAW vectors (the sign of plane·v is normalization-
-    * invariant), and the probe set is the query's bucket plus every
-    * 1-bit flip — so the gate checks the actual candidate generation
-    * and ranking, not a recall proxy. */
+    * inlining technique as [[nearDupLshSql]]: the integer-scaled
+    * md5-seeded planes render as integer-valued double array literals,
+    * bucketing quantizes the RAW vectors to the 10⁶ integer grid
+    * (the sign of planeInt·grid(v) is then EXACT on both engines —
+    * no summation-order / FMA sign flips for near-orthogonal vectors),
+    * and the probe set is the query's bucket plus every 1-bit flip —
+    * so the gate checks the actual candidate generation and ranking,
+    * not a recall proxy. */
   private val knnLshSql: String = {
     val nPlanes = 4
-    val planes = hyperplanes(nPlanes, 64)
+    val planes = hyperplanesInt(nPlanes, 64)
     def planeLit(p: Seq[Double]): String =
       p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    val grid = "list_transform(v, x -> floor(x * 1000000 + 0.5))"
     val bucketExpr = (0 until nPlanes).map { p =>
-      s"(CASE WHEN list_dot_product(v, ${planeLit(planes(p))}) > 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($grid, ${planeLit(planes(p))}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     val probeMatch = (Seq("c.bucket = q.qbucket") ++ (0 until nPlanes).map(p =>
       s"c.bucket = xor(q.qbucket, ${1 << p})")).mkString(" OR ")
@@ -414,21 +446,24 @@ object Similarity {
       planesPerBand = NearDupPlanesPerBand)
 
   /** The banded-LSH oracle: bucket signs come from `list_dot_product`
-    * against the hyperplane constants inlined as SQL array literals
-    * (shortest-round-trip doubles — DuckDB parses back the exact same
-    * IEEE values Spark folds with). The sign of `plane · v` is
-    * normalization-invariant, so the oracle buckets the RAW vectors.
-    * A pair is a candidate iff SOME band's bucket agrees (one OR-join —
-    * each pair appears at most once, mirroring first-matching-band
-    * emission); candidates are scored exactly and thresholded. */
+    * of the 10⁶-integer-grid quantized RAW vectors against the
+    * integer-scaled hyperplane constants inlined as SQL array
+    * literals — integer-valued doubles on both engines, so the sign
+    * is EXACT (no summation-order fragility; sign of plane·v is
+    * normalization-invariant, so raw-vector bucketing matches the
+    * engine's pre-normalization bucketing). A pair is a candidate iff
+    * SOME band's bucket agrees (one OR-join — each pair appears at
+    * most once, mirroring first-matching-band emission); candidates
+    * are scored exactly and thresholded. */
   private val nearDupLshSql: String = {
-    val planes = hyperplanes(NearDupBands * NearDupPlanesPerBand, 64)
+    val planes = hyperplanesInt(NearDupBands * NearDupPlanesPerBand, 64)
     def planeLit(p: Seq[Double]): String =
       p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    val grid = "list_transform(v, x -> floor(x * 1000000 + 0.5))"
     val buckets = (0 until NearDupBands).map { b =>
       (0 until NearDupPlanesPerBand).map { p =>
         val pl = planeLit(planes(b * NearDupPlanesPerBand + p))
-        s"(CASE WHEN list_dot_product(v, $pl) > 0 THEN ${1 << p} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product($grid, $pl) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString("(", " + ", s") AS bk$b")
     }.mkString(",\n    ")
     val bandAgree = (0 until NearDupBands).map(b => s"a.bk$b = b.bk$b").mkString(" OR ")

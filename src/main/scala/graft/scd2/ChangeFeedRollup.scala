@@ -45,18 +45,24 @@ object ChangeFeedRollup {
     // gold's, and the already-applied prefix would re-aggregate onto a
     // gold base that already contains it (silent double-count). Gold's
     // own manifest meta is the truth of what was applied: parse the
-    // last applied version out of the `cfr-<consumer>-<V>` tag and, if
-    // it is ahead of the source cursor, replay ONLY the missing ack so
-    // the next poll starts exactly after the applied span.
-    val applied = gold.latestMeta.collect {
-      case m if m.startsWith(s"cfr-$consumer-") =>
-        m.stripPrefix(s"cfr-$consumer-").toIntOption
-    }.flatten
+    // last applied version out of the most recent `cfr-<consumer>-<V>`
+    // tag ANYWHERE in gold's history — not just the head commit, whose
+    // meta any later non-cfr commit (an OPTIMIZE layout rewrite, a
+    // vacuum checkpoint) would hide — and, if it is ahead of the source
+    // cursor, replay ONLY the missing ack so the next poll starts
+    // exactly after the applied span.
+    def lastApplied: Option[Int] =
+      if (!gold.exists) None
+      else gold.history().iterator.flatMap(_._3).collectFirst {
+        case m if m.startsWith(s"cfr-$consumer-") =>
+          m.stripPrefix(s"cfr-$consumer-").toIntOption
+      }.flatten
+    val applied = lastApplied
     applied.filter(v => v > src.cursor(consumer).getOrElse(-1))
       .foreach(v => src.ackChanges(consumer, v))
     src.pollChanges(consumer).map { p =>
       val tag = s"cfr-$consumer-${p.toV}"
-      if (gold.exists && gold.latestMeta.contains(tag)) {
+      if (gold.exists && applied.contains(p.toV)) {
         // crash happened between gold commit and ack: already applied
         src.ackChanges(consumer, p.toV)
         p.toV

@@ -322,5 +322,15 @@ class MorSpec extends SparkSpec {
       .agg(sum($"amount").as("s"), count(lit(1)).as("n"))
       .as[(String, Long, Long)].collect().toSet
     assert(got == want, s"widened-span replay double-counted:\n got $got\nwant $want")
+    // a non-cfr commit on gold AFTER the apply (here: an OPTIMIZE layout
+    // rewrite) hides the tag from latestMeta — recovery must find it in
+    // gold's HISTORY, else a lost-ack redelivery re-aggregates the span
+    // (ADVICE r6: silent double-count behind optimize)
+    src.ackChanges("gold", 1) // lost ack yet again
+    gold.optimize(Seq("grp"))
+    ChangeFeedRollup.applyOnce(spark, src, gold, "gold", "id", "seg", "amount")
+    val got2 = gold.read().as[(String, Long, Long)].collect().toSet
+    assert(got2 == want, s"optimize hid the cfr tag; span re-applied:\n got $got2\nwant $want")
+    assert(src.cursor("gold").contains(src.currentHead.get))
   }
 }
