@@ -21,6 +21,7 @@ object GraftSession {
     // committed engine config
     val pFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -36,6 +37,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pFirst)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         s"${advisoryMb}m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -25,33 +25,46 @@ import org.apache.spark.sql.functions._
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word-3-gram shingles per doc, 1-based like the oracle.
-    * Docs with < 3 tokens yield no shingles — guarded explicitly
-    * because Spark's `sequence(1, n)` turns DESCENDING for n < 1
-    * (would emit index 0 and throw), while the oracle's
-    * generate_series is simply empty.
-    *
-    * `shash` = xxhash64 of the shingle rides along: every BLOCKING
-    * join/aggregate keys on the 8-byte hash instead of the ~80-char
-    * string (narrower shuffles, fixed-width HashAggregate rows).
-    * Results are unchanged unless two distinct shingles of one corpus
-    * collide in 64 bits — birthday-bounded ~n²/2⁶⁵, ≈4e-11 here, and
-    * the oracle gate would catch it deterministically. The signature
-    * path still hashes the STRING (md5) — the sketch definition is
-    * shared with the oracle verbatim. */
   /** Pre-fan-out spread — see [[graft.Tables.spread]] (shared helper). */
   private def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc distinct word-3-gram shingle ARRAY (doc_id, arr), 1-based
+    * like the oracle — a pure column map (split → 3-gram transform →
+    * array_distinct), no explode, no exchange. Docs with < 3 tokens
+    * yield no rows — guarded explicitly because Spark's
+    * `sequence(1, n)` turns DESCENDING for n < 1 (would emit index 0
+    * and throw), while the oracle's generate_series is simply empty.
+    * The set size and any per-shingle hash are plain array expressions
+    * over `arr`, so every consumer derives what it needs in the SAME
+    * map stage instead of re-aggregating exploded rows (r6's sizes
+    * groupBy + two joins per query were pure AQE-barrier cost).
+    *
+    * Blocking joins/aggregates key on xxhash64 of each shingle, not
+    * the ~80-char string (narrower shuffles, fixed-width HashAggregate
+    * rows). Results are unchanged unless two distinct shingles of one
+    * corpus collide in 64 bits — birthday-bounded ~n²/2⁶⁵, ≈4e-11
+    * here, and the oracle gate would catch it deterministically. The
+    * minhash signature path hashes the STRING (md5) — the sketch
+    * definition is shared with the oracle verbatim. */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     spread(Tables.documents(s, d).select($"doc_id", $"text"))
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(expr(
+      .select($"doc_id", expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
-          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
-        .as("shingle"))
-      .withColumn("shash", xxhash64($"shingle"))
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))")
+        .as("arr"))
+  }
+
+  /** Exploded blocking rows (doc_id, n, shash): the per-doc set size
+    * `n` rides along from the array map, and only the 8-byte xxhash64
+    * of each shingle leaves the stage — blocking joins and
+    * intersection counts never shuffle the ~80-char string. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    val arr = shingleArrays(s, d)
+    arr.select(col("doc_id"), size(col("arr")).as("n"),
+        explode(expr("transform(arr, x -> xxhash64(x))")).as("shash"))
   }
 
   private val shingleSqlCte =
@@ -78,60 +91,24 @@ object Dedup {
   // True Jaccard over shingle sets for pairs sharing ≥1 shingle. The
   // shared-shingle equi-join is the blocking step (no cross join); the
   // division is double-of-exact-ints → engine-identical.
+  // FUSED (r7): `sh` is (doc_id, n, shash) with the set size riding
+  // along from the array map, so the denominator comes out of the SAME
+  // pair aggregate (max of a functionally-dependent column is free in
+  // the hash agg) — the r6 shape paid a sizes groupBy exchange plus
+  // two broadcast joins per query for the identical numbers.
   private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     // shuffled-hash, not sort-merge: the blocking key (shash) is a
     // salted-uniform 64-bit hash, so per-partition build sides are
     // near-constant and the two O(n log n) sorts are pure overhead
-    val inter = a.hint("shuffle_hash").join(b, col("a.shash") === col("b.shash") &&
+    a.hint("shuffle_hash").join(b, col("a.shash") === col("b.shash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-  }
-
-  /** Candidate-driven exact verify, shared by the LSH and df-capped
-    * blocking paths: true Jaccard is computed ONLY for candidate pairs
-    * `(ca, cb)` — intersections join the candidate list back to the
-    * full shingle sets, so the work is O(candidates × shingles-per-doc),
-    * never O(all sharing pairs). */
-  /** Candidate-driven exact verify: true Jaccard only for `(ca, cb)`
-    * pairs. `sz` is a precomputed per-doc set-size table (doc_id, n) —
-    * the minhash path derives it inside the signature agg (same
-    * shuffle, zero extra pass over the shingles). */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, sz: DataFrame,
-                            minJ: Double): DataFrame = {
-    val inter = cands
-      .join(sh.as("a"), col("a.doc_id") === col("ca"))
-      .join(sh.as("b"), col("b.doc_id") === col("cb") &&
-        col("a.shash") === col("b.shash"))
-      .groupBy(col("ca"), col("cb"))
-      .agg(count(lit(1)).as("inter"))
-    scorePairs(inter, sz, minJ)
-  }
-
-  /** Per-doc shingle-set sizes (doc_id, n). */
-  private def sizesOf(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-
-  /** Shared scoring tail: per-pair intersection counts → jaccard vs the
-    * per-doc set sizes `sz` (doc_id, n), thresholded and totally
-    * ordered. `inter` has columns (ca, cb, inter). */
-  private def scorePairs(inter: DataFrame, sz: DataFrame, minJ: Double): DataFrame = {
-    inter
-      .join(sz.withColumnRenamed("doc_id", "ca").withColumnRenamed("n", "na"), "ca")
-      .join(sz.withColumnRenamed("doc_id", "cb").withColumnRenamed("n", "nb"), "cb")
-      .select(col("ca").as("a_id"), col("cb").as("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJ)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Exact pass with a document-frequency cap on BLOCKING shingles —
@@ -153,22 +130,25 @@ object Dedup {
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
-    // Hot-key discovery by hash aggregate + BROADCAST, not a window:
-    // hot shingles are few by construction (≤ rows/maxBlockDf keys can
-    // exceed the cap), so the rare/hot split is a map-side anti/semi
-    // join against a broadcast set — no global sort of the shingle
-    // table, and the self-join below goes shuffled-hash on the
-    // uniform 64-bit key instead of paying two O(n log n) sorts.
+    // Hot-key discovery by hash aggregate + BROADCAST, not a window
+    // and not an always-planned split: hot shingles are few by
+    // construction (≤ rows/maxBlockDf keys can exceed the cap), so the
+    // rare/hot split is a map-side anti/semi join against a broadcast
+    // set. Two r7 experiments measured WORSE than this probe shape at
+    // sf0.1: a COUNT window over the blocking exchange re-ran its
+    // partition sort once per consumer (4×), and an always-planned
+    // `sh ⋈ df-agg` split re-evaluated the join machinery for the hot
+    // branch even when it was empty — AQE's empty-relation propagation
+    // only fires at stage boundaries, AFTER the work has run. The
+    // driver probe prices the split at exactly one narrow aggregate.
     val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBlockDf).select(col("shash"))
       .localCheckpoint()
     // Adaptive shortcut (AQE-style stats-driven planning, exact by
     // definition): if NO shingle exceeds the cap, "blocked" and
-    // uncapped are the same function — skip the split machinery
-    // (anti/semi splits, the hot-intersection branch, the final merge
-    // join) and run the plain pass. The probe costs one aggregate over
-    // the already-materialized shingles; a healthy cap on a clean
-    // corpus hits this path, a stopword-ridden crawl takes the split.
+    // uncapped are the same function — skip the split machinery and
+    // run the plain fused pass. A healthy cap on a clean corpus hits
+    // this path; a stopword-ridden crawl takes the split.
     if (hotKeys.isEmpty) {
       return jaccardPairs(sh).filter(col("jaccard") >= 0.8)
         .orderBy(col("a_id"), col("b_id"))
@@ -178,38 +158,40 @@ object Dedup {
     val interRare = rare.as("a").hint("shuffle_hash").join(rare.as("b"),
         col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
-      .agg(count(lit(1)).as("inter_rare"))
+      .agg(count(lit(1)).as("inter_rare"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     val interHot = interRare.select(col("ca").as("ha"), col("cb").as("hb"))
       .join(hot.as("a"), col("a.doc_id") === col("ha"))
       .join(hot.as("b"), col("b.doc_id") === col("hb") &&
         col("a.shash") === col("b.shash"))
       .groupBy(col("ha"), col("hb"))
       .agg(count(lit(1)).as("inter_hot"))
-    val inter = interRare
+    interRare
       .join(interHot, col("ca") === col("ha") && col("cb") === col("hb"), "left")
-      .select(col("ca"), col("cb"),
-        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
-    scorePairs(inter, sizesOf(sh), minJ = 0.8)
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
-  // no checkpoint here: the self-join's two sides are the same subtree
-  // (reused exchange) and the explode is cheaper than materializing it
+  // no checkpoint anywhere: the self-join's two sides are the same
+  // subtree (reused exchange) and the explode is cheaper than
+  // materializing it
   private val ngramJaccard: Q = (s, d) =>
-    jaccardPairs(shingleSets(s, d))
+    jaccardPairs(shingleHashes(s, d))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
 
-  // checkpoint only (doc_id, shash): unlike the minhash path nothing
-  // downstream hashes the shingle STRING, and carrying ~80 B of text
-  // per row through the materialization + window exchange was the
-  // single heaviest stage of this query at sf0.1
   private val ngramJaccardBlocked: Q = (s, d) =>
-    jaccardPairsBlocked(shingleSets(s, d).select("doc_id", "shash").localCheckpoint(),
-      maxBlockDf = 1000)
+    jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf = 1000)
 
   /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
   def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
-    jaccardPairsBlocked(shingleSets(s, d), maxBlockDf)
+    jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf)
   private val ngramJaccardSql =
     s"""WITH $shingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -229,46 +211,55 @@ object Dedup {
   private val K = 8          // minhash functions
   private val BANDS = 4      // bands of 2 rows each
 
-  /** doc → (h0..h7): the 8-hash family comes from slicing TWO md5s
-    * (md5(s) and md5(s||'~')) into four 8-hex (32-bit) chunks each —
-    * md5 avalanche makes the chunks behave as independent hash
+  /** doc → (h0..h7, n, set): the 8-hash family comes from slicing TWO
+    * md5s (md5(s) and md5(s||'~')) into four 8-hex (32-bit) chunks
+    * each — md5 avalanche makes the chunks behave as independent hash
     * functions at a quarter of the hashing cost of 8 separate md5s.
     *
-    * The chunks are decoded to LONG before the min: numeric min ≡
-    * lexicographic min on fixed-width lowercase hex (same winning
-    * shingle, so the oracle's string-min formulation selects identical
-    * candidates), but 8 long mins pack into HashAggregate's fixed-width
-    * row buffer — string mins would force the whole corpus through
-    * SortAggregate, the plan that made this query 12× the oracle. */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val withH = sh
-      .withColumn("m0", md5(col("shingle")))
-      .withColumn("m1", md5(concat(col("shingle"), lit("~"))))
-    val sigs = (0 until K).map { i =>
+    * FUSED (r7): signatures are PURE COLUMN MAPS over the per-doc
+    * shingle array — `array_min(transform(arr, …))` — not an
+    * explode + groupBy re-aggregate (r6 paid a full-corpus exchange
+    * plus two eager localCheckpoint jobs for the same numbers).
+    * Numeric min ≡ lexicographic min on fixed-width lowercase hex, so
+    * the oracle's string-min formulation selects identical candidates.
+    * `set` (the xxhash64 of each shingle) and `n` ride along from the
+    * same map: the verify tail intersects the two ARRAYS per candidate
+    * pair instead of re-joining exploded shingle rows — per-doc state
+    * bounded by the document itself, exactly like carrying the text. */
+  private def minhashSigSets(s: SparkSession, d: String): DataFrame = {
+    // the two digest ARRAYS are separate projections so the 8 h_i
+    // array_mins slice them without re-hashing: md5 runs exactly twice
+    // per shingle (CollapseProject keeps expensive multi-referenced
+    // aliases in their own Project)
+    val digests = shingleArrays(s, d).select(col("doc_id"), col("arr"),
+      expr("transform(arr, x -> md5(x))").as("m0"),
+      expr("transform(arr, x -> md5(concat(x, '~')))").as("m1"))
+    val sigCols = (0 until K).map { i =>
       val src = if (i < 4) "m0" else "m1"
-      min(conv(substring(col(src), (i % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"h$i")
+      expr(s"array_min(transform($src, m -> " +
+        s"cast(conv(substring(m, ${(i % 4) * 8 + 1}, 8), 16, 10) as long)))")
+        .as(s"h$i")
     }
-    // set size rides along in the SAME aggregate — the verify tail's
-    // jaccard denominator then needs no second pass over the shingles
-    withH.groupBy(col("doc_id")).agg(sigs.head, sigs.tail :+ count(lit(1)).as("n"): _*)
+    digests.select(
+      col("doc_id") +: sigCols :+
+        size(col("arr")).as("n") :+
+        expr("transform(arr, x -> xxhash64(x))").as("set"): _*)
   }
 
   private val minhashLsh: Q = (s, d) => {
-    // sh is materialized once via localCheckpoint (not cache(): the RDD
-    // is reclaimed by the ContextCleaner once the plan is unreachable)
-    // because the signature agg, sizes, and both verify sides would
-    // otherwise re-derive the explode four times. sig needs no
-    // checkpoint: the banded self-join's two sides are the identical
-    // subtree, so its exchanges (and the partial agg below them) plan
-    // as ReusedExchange.
-    val sh = shingleSets(s, d).localCheckpoint()
-    val sig = minhashSignatures(sh).localCheckpoint()
+    // ONE materialization of the doc-count-sized signature table (12
+    // narrow columns + the hash-set array): the banded sides and both
+    // verify joins would otherwise re-evaluate the md5 signature map
+    // up to 4× (measured 4.1 s vs 1.3 s at sf0.1). localCheckpoint,
+    // not cache(): reclaimed once the plan is unreachable.
+    val sig = minhashSigSets(s, d).localCheckpoint()
     // ONE banded self-join, not one join per band: each signature
     // explodes into (band, key0, key1) rows and candidates meet in a
     // single equi-join on the band triple — same shuffled volume
     // (BANDS rows/doc either way), but one exchange instead of four
     // AQE materialization barriers (measured ≈0.5 s of near-idle
-    // ~150 ms stage floors at sf0.1). Pairs agreeing on several bands
+    // ~150 ms stage floors at sf0.1). The banded sides carry ONLY the
+    // triple, never the set arrays. Pairs agreeing on several bands
     // are collapsed by a distinct over the CANDIDATE set — bounded by
     // the near-dup population, not the corpus.
     val banded = sig.select(col("doc_id"), explode(expr(
@@ -282,10 +273,23 @@ object Dedup {
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
       .distinct()
-    // Candidate-driven verify: intersections are computed ONLY for LSH
-    // candidates (vs the all-sharing-pairs join of the exact pass) —
-    // this is the part that keeps the plan linear-ish at corpus scale.
-    verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")), 0.8)
+    // Candidate-driven verify: true Jaccard ONLY for LSH candidates
+    // (vs the all-sharing-pairs join of the exact pass) — the part
+    // that keeps the plan linear-ish at corpus scale. Intersections
+    // are array_intersect of the two per-doc hash sets: two doc-keyed
+    // joins of the candidate list (broadcast here, shuffle at scale),
+    // ZERO exchanges of exploded shingle rows.
+    cands
+      .join(sig.select(col("doc_id").as("ca"), col("set").as("sa"), col("n").as("na")), "ca")
+      .join(sig.select(col("doc_id").as("cb"), col("set").as("sb"), col("n").as("nb")), "cb")
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
   }
   private val minhashLshSql = {
     val sigCols = (0 until K).map { i =>
@@ -493,7 +497,7 @@ object Dedup {
   // component minimum, the deterministic convention every engine-side
   // dedup uses.
   private val clusters: Q = (s, d) => {
-    val pairs = jaccardPairs(shingleSets(s, d)).filter(col("jaccard") >= 0.8)
+    val pairs = jaccardPairs(shingleHashes(s, d)).filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id")).localCheckpoint()
     val lab = connectedComponents(pairs)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
@@ -574,16 +578,15 @@ object Dedup {
   // blocking shape as the Jaccard pass: one shuffled-hash self-join on
   // the 8-byte shingle hash, division is double-of-exact-ints.
   private val containment: Q = (s, d) => {
-    val sh = shingleSets(s, d)
-    val sz = sizesOf(sh)
+    // same fused shape as [[jaccardPairs]]: set sizes ride the explode
+    // rows, the denominator comes out of the pair aggregate itself
+    val sh = shingleHashes(s, d)
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.hint("shuffle_hash").join(b,
+    a.hint("shuffle_hash").join(b,
         col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .select(col("a_id"), col("b_id"),
         greatest(col("inter").cast("double") / col("na"),
           col("inter").cast("double") / col("nb")).as("containment"))

@@ -82,7 +82,7 @@ class PlanSpec extends SparkSpec {
   test("blocked jaccard at a no-op cap takes the adaptive plain path") {
     // stats probe finds no hot shingle at the default cap on these
     // fixtures → blocked ≡ uncapped by definition, and the plan must
-    // BE the plain pass (no split joins, no hot-intersection branch)
+    // BE the plain fused pass (no split joins, no hot branch)
     val df = Dedup.queries("dedup_ngram_jaccard_blocked")(spark, sfDir)
     val logical = df.queryExecution.optimizedPlan.toString
     assert(!logical.contains("LeftAnti") && !logical.contains("LeftSemi"),
