@@ -704,9 +704,73 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // -------------------------------------------- cross-source overlap
+  /** Shingle-overlap matrix between corpus sources — the cross-dump
+    * contamination measure every multi-dump pretraining pipeline runs
+    * (how much of dump A's content reappears in dump B) before
+    * deciding dedup order and mix weights. Exact-text overlap is the
+    * degenerate version (this fixture has none); DISTINCT-shingle
+    * overlap is the robust one and what CCNet-style dump comparisons
+    * actually compute.
+    *
+    * Shape: distinct (source, shingle-hash) rows — one hash aggregate
+    * — then a self equi-join on the 8-byte hash with `source_a <
+    * source_b` and a pair count; per-source set sizes are a 20-row
+    * aggregate broadcast back for the Jaccard denominator. At 100 TB:
+    * the join fans out per shingle only by the number of DISTINCT
+    * sources containing it (≤ #dumps, a small constant — this join is
+    * df-bounded by construction, unlike the doc-pair join), and the
+    * output is #dumps² rows. Shuffles key on xxhash64; no text moves. */
+  private val sourceOverlap: Q = (s, d) => {
+    import s.implicits._
+    val t = spread(Tables.documents(s, d).select($"source", $"text"))
+      .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"source", explode(expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
+        .as("shingle"))
+      .select($"source", xxhash64($"shingle").as("shash"))
+      .distinct()
+    val sz = t.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = t.as("a").hint("shuffle_hash").join(t.as("b"),
+        $"a.shash" === $"b.shash" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(broadcast(sz.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na")), "source_a")
+      .join(broadcast(sz.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb")), "source_b")
+      .select($"source_a", $"source_b", $"shared_shingles",
+        ($"shared_shingles".cast("double") / ($"na" + $"nb" - $"shared_shingles"))
+          .as("overlap_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+  private val sourceOverlapSql =
+    """WITH tok AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+      |idx AS (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
+      |        FROM tok WHERE len(ws) >= 3),
+      |t AS (SELECT DISTINCT source, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
+      |      FROM idx),
+      |sz AS (SELECT source, COUNT(*) AS n FROM t GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         COUNT(*) AS shared_shingles
+      |  FROM t a JOIN t b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared_shingles,
+      |  CAST(shared_shingles AS DOUBLE) / (sa.n + sb.n - shared_shingles)
+      |    AS overlap_jaccard
+      |FROM shared
+      |JOIN sz sa ON sa.source = source_a
+      |JOIN sz sb ON sb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> incremental,
     "dedup_incremental_bloom" -> incrementalBloom,
+    "dedup_source_overlap" -> sourceOverlap,
     "dedup_containment" -> containment,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -719,6 +783,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
+    "dedup_source_overlap" -> sourceOverlapSql,
     "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

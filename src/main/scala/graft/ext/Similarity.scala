@@ -487,13 +487,135 @@ object Similarity {
   // shuffled instead of O(corpus) per query.
   private val knnTopKAggQ: Q = (s, d) => knnBruteTopKAgg(s, d, k = 5)
 
+  // ------------------------------------------------ PQ / ADC search
+  /** Product-quantized kNN with Asymmetric Distance Computation — the
+    * fourth ANN regime (next to brute, IVF, LSH) and the companion of
+    * `emb_pq_encode`: the corpus is stored ONLY as its 8 subspace
+    * codes (64× compression; 8 small ints per vector), and each query
+    * scores a vector by summing, per subspace, a precomputed
+    * query↔sub-centroid distance from a lookup table — no original
+    * vectors are touched at scan time. This is the FAISS `IndexPQ`
+    * search shape re-expressed relationally:
+    *
+    *   codebook  (label, dim, n, sq)       tiny, broadcast
+    *   corpus    (neighbor_id, sub, code)  the encode recipe of
+    *                                       emb_pq_encode, vec_id ≥ 10
+    *   LUT       (query_id, sub, label, sd_ppm)
+    *                                       |queries|·8·|labels| rows,
+    *                                       broadcast
+    *   ADC       corpus ⋈ LUT on (sub, code) → Σ_sub sd_ppm
+    *
+    * Scale shape: the only corpus-sized pass streams the 8-int codes
+    * through a broadcast-LUT join and a map-side-combinable
+    * (query, vec) sum — the original embeddings are read once to
+    * encode and never again; at 100 TB the re-scored candidate set of
+    * a real pipeline would re-rank PQ's top-k' with exact distances
+    * (the sim_knn_bruteforce plan over k' rows).
+    *
+    * Cross-engine exactness: sub-distances follow the emb_pq_encode
+    * integer derivation (s2 = Σ(q·n − sq)² exact BIGINT per subspace),
+    * then quantize ONCE to an integer ppm grid —
+    * ⌊s2/n² / 10⁶ + ½⌋, three IEEE-deterministic double ops — so the
+    * ADC total is a BIGINT sum (order-free, engine-exact) rather than
+    * a float accumulation whose summation order could reorder ranks. */
+  private val knnPq: Q = (s, d) => {
+    import s.implicits._
+    val gridQ = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
+    def gridded(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), posexplode($"embedding"))
+      .select(col(idCol), ($"pos" + 1).cast("int").as("dim"), expr(gridQ).as("q"))
+      // explicit floor before the cast: Spark's int cast truncates but
+      // DuckDB's ROUNDS (same guard as emb_pq_encode)
+      .withColumn("sub", floor(($"dim" - 1) / lit(8)).cast("int"))
+    // per-(label, dim) integer-grid codebook over ALL vectors — the
+    // label field is the training assignment, exactly as emb_pq_encode
+    val code = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(gridQ).as("cq"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+    val diff = $"q" * $"n" - $"sq"
+    // encode the corpus: argmin sub-centroid per (vec, sub)
+    val corpusCodes = gridded(
+        Tables.embeddings(s, d).filter($"vec_id" >= 10), "vec_id")
+      .join(broadcast(code), "dim")
+      .groupBy($"vec_id", $"sub", $"label")
+      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"vec_id", $"sub")
+        .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")))
+      .filter($"rk" === 1)
+      .select($"vec_id".as("neighbor_id"), $"sub", $"label".as("code"))
+    // ADC lookup table: every (query, sub, label) sub-distance on the
+    // integer ppm grid
+    val lut = gridded(
+        Tables.embeddings(s, d).filter($"vec_id" < 10)
+          .withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(broadcast(code), "dim")
+      .groupBy($"query_id", $"sub", $"label")
+      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+      .select($"query_id", $"sub", $"label",
+        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
+          .as("sd_ppm"))
+    corpusCodes
+      .join(broadcast(lut), Seq("sub"))
+      .filter($"code" === $"label")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"sd_ppm").as("adc_ppm"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"adc_ppm".asc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_ppm")
+      .orderBy($"query_id", $"rank")
+  }
+  private val knnPqSql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor((CAST(i AS INT) - 1) / 8) AS INT) AS sub,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |  GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT u.vec_id, u.sub, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY 1, 2, 3),
+      |enc AS (
+      |  SELECT vec_id AS neighbor_id, sub, label AS code
+      |  FROM (SELECT vec_id, sub, label,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |        FROM dists WHERE vec_id >= 10)
+      |  WHERE rk = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, sub, label,
+      |    CAST(floor(CAST(s2 AS DOUBLE) / (n * n) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
+      |  FROM dists WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm
+      |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.label
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_ppm, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, rank, neighbor_id, adc_ppm
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
     "sim_neardup_lsh" -> nearDupLshQ,
     "sim_knn_topk_agg" -> knnTopKAggQ,
     "sim_knn_ivf" -> knnIvfQ,
-    "sim_knn_lsh" -> knnLshQ)
+    "sim_knn_lsh" -> knnLshQ,
+    "sim_knn_pq" -> knnPq)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,
@@ -501,5 +623,6 @@ object Similarity {
     "sim_neardup_lsh" -> nearDupLshSql,
     "sim_knn_topk_agg" -> knnBruteSql,
     "sim_knn_ivf" -> knnIvfSql,
-    "sim_knn_lsh" -> knnLshSql)
+    "sim_knn_lsh" -> knnLshSql,
+    "sim_knn_pq" -> knnPqSql)
 }

@@ -815,7 +815,53 @@ object TextAnalysis {
       .replace("__WEIGHTS__", weightRows)
   }
 
+  // ---------------------------------------------- global shuffle/shard
+  /** Deterministic global shuffle + sharding — the LAST operator of
+    * every pretraining data pipeline: assign each document to one of
+    * `NShards` output shards by hash, and give it a reproducible
+    * pseudo-random POSITION within its shard (so a trainer streams
+    * shard files in order and sees a well-mixed, seed-stable
+    * permutation; re-running the pipeline byte-reproduces the epoch).
+    *
+    * Shard and order come from disjoint 32-bit slices of one
+    * md5("shuffle-"‖doc_id) — engine-computable on both sides (hex →
+    * BIGINT), collision-tiebroken by doc_id so the permutation is
+    * total. Scale shape: ONE hash-partition exchange on the shard id +
+    * a per-shard sort (the canonical terasort plan — at 100 TB this is
+    * exactly the shuffle a distributed writer wants: each reducer
+    * sorts and writes its own shard file, no global coordination);
+    * row_number state is per-shard, never global. */
+  private val NShards = 8
+  private val shuffleShard: Q = (s, d) => {
+    import s.implicits._
+    val h = md5(concat(lit("shuffle-"), $"doc_id".cast("string")))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(NShards))
+          .cast("int").as("shard"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"ord", $"doc_id")))
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+  private val shuffleShardSql =
+    s"""WITH h AS (
+      |  SELECT doc_id, md5('shuffle-'||CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |    CAST(('0x'||substr(hx,1,8))::BIGINT % $NShards AS INT) AS shard,
+      |    ('0x'||substr(hx,9,8))::BIGINT AS ord
+      |  FROM h)
+      |SELECT shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+      |    AS pos,
+      |  doc_id
+      |FROM k ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_shuffle_shard" -> shuffleShard,
     "text_rebalance_mix" -> rebalanceMix,
     "text_lm_score" -> lmScore,
     "text_quality_model" -> qualityModel,
@@ -837,6 +883,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_shuffle_shard" -> shuffleShardSql,
     "text_rebalance_mix" -> rebalanceMixSql,
     "text_lm_score" -> lmScoreSql,
     "text_quality_model" -> qualityModelSql,

