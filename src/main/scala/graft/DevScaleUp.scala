@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: build a deterministic N× scale replica of a test sf dir
+  * for scaling soaks (VERDICT r6 ask #8 — empirical wall-vs-SF
+  * exponents, the evidence behind the "survives 100×" plan claims).
+  *
+  * Usage: sbt "runMain graft.DevScaleUp [srcDir] [dstDir] [factor]"
+  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 ×10)
+  *
+  * Construction — N key-shifted replicas, NOT a row-duplicated blowup:
+  * - Every BIGINT entity key shifts by replica·(max(key)+1), with ONE
+  *   base per key domain (o_orderkey's base shared by l_orderkey,
+  *   c_custkey's by o_custkey and events.user_id, …) so every join
+  *   stays exactly as selective as at 1×; replicas are disjoint
+  *   subgraphs (graph queries scale by nodes/edges, never densify).
+  * - Document text gets a per-replica token suffix (replica 0
+  *   verbatim), so shingle/bigram df distributions are preserved per
+  *   replica instead of every shingle's df multiplying by N (which
+  *   would quadratically distort the blocking joins — a different
+  *   workload, not a bigger one). n_chars is recomputed to match.
+  * - Dimension enums (region, nation, lang, source, event_type,
+  *   flags) replicate verbatim — group-by cardinalities stay fixed,
+  *   as they do in real corpus growth.
+  * - events.ts stays the raw nanos LONG it arrives as under
+  *   nanosAsLong=true; Tables.eventsTimestamps rebuilds it identically
+  *   from the replica.
+  */
+object DevScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.build("graft-scaleup")
+    import spark.implicits._
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("_r").repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t done")
+    }
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("_r", explode(lit((0 until n).toArray).cast("array<long>")))
+    def keyBase(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0) + 1L
+
+    val custB = keyBase("customer", "c_custkey")
+    val suppB = keyBase("supplier", "s_suppkey")
+    val partB = keyBase("part", "p_partkey")
+    val ordB = keyBase("orders", "o_orderkey")
+    val evB = keyBase("events", "event_id")
+    val docB = keyBase("documents", "doc_id")
+    val vecB = keyBase("embeddings", "vec_id")
+    def sh(c: String, b: Long) = (col(c) + col("_r") * b).as(c)
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(reps(read("customer")).select(sh("c_custkey", custB), $"c_name",
+      $"c_nationkey", $"c_acctbal", $"c_mktsegment", $"_r"), "customer")
+    write(reps(read("supplier")).select(sh("s_suppkey", suppB), $"s_name",
+      $"s_nationkey", $"s_acctbal", $"_r"), "supplier")
+    write(reps(read("part")).select(sh("p_partkey", partB), $"p_name",
+      $"p_brand", $"p_type", $"p_size", $"p_retailprice", $"_r"), "part")
+    write(reps(read("orders")).select(sh("o_orderkey", ordB),
+      sh("o_custkey", custB), $"o_orderstatus", $"o_totalprice",
+      $"o_orderdate", $"o_orderpriority", $"_r"), "orders")
+    write(reps(read("lineitem")).select(sh("l_orderkey", ordB),
+      sh("l_partkey", partB), sh("l_suppkey", suppB), $"l_linenumber",
+      $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+      $"l_returnflag", $"l_linestatus", $"l_shipdate", $"_r"), "lineitem")
+    write(reps(read("events")).select(sh("event_id", evB), $"ts",
+      sh("user_id", custB), $"event_type", $"value", $"props", $"_r"),
+      "events")
+    val docText = when($"_r" === 0, $"text").otherwise(array_join(
+      transform(split($"text", " "),
+        w => concat(w, lit("x"), $"_r".cast("string"))), " "))
+    write(reps(read("documents"))
+      .select(sh("doc_id", docB), docText.as("text"), $"lang", $"source", $"_r")
+      .withColumn("n_chars", length($"text")), "documents")
+    write(reps(read("embeddings")).select(sh("vec_id", vecB), $"embedding",
+      $"label", $"_r"), "embeddings")
+    spark.stop()
+  }
+}
