@@ -1197,6 +1197,46 @@ object Relational {
       |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
       |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ------------------------------------------------- TPC-H Q9 (profit)
+  // Product-type profit by (supplier nation, year) — TPC-H Q9's shape
+  // on this schema: profit = revenue − supply cost, with p_retailprice
+  // · l_quantity as the cost term (no ps_supplycost table here), part
+  // filter on the name. Plan: the part filter broadcasts INTO the
+  // lineitem scan side before anything else (the Q8 trick — the
+  // selective dim cuts the fact early), supplier→nation is a second
+  // broadcast chain, and the single fact shuffle is the final
+  // (nation, year) aggregate. DECIMAL(18,4) end-to-end until one final
+  // double cast, per the float-sum discipline.
+  private val productProfit: Q = (s, d) => {
+    import s.implicits._
+    val gearParts = Tables.part(s, d)
+      .filter($"p_name".contains("gear"))
+      .select($"p_partkey", $"p_retailprice")
+    Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey", $"l_shipdate", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+      .join(broadcast(gearParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"l_shipdate").as("o_year"))
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount") -
+          dec($"p_retailprice") * dec($"l_quantity"))
+        .cast("double").as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+  private val productProfitSql =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |         * CAST(1 - l_discount AS DECIMAL(18,4))
+      |         - CAST(p_retailprice AS DECIMAL(18,4))
+      |         * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+      |FROM lineitem, part, supplier, nation
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
   // ----------------------------------------------------- salted join gate
   // The skew-salting operator under the oracle gate: result must be
   // EXACTLY the plain inner join (the oracle computes the plain join),
@@ -1505,6 +1545,7 @@ object Relational {
     "rel_shipping_priority"  -> shippingPriority,
     "rel_trade_volume"       -> tradeVolume,
     "rel_market_share"       -> marketShare,
+    "rel_product_profit"     -> productProfit,
     "rel_heavy_hitters"      -> heavyHitters,
   )
 
@@ -1514,6 +1555,7 @@ object Relational {
     "rel_approx_distinct"    -> approxDistinctSql,
     "rel_trade_volume"       -> tradeVolumeSql,
     "rel_market_share"       -> marketShareSql,
+    "rel_product_profit"     -> productProfitSql,
     "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,

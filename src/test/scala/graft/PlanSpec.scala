@@ -258,4 +258,15 @@ class PlanSpec extends SparkSpec {
     val shj = "ShuffledHashJoin".r.findAllIn(p).length
     assert(shj >= 4, s"expected >=4 shuffled-hash joins, got $shj:\n$p")
   }
+
+  test("product profit: all dims broadcast, fact shuffles exactly once") {
+    val p = plan("rel_product_profit")
+    // part/supplier/nation all broadcast into the fact scan side; the
+    // only fact-sized exchange is the final (nation, year) aggregate —
+    // Q9's scale-correct single-shuffle shape
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 fact shuffle, got $exchanges:\n$p")
+  }
 }
