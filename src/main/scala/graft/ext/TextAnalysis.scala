@@ -815,6 +815,114 @@ object TextAnalysis {
       .replace("__WEIGHTS__", weightRows)
   }
 
+  // ------------------------------------------------------- BPE training
+  /** Byte-pair-encoding merge-rule learning — the tokenizer-training
+    * workload itself, run the way production BPE trainers structure
+    * it: the corpus collapses ONCE into a frequency-weighted word
+    * table (vocab-sized, not corpus-sized — the only full-data pass),
+    * then every merge iteration is (1) adjacent-symbol-pair counts
+    * over the vocab with freq weights — map-combinable aggregate,
+    * (2) argmax = a TakeOrdered(1) scalar to the driver (the pagerank
+    * iteration pattern), (3) greedy non-overlapping merge applied as a
+    * pure column fold over the vocab. At 100 TB the word table is
+    * still ~10⁶ rows; iterations never touch the corpus again.
+    *
+    * The merge fold compares WHOLE symbols (last symbol of the
+    * accumulator vs the rule pair), which is exactly canonical greedy
+    * left-to-right BPE: after a merge the new symbol L‖R can never
+    * equal L (R nonempty), so overlap suppression needs no extra
+    * state. Both engines run the identical fold (Spark `aggregate`,
+    * DuckDB `list_reduce`), so symbolizations — and therefore pair
+    * counts — match exactly; ties break (count desc, lsym, rsym). */
+  private val BpeMerges = 3
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+  /** Greedy merge of rule (l, r) over the space-joined symbol string. */
+  private def bpeMergeExpr(l: String, r: String): String = {
+    val (ls, rs, ms) = (sqlStr(l), sqlStr(r), sqlStr(l + r))
+    s"""aggregate(
+       |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+       |  element_at(split(syms, ' '), 1),
+       |  (acc, x) -> CASE
+       |    WHEN element_at(split(acc, ' '), -1) = $ls AND x = $rs
+       |    THEN concat_ws(' ', concat(
+       |      slice(split(acc, ' '), 1, size(split(acc, ' ')) - 1), array($ms)))
+       |    ELSE concat(acc, ' ', x) END)""".stripMargin
+  }
+  private val bpeTrain: Q = (s, d) => {
+    import s.implicits._
+    // the single corpus-sized pass: word → corpus frequency
+    var words = Tables.spread(Tables.documents(s, d))
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("syms"), $"freq")
+      .localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val best = words
+        .select(split($"syms", " ").as("a"), $"freq")
+        .filter(size($"a") >= 2) // 1-symbol words yield no pairs
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> " +
+            "named_struct('l', element_at(a, i), 'r', element_at(a, i + 1)))"))
+          .as("p"), $"freq")
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r").limit(1).head()
+      val bl = best.getString(0); val br = best.getString(1)
+      val cnt = best.getLong(2)
+      rules += ((k, bl, br, cnt))
+      // vocab-sized map + checkpoint: keeps the next iteration's plan
+      // flat instead of nesting K folds
+      words = words.select(expr(bpeMergeExpr(bl, br)).as("syms"), $"freq")
+        .localCheckpoint()
+    }
+    rules.result().toDF("merge_rank", "lsym", "rsym", "pair_count")
+      .orderBy($"merge_rank")
+  }
+  private val bpeTrainSql = {
+    // K unrolled iterations; wN = vocab after N merges. The lambda
+    // captures the iteration's best rule via CROSS JOIN — scalar, so
+    // the join is 1×|vocab|.
+    def pairsOf(w: String) =
+      s"""(SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r, freq
+         |   FROM (SELECT string_split(syms, ' ') AS a, freq FROM $w) t,
+         |        unnest(range(1, len(a))) u(i)
+         |   WHERE len(a) >= 2)""".stripMargin
+    def bestOf(p: String) =
+      s"""(SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM $p x
+         |   GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def mergeOf(w: String, b: String) =
+      s"""(SELECT list_reduce(string_split(syms, ' '), (acc, x) -> CASE
+         |     WHEN string_split(acc, ' ')[-1] = $b.l AND x = $b.r
+         |     THEN array_to_string(list_concat(
+         |       list_slice(string_split(acc, ' '), 1, len(string_split(acc, ' ')) - 1),
+         |       [$b.l || $b.r]), ' ')
+         |     ELSE acc || ' ' || x END) AS syms, freq
+         |   FROM $w CROSS JOIN $b)""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS syms, freq
+       |  FROM wf),
+       |b1 AS ${bestOf(pairsOf("w0"))},
+       |w1 AS ${mergeOf("w0", "b1")},
+       |b2 AS ${bestOf(pairsOf("w1"))},
+       |w2 AS ${mergeOf("w1", "b2")},
+       |b3 AS ${bestOf(pairsOf("w2"))}
+       |SELECT * FROM (
+       |  SELECT 1 AS merge_rank, l AS lsym, r AS rsym, cnt AS pair_count FROM b1
+       |  UNION ALL
+       |  SELECT 2, l, r, cnt FROM b2
+       |  UNION ALL
+       |  SELECT 3, l, r, cnt FROM b3)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   // ---------------------------------------------- global shuffle/shard
   /** Deterministic global shuffle + sharding — the LAST operator of
     * every pretraining data pipeline: assign each document to one of
@@ -861,6 +969,7 @@ object TextAnalysis {
       |FROM k ORDER BY shard, pos""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_bpe_train" -> bpeTrain,
     "text_shuffle_shard" -> shuffleShard,
     "text_rebalance_mix" -> rebalanceMix,
     "text_lm_score" -> lmScore,
@@ -883,6 +992,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
     "text_shuffle_shard" -> shuffleShardSql,
     "text_rebalance_mix" -> rebalanceMixSql,
     "text_lm_score" -> lmScoreSql,

@@ -662,6 +662,24 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) >= 0L))
   }
 
+  test("BPE training: 3 ranked rules; rule 1 is the true argmax bigram") {
+    import spark.implicits._
+    val rules = TextAnalysis.queries("text_bpe_train")(spark, sfDir).collect()
+    assert(rules.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rules.forall(_.getLong(3) > 0))
+    // independent recomputation of iteration 1's argmax: at iteration 1
+    // every symbol is a single char, so the weighted vocab pair count
+    // equals the plain corpus-wide adjacent-char-bigram count
+    val top = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w")).filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bg").limit(1).head()
+    assert(rules(0).getString(1) + rules(0).getString(2) == top.getString(0))
+    assert(rules(0).getLong(3) == top.getLong(1))
+  }
+
   test("source overlap: full matrix, symmetric definition, jaccard lawful") {
     import spark.implicits._
     val ov = Dedup.queries("dedup_source_overlap")(spark, sfDir)
