@@ -226,8 +226,8 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   private def mayOverlap(e: Entry, column: String, lo: String, hi: String,
                          numeric: Boolean): Boolean =
-    (e.zcol, e.zlo, e.zhi) match {
-      case (Some(c), Some(zlo), Some(zhi)) if c == column && e.kind == "d" =>
+    e.zones.find(_._1 == column) match {
+      case Some((_, zlo, zhi)) if e.kind == "d" =>
         if (numeric) BigDecimal(zhi) >= BigDecimal(lo) && BigDecimal(zlo) <= BigDecimal(hi)
         else zhi >= lo && zlo <= hi
       case _ => true // no stats for this column → must read
@@ -307,6 +307,70 @@ final class VersionedTable(spark: SparkSession, root: String,
     val v = nextVersion()
     val entries = writeData(clustered, v, clusterBy)
     commit(v, Some(s"optimize:${clusterBy.mkString(",")}"), prev.schema,
+      entries, parent = Some(head))
+    advanceMain(v)
+    v
+  }
+
+  /** Z-ORDER layout commit (Delta `OPTIMIZE ZORDER BY` analog): rewrite
+    * the current snapshot clustered on the INTERLEAVED-BIT curve over
+    * `cols`, so zone maps become tight on EVERY listed column at once —
+    * linear clustering ([[optimize]]) makes the lead column's zones
+    * disjoint but leaves trailing columns spanning the whole domain
+    * (prune nothing); the Z-curve trades a √-factor on each: with F
+    * files over k=2 columns a narrow single-column probe reads ~√F
+    * files on EITHER column.
+    *
+    * Curve construction: each column is min-max scaled to a 16-bit
+    * integer grid (one tiny aggregate for the bounds), and the z-value
+    * interleaves the columns' bits round-robin (bit b of column j →
+    * bit b·k+j). Rows are range-partitioned and sorted by z, the
+    * helper column is dropped before write (a narrow projection —
+    * partition-local order survives), and zone stats are collected for
+    * the NATURAL columns. Read paths need no z-awareness: pruning is
+    * the same per-column [[mayOverlap]] over the manifest.
+    *
+    * Min-max scaling makes the curve resolution data-dependent; for
+    * heavily skewed columns a rank-based grid (ntile) would equalize
+    * cell populations — documented trade, not needed for the gate.
+    * Restricted to unpartitioned tables: a partitioned table's files
+    * are already routed by the partition value, and the per-partition
+    * rewrite would destroy the curve locality. */
+  def optimizeZOrder(cols: Seq[String], nFiles: Int = 0): Int = {
+    require(cols.size >= 2, "zorder needs at least two columns")
+    require(partitioning == Partitioning.Unpartitioned,
+      "zorder applies to unpartitioned tables; partitioned tables route by partition value")
+    val head = requireHead()
+    val prev = readManifest(head)
+    val n = if (nFiles > 0) nFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val snap = read()
+    // per-column bounds: one scalar-row aggregate collected to the driver
+    val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"lo$i"),
+        max(col(c)).cast("double").as(s"hi$i"))
+    }
+    val bounds = snap.agg(aggCols.head, aggCols.tail: _*).head()
+    val k = cols.size
+    val zBits = cols.zipWithIndex.map { case (c, j) =>
+      val lo = bounds.getDouble(2 * j); val hi = bounds.getDouble(2 * j + 1)
+      val span = if (hi > lo) hi - lo else 1.0
+      // 16-bit min-max grid; exact double ops, clamped to [0, 65535]
+      val g = least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)),
+        lit(0.0)), lit(65535.0)).cast("long")
+      (0 until 16).map(b =>
+        shiftleft(shiftright(g, b).bitwiseAND(lit(1L)), b * k + j).cast("long"))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val Z = "__zval"
+    val z = snap.withColumn(Z, zBits)
+      .repartitionByRange(n, col(Z))
+      .sortWithinPartitions(col(Z))
+      .drop(Z)
+    val v = nextVersion()
+    val entries = writeData(z, v, clusterBy = Nil, zoneCols = cols)
+    commit(v, Some(s"zorder:${cols.mkString(",")}"), prev.schema,
       entries, parent = Some(head))
     advanceMain(v)
     v
@@ -747,9 +811,11 @@ final class VersionedTable(spark: SparkSession, root: String,
   /** Write `df`'s rows under the version dir; return manifest entries.
     * Partitioned: a derived `__gp` column drives `partitionBy` routing
     * (and is NOT stored — the source column stays in the files). */
-  private def writeData(df: DataFrame, v: Int, clusterBy: Seq[String]): Seq[Entry] = {
+  private def writeData(df: DataFrame, v: Int, clusterBy: Seq[String],
+                        zoneCols: Seq[String] = Nil): Seq[Entry] = {
     val dir = dataDir(v)
-    writeEntries(df, dir, clusterBy, kind = "d", seq = v)
+    writeEntries(df, dir, clusterBy, kind = "d", seq = v,
+      zoneCols = if (zoneCols.nonEmpty) zoneCols else clusterBy)
   }
 
   /** Equality-delete files of a [[mergeDeltas]] commit: the KEY columns
@@ -760,7 +826,8 @@ final class VersionedTable(spark: SparkSession, root: String,
     writeEntries(keys, new Path(dataDir(v), DelDir), Nil, kind = "x", seq = v)
 
   private def writeEntries(df: DataFrame, dir: Path, clusterBy: Seq[String],
-                           kind: String, seq: Int): Seq[Entry] = {
+                           kind: String, seq: Int,
+                           zoneCols: Seq[String] = Nil): Seq[Entry] = {
     val raw = partitioning.expr match {
       case None =>
         val out = if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
@@ -778,30 +845,42 @@ final class VersionedTable(spark: SparkSession, root: String,
             listFilesRec(d.getPath).map(f => Entry(part, relativize(f), kind, seq))
           }
     }
-    if (kind != "d" || clusterBy.isEmpty || raw.isEmpty) raw
-    else attachZoneMaps(raw, clusterBy.head)
+    val zcs = if (zoneCols.nonEmpty) zoneCols else clusterBy
+    if (kind != "d" || zcs.isEmpty || raw.isEmpty) raw
+    else attachZoneMaps(raw, zcs)
   }
 
-  /** Per-file zone maps for `zc` (the lead clusterBy column): ONE
-    * column-pruned scan over the just-written files — the Delta/Iceberg
-    * stats-collection analog, O(new data) at commit time. Aggregation
-    * runs on the TYPED column (string min of "9"/"10" would invert);
-    * only the result is stringified for the manifest. All-null files
-    * keep no stats and are never pruned. */
-  private def attachZoneMaps(entries: Seq[Entry], zc: String): Seq[Entry] = {
+  /** Per-file zone maps for `zcs` (every zone column of the commit):
+    * ONE column-pruned scan over the just-written files — the
+    * Delta/Iceberg stats-collection analog, O(new data) at commit
+    * time, one min/max aggregate pair per column in the SAME pass.
+    * Aggregation runs on the TYPED column (string min of "9"/"10"
+    * would invert); only the result is stringified for the manifest.
+    * All-null columns keep no stats and are never pruned on. */
+  private def attachZoneMaps(entries: Seq[Entry], zcs: Seq[String]): Seq[Entry] = {
+    val aggs = zcs.flatMap(zc => Seq(
+      min(col(zc)).cast("string").as(s"lo_$zc"),
+      max(col(zc)).cast("string").as(s"hi_$zc")))
     val stats = spark.read
       .parquet(entries.map(e => new Path(qRoot, e.relPath).toString): _*)
-      .select(col("_metadata.file_name").as(FileCol), col(zc))
+      .select(col("_metadata.file_name").as(FileCol) +: zcs.map(col): _*)
       .groupBy(FileCol)
-      .agg(min(col(zc)).cast("string").as("zlo"), max(col(zc)).cast("string").as("zhi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2))))
+      .map { r =>
+        val zones = zcs.flatMap { zc =>
+          (Option(r.getAs[String](s"lo_$zc")), Option(r.getAs[String](s"hi_$zc"))) match {
+            case (Some(lo), Some(hi)) => Some((zc, lo, hi))
+            case _ => None
+          }
+        }
+        r.getString(0) -> zones
+      }
       .toMap
     entries.map { e =>
       val name = e.relPath.substring(e.relPath.lastIndexOf('/') + 1)
       stats.get(name) match {
-        case Some((Some(lo), Some(hi))) =>
-          e.copy(zcol = Some(zc), zlo = Some(lo), zhi = Some(hi))
+        case Some(zones) if zones.nonEmpty => e.copy(zones = zones)
         case _ => e
       }
     }
@@ -843,9 +922,10 @@ final class VersionedTable(spark: SparkSession, root: String,
     entries.foreach { e =>
       sb.append(e.kind).append('\t').append(e.seq)
         .append('\t').append(enc(e.part)).append('\t').append(e.relPath)
-      for (c <- e.zcol; l <- e.zlo; h <- e.zhi)
+      e.zones.foreach { case (c, l, h) =>
         sb.append('\t').append(enc(c)).append('\t').append(enc(l))
           .append('\t').append(enc(h))
+      }
       sb.append('\n')
     }
     fs.mkdirs(markerDir)
@@ -882,14 +962,14 @@ final class VersionedTable(spark: SparkSession, root: String,
           require(j >= 0, s"bad manifest file line: $line")
           entries += Entry(dec(rest.substring(0, j)), rest.substring(j + 1))
         case "d" | "x" =>
-          val parts = rest.split("\t", 6)
-          require(parts.length == 3 || parts.length == 6,
+          // 3 fixed fields + any number of (col, lo, hi) zone triples
+          val parts = rest.split("\t", -1)
+          require(parts.length >= 3 && (parts.length - 3) % 3 == 0,
             s"bad manifest entry line: $line")
-          val base = Entry(dec(parts(1)), parts(2), k, parts(0).toInt)
-          entries += (if (parts.length == 6)
-            base.copy(zcol = Some(dec(parts(3))), zlo = Some(dec(parts(4))),
-              zhi = Some(dec(parts(5))))
-          else base)
+          val zones = parts.drop(3).grouped(3).map { g =>
+            (dec(g(0)), dec(g(1)), dec(g(2)))
+          }.toSeq
+          entries += Entry(dec(parts(1)), parts(2), k, parts(0).toInt, zones)
         case other => throw new IllegalStateException(s"unknown manifest key: $other")
       }
     }
@@ -944,9 +1024,7 @@ object VersionedTable {
     * stats, minimized to the column point lookups key on). */
   private final case class Entry(part: String, relPath: String,
                                  kind: String = "d", seq: Int = 0,
-                                 zcol: Option[String] = None,
-                                 zlo: Option[String] = None,
-                                 zhi: Option[String] = None)
+                                 zones: Seq[(String, String, String)] = Nil)
   private final case class Manifest(meta: Option[String], schema: StructType,
                                     entries: Seq[Entry],
                                     parent: Option[Int] = None,

@@ -131,4 +131,48 @@ class ZoneMapSpec extends SparkSpec {
     val one = t.readForKeys(Seq(1).toDF("id")).as[(Int, String)].collect()
     assert(one.toSeq == Seq((1, "v1!")))
   }
+
+  // 64×64 uniform grid: every (a, b) pair once — the worst case for
+  // linear clustering (trailing column fully shuffled within files)
+  // and the textbook Z-order payoff surface
+  private def grid2d() =
+    (for (a <- 0 until 64; b <- 0 until 64) yield (a, b, a * 64 + b))
+      .toDF("a", "b", "payload")
+
+  test("zorder: narrow probes prune on BOTH columns; linear prunes only the lead") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(grid2d().repartition(4))
+    val before = t.read().as[(Int, Int, Int)].collect().sorted.toSeq
+
+    // linear clustering on (a, b): a-zones disjoint, b-zones span all
+    t.optimize(Seq("a", "b"), nFiles = 16)
+    val (keptA0, total0) = t.zonePrunedFileCount("a", 10, 13)
+    val (keptB0, _) = t.zonePrunedFileCount("b", 10, 13)
+    assert(total0 == 16)
+    assert(keptA0 <= 2, s"lead-column probe must prune: kept $keptA0/16")
+    assert(keptB0 == 16, s"trailing column cannot prune linear layout: $keptB0")
+
+    // Z-order: a 4-wide probe on EITHER column prunes to ~sqrt(F)
+    val v = t.optimizeZOrder(Seq("a", "b"), nFiles = 16)
+    val (keptA1, total1) = t.zonePrunedFileCount("a", 10, 13)
+    val (keptB1, _) = t.zonePrunedFileCount("b", 10, 13)
+    assert(total1 == 16)
+    assert(keptA1 <= 8, s"zorder a-probe: kept $keptA1/16")
+    assert(keptB1 <= 8, s"zorder b-probe: kept $keptB1/16")
+    // layout-only change: identical rows, exact range-read results
+    assert(t.read().as[(Int, Int, Int)].collect().sorted.toSeq == before)
+    val rows = t.readRange("b", 10, 13).as[(Int, Int, Int)].collect()
+    assert(rows.length == 64 * 4 && rows.forall(r => r._2 >= 10 && r._2 <= 13))
+    val (hv, _, meta, _, _) = t.history().head
+    assert(hv == v && meta.contains("zorder:a,b"), s"history: $hv $meta")
+  }
+
+  test("zorder refuses partitioned tables and fewer than two columns") {
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(grid2d())
+    intercept[IllegalArgumentException](t.optimizeZOrder(Seq("a")))
+    val p = new VersionedTable(spark, tmp(), Partitioning.BucketBy("a", 4))
+    p.overwrite(grid2d())
+    intercept[IllegalArgumentException](p.optimizeZOrder(Seq("a", "b")))
+  }
 }
