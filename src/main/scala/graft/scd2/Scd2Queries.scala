@@ -229,6 +229,64 @@ object Scd2Queries {
         lit(pointFiles).as("point_files_read"),
         lit(rangeFiles <= 2).as("range_pruned"))
   }
+  // ------------------------------------------------------ zorder gate
+  /** Z-ORDER under the oracle gate — the scd2_optimize pattern applied
+    * to the multi-column curve: a shuffled 2-column table is
+    * Z-ORDERed once per (JVM, sfDir), then narrow range probes on
+    * EACH column run through [[VersionedTable.readRange]]; the oracle
+    * recomputes the row answers in pure SQL and pins the two pruning
+    * verdicts as data (≤ F/2 files touched per single-column probe —
+    * linear clustering would read ALL files for the trailing column).
+    * The curve layout is deterministic (range partitioner bounds on
+    * identical input), so the verdicts are stable across runs. */
+  private val zorderFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderTable(s: SparkSession, d: String): VersionedTable = {
+    val root = zorderFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-zorder-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val t = new VersionedTable(s, dir.getPath)
+      t.overwrite(base.repartition(8))                          // shuffled
+      t.optimizeZOrder(Seq("o_orderkey", "o_custkey"), nFiles = 16)
+      dir.getPath
+    })
+    new VersionedTable(s, root)
+  }
+  private val zorderQ: Q = (s, d) => {
+    import s.implicits._
+    val t = zorderTable(s, d)
+    val maxK = Tables.orders(s, d).agg(max($"o_orderkey")).head.getLong(0)
+    val maxC = Tables.orders(s, d).agg(max($"o_custkey")).head.getLong(0)
+    val (loA, hiA) = (maxK * 30 / 100, maxK * 33 / 100)
+    val (loB, hiB) = (maxC * 30 / 100, maxC * 33 / 100)
+    val (keptA, total) = t.zonePrunedFileCount("o_orderkey", loA, hiA)
+    val (keptB, _) = t.zonePrunedFileCount("o_custkey", loB, hiB)
+    t.readRange("o_orderkey", loA, hiA)
+      .agg(count(lit(1)).as("n_a"), sum($"o_custkey").as("sum_a"))
+      .crossJoin(t.readRange("o_custkey", loB, hiB)
+        .agg(count(lit(1)).as("n_b"), sum($"o_orderkey").as("sum_b")))
+      .select($"n_a", $"sum_a", $"n_b", $"sum_b",
+        lit(total).as("files_total"),
+        lit(keptA * 2 <= total).as("pruned_a"),
+        lit(keptB * 2 <= total).as("pruned_b"))
+  }
+  private val zorderSql =
+    """WITH b AS (SELECT (MAX(o_orderkey) * 30) // 100 AS loa,
+      |                  (MAX(o_orderkey) * 33) // 100 AS hia,
+      |                  (MAX(o_custkey) * 30) // 100 AS lob,
+      |                  (MAX(o_custkey) * 33) // 100 AS hib FROM orders),
+      |pa AS (SELECT COUNT(*) AS n_a, CAST(SUM(o_custkey) AS BIGINT) AS sum_a
+      |       FROM orders, b WHERE o_orderkey BETWEEN b.loa AND b.hia),
+      |pb AS (SELECT COUNT(*) AS n_b, CAST(SUM(o_orderkey) AS BIGINT) AS sum_b
+      |       FROM orders, b WHERE o_custkey BETWEEN b.lob AND b.hib)
+      |SELECT n_a, sum_a, n_b, sum_b,
+      |       CAST(16 AS INTEGER) AS files_total,
+      |       TRUE AS pruned_a, TRUE AS pruned_b
+      |FROM pa, pb""".stripMargin
+
   private val optimizeSql =
     """WITH b AS (SELECT (MAX(o_orderkey) * 30) // 100 AS lo,
       |                  (MAX(o_orderkey) * 35) // 100 AS hi FROM orders)
@@ -246,12 +304,14 @@ object Scd2Queries {
     "scd2_current" -> current,
     "scd2_version_stats" -> versionStats,
     "scd2_changefeed" -> changefeed,
-    "scd2_optimize" -> optimizeQ)
+    "scd2_optimize" -> optimizeQ,
+    "scd2_zorder" -> zorderQ)
 
   val oracles: Map[String, String] = Map(
     "scd2_versions" -> versionsSql,
     "scd2_current" -> currentSql,
     "scd2_version_stats" -> versionStatsSql,
     "scd2_changefeed" -> changefeedSql,
-    "scd2_optimize" -> optimizeSql)
+    "scd2_optimize" -> optimizeSql,
+    "scd2_zorder" -> zorderSql)
 }
