@@ -372,6 +372,33 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("id"), col("n_events"))
 
+  /** Per-window trending top-k (the "hot topics this minute" shape):
+    * watermarked tumbling-window counts in APPEND mode — a window's
+    * rows emit exactly once, in the micro-batch whose watermark closes
+    * it — then a foreachBatch rank keeps the k highest-count ops per
+    * closed window ((n desc, op) total order). The only stream-sized
+    * state is the windowed aggregate's (watermark-bounded); ranking
+    * sees just the batch of closed windows, k·windows rows. Replays of
+    * a failed batch re-rank the same closed windows — pair with a
+    * batchId-keyed sink commit (the scd2Query pattern) for exactly-once
+    * on an unreliable sink. */
+  def trendingTopKQuery(raw: DataFrame, outPath: String, checkpoint: String,
+                        k: Int = 2, availableNow: Boolean = false): StreamingQuery = {
+    val counts = windowedOpCounts(Envelope.flatten(raw))
+    val writer = counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("window_start"))
+          .orderBy(col("n_events").desc, col("op"))
+        batch.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   def windowedOpCountsQuery(raw: DataFrame, outPath: String, checkpoint: String,
                             availableNow: Boolean = false): StreamingQuery = {
     val writer = windowedOpCounts(Envelope.flatten(raw)).writeStream

@@ -362,6 +362,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= expected.size + 1) // + at most the flush event's window
   }
 
+  test("trending top-k: per-window rank over closed windows matches batch truth") {
+    import spark.implicits._
+    val in = tmp(); val out = tmp() + "/trend"; val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 33, nKeys = 10, nOps = 300)
+    writeLines(in, "t.jsonl", ops.map(toJson))
+    Streams.trendingTopKQuery(Streams.rawFileStream(spark, in), out, ck,
+      k = 2, availableNow = true).awaitTermination()
+    writeLines(in, "t2.jsonl", Seq(toJson(ops.last.copy(
+      tsMs = ops.last.tsMs + 3600000L)))) // 1h later: flushes all windows
+    Streams.trendingTopKQuery(Streams.rawFileStream(spark, in), out, ck,
+      k = 2, availableNow = true).awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select($"window_start", $"op", $"n_events", $"rank")
+      .as[(java.sql.Timestamp, String, Long, Int)].collect()
+    // ranks are 1..k dense per window, ties broken (n desc, op)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length) && g.length <= 2)
+    }
+    // batch ground truth: top-2 per window over the ORIGINAL ops
+    val flat = graft.cdc.Envelope.flatten(ops.map(toJson).toDF("raw_message"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start").orderBy($"n_events".desc, $"op")
+    val expected = flat
+      .groupBy(org.apache.spark.sql.functions.window($"event_timestamp", "1 minute"), $"op")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"op", $"n_events")
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= 2)
+      .as[(java.sql.Timestamp, String, Long, Int)].collect().toSet
+    assert(expected.subsetOf(got.toSet))
+    assert(got.length <= expected.size + 2) // + at most the flush window's k
+  }
+
   test("streaming corpus dedup: first arrival per fingerprint survives") {
     import spark.implicits._
     val in = tmp(); val out = tmp() + "/dedup"; val ck = tmp() + "/ck"
