@@ -815,6 +815,59 @@ object TextAnalysis {
       .replace("__WEIGHTS__", weightRows)
   }
 
+  // ------------------------------------------- calibrated quality filter
+  /** Percentile-calibrated quality filtering — the production way to
+    * set a filter threshold: not a magic constant but "keep the top
+    * 40% of the corpus by score", with the cut point DERIVED from the
+    * observed score distribution. Report: per-language doc counts,
+    * kept counts and keep-rate ppm under the calibrated threshold —
+    * the mix-shift diagnostic run before committing a filter.
+    *
+    * Shape: one map pass computes the linear quality score
+    * (the text_quality_model closed form), one tiny aggregate finds
+    * the 60th-percentile cut (scalar, broadcast back), one grouped
+    * aggregate per language. At 100 TB the exact percentile becomes
+    * approx_percentile with a documented error budget — same plan,
+    * sketch aggregate instead of sort-based exact. */
+  private val qualityScoreExpr =
+    """3L * size(ws)
+      | + 2L * (size(filter(ws, w -> w in ('the','a','of','and','to','in','is'))) * 1000000L div size(ws))
+      | - 3L * (size(filter(ws, w -> w <> '' and translate(w, '0123456789', '') = '')) * 1000000L div size(ws))
+      | + 5L * (n_chars * 100L div size(ws))""".stripMargin
+  private val qualityCalibrate: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"lang", split($"text", " ").as("ws"), $"n_chars")
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"lang", expr(qualityScoreExpr).as("score"))
+    val thr = scored.agg(expr("percentile(score, 0.60d)").as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" >= $"threshold", 1L).otherwise(0L)).as("n_kept"),
+        first($"threshold").as("threshold"))
+      .select($"lang", $"n_docs", $"n_kept",
+        expr("n_kept * 1000000L div n_docs").as("keep_ppm"), $"threshold")
+      .orderBy($"lang")
+  }
+  private val qualityCalibrateSql =
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    3 * len(ws)
+      |    + 2 * ((len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1000000) // len(ws))
+      |    - 3 * ((len(list_filter(ws, w -> w <> '' AND translate(w, '0123456789', '') = '')) * 1000000) // len(ws))
+      |    + 5 * ((n_chars * 100) // len(ws)) AS score
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws, n_chars
+      |        FROM documents)
+      |  WHERE len(ws) > 0),
+      |thr AS (SELECT quantile_cont(score, 0.60) AS threshold FROM sc)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  (CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |     * 1000000) // COUNT(*) AS keep_ppm,
+      |  ANY_VALUE(threshold) AS threshold
+      |FROM sc, thr GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------- BPE training
   /** Byte-pair-encoding merge-rule learning — the tokenizer-training
     * workload itself, run the way production BPE trainers structure
@@ -969,6 +1022,7 @@ object TextAnalysis {
       |FROM k ORDER BY shard, pos""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_quality_calibrate" -> qualityCalibrate,
     "text_bpe_train" -> bpeTrain,
     "text_shuffle_shard" -> shuffleShard,
     "text_rebalance_mix" -> rebalanceMix,
@@ -992,6 +1046,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bpe_train" -> bpeTrainSql,
     "text_shuffle_shard" -> shuffleShardSql,
     "text_rebalance_mix" -> rebalanceMixSql,
