@@ -1261,6 +1261,35 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------ bucketed join gate
+  // The co-location operator under the oracle gate: both sides written
+  // bucketed+sorted on the join key ONCE per (session, sfDir) — the
+  // layout-time shuffle — then the gated query joins them with ZERO
+  // exchanges on either side (BucketingSpec pins the plan; this gate
+  // pins the values against the plain-join oracle). The 100 TB story:
+  // a recurring fact⋈fact key pays its shuffle at write time, every
+  // downstream query gets the join for free.
+  private val bucketedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+  private val bucketedJoin: Q = (s, d) => {
+    import s.implicits._
+    bucketedFixtures.computeIfAbsent((s, d), _ => {
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.tables.Bucketing.writeBucketed(
+        Tables.orders(s, d).select($"o_custkey", $"o_totalprice"),
+        "gate_b_orders", "o_custkey", buckets)
+      graft.tables.Bucketing.writeBucketed(
+        Tables.customer(s, d)
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+        "gate_b_customer", "o_custkey", buckets)
+    })
+    graft.tables.Bucketing.bucketedJoin(s, "gate_b_orders", "gate_b_customer", "o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
   // --------------------------------------------------------- histogram
   // Fixed-width value histogram over the event stream: bucket =
   // floor(value / 50) — double division of identical operands, exact
@@ -1501,6 +1530,7 @@ object Relational {
     "rel_returned_revenue"   -> returnedRevenue,
     "rel_pagerank"           -> pagerank,
     "rel_salted_join"        -> saltedJoin,
+    "rel_bucketed_join"      -> bucketedJoin,
     "rel_histogram"          -> histogram,
     "rel_funnel"             -> funnel,
     "rel_retention"          -> retention,
@@ -1560,6 +1590,8 @@ object Relational {
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,
+    // same plain-join oracle: bucketing is a pure layout change
+    "rel_bucketed_join"      -> saltedJoinSql,
     "rel_histogram"          -> histogramSql,
     "rel_funnel"             -> funnelSql,
     "rel_retention"          -> retentionSql,

@@ -259,6 +259,18 @@ class PlanSpec extends SparkSpec {
     assert(shj >= 4, s"expected >=4 shuffled-hash joins, got $shj:\n$p")
   }
 
+  test("bucketed join gate: the join itself is exchange-free") {
+    val df = SparkEntry.queries("rel_bucketed_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the only exchange allowed is the 5-row mktsegment aggregate; the
+    // fact join runs on the bucketed scans' own partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"bucketed join must not shuffle the fact:\n$p")
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("product profit: all dims broadcast, fact shuffles exactly once") {
     val p = plan("rel_product_profit")
     // part/supplier/nation all broadcast into the fact scan side; the
