@@ -868,6 +868,86 @@ object TextAnalysis {
       |  ANY_VALUE(threshold) AS threshold
       |FROM sc, thr GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------- end-to-end pipeline
+  /** The full training-data pipeline COMPOSED as one query — the
+    * "switch your corpus job to this engine" proof: exact dedup
+    * (md5-fp keeper) → calibrated linear quality gate → stratified
+    * language downsampling (salted-md5 sample keys) → deterministic
+    * global shuffle/shard with dense positions. Every stage reuses the
+    * individually-gated operator's exact formula, and the oracle
+    * replays the whole chain in SQL, so the COMPOSITION is under the
+    * hash gate, not just the parts.
+    *
+    * Scale shape: ONE projection computes fp + score + sample key
+    * (pure map over the corpus); the pipeline then costs exactly TWO
+    * data shuffles end-to-end — the fp-partitioned keeper window and
+    * the final shard exchange — regardless of how many filter stages
+    * sit between them. That is the whole point of composing in one
+    * plan instead of materializing between stages. */
+  private val pipelineE2e: Q = (s, d) => {
+    import s.implicits._
+    val hx = "0123456789abcdef"
+    val thr = sampleRates.foldLeft(lit(256)) { case (acc, (lang, t)) =>
+      when($"lang" === lang, lit(t)).otherwise(acc)
+    }
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars", $"text", split($"text", " ").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"lang", md5($"text").as("fp"),
+        expr(qualityScoreExpr).as("score"))
+    val sh = md5(concat(lit("shuffle-"), $"doc_id".cast("string")))
+    base
+      .withColumn("keeper", min($"doc_id").over(Window.partitionBy($"fp")))
+      .filter($"doc_id" === $"keeper")  // 1. exact dedup
+      .filter($"score" >= 100000L)      // 2. quality gate
+      .withColumn("h", md5(concat(lit("samp:"), $"doc_id".cast("string"))))
+      .withColumn("samp_key",
+        ((expr(s"locate(substr(h,1,1),'$hx')") - 1) * 16 +
+          expr(s"locate(substr(h,2,1),'$hx')") - 1).cast("int"))
+      .filter($"samp_key" < thr)        // 3. stratified downsample
+      .select($"doc_id", $"lang", $"score",
+        pmod(conv(substring(sh, 1, 8), 16, 10).cast("long"), lit(NShards))
+          .cast("int").as("shard"),
+        conv(substring(sh, 9, 8), 16, 10).cast("long").as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"ord", $"doc_id")))
+      .select($"shard", $"pos", $"doc_id", $"lang", $"score")
+      .orderBy($"shard", $"pos")        // 4. shard + dense position
+  }
+  private val pipelineE2eSql =
+    s"""WITH sc AS (
+      |  SELECT doc_id, lang, md5(text) AS fp,
+      |    3 * len(ws)
+      |    + 2 * ((len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1000000) // len(ws))
+      |    - 3 * ((len(list_filter(ws, w -> w <> '' AND translate(w, '0123456789', '') = '')) * 1000000) // len(ws))
+      |    + 5 * ((n_chars * 100) // len(ws)) AS score
+      |  FROM (SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) > 0),
+      |k AS (SELECT sc.*, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM sc),
+      |f AS (SELECT doc_id, lang, score FROM k
+      |      WHERE doc_id = keeper AND score >= 100000),
+      |samp AS (
+      |  SELECT doc_id, lang, score,
+      |    (strpos('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)),1,1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)),2,1)) - 1 AS samp_key
+      |  FROM f),
+      |sampled AS (
+      |  SELECT doc_id, lang, score FROM samp
+      |  WHERE samp_key < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 192
+      |                             WHEN 'fr' THEN 64 ELSE 256 END),
+      |sh AS (
+      |  SELECT doc_id, lang, score,
+      |    CAST(('0x'||substr(md5('shuffle-'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+      |      % $NShards AS INT) AS shard,
+      |    ('0x'||substr(md5('shuffle-'||CAST(doc_id AS VARCHAR)),9,8))::BIGINT AS ord
+      |  FROM sampled)
+      |SELECT shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+      |    AS pos,
+      |  doc_id, lang, score
+      |FROM sh ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------------- BPE training
   /** Byte-pair-encoding merge-rule learning — the tokenizer-training
     * workload itself, run the way production BPE trainers structure
@@ -992,7 +1072,10 @@ object TextAnalysis {
     * exactly the shuffle a distributed writer wants: each reducer
     * sorts and writes its own shard file, no global coordination);
     * row_number state is per-shard, never global. */
-  private val NShards = 8
+  // `final` + literal = compile-time constant: safe to reference from
+  // vals declared EARLIER in this object (a plain val would still be 0
+  // during their initialization — the pipeline oracle hit exactly that)
+  private final val NShards = 8
   private val shuffleShard: Q = (s, d) => {
     import s.implicits._
     val h = md5(concat(lit("shuffle-"), $"doc_id".cast("string")))
@@ -1022,6 +1105,7 @@ object TextAnalysis {
       |FROM k ORDER BY shard, pos""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_pipeline_e2e" -> pipelineE2e,
     "text_quality_calibrate" -> qualityCalibrate,
     "text_bpe_train" -> bpeTrain,
     "text_shuffle_shard" -> shuffleShard,
@@ -1046,6 +1130,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_pipeline_e2e" -> pipelineE2eSql,
     "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bpe_train" -> bpeTrainSql,
     "text_shuffle_shard" -> shuffleShardSql,

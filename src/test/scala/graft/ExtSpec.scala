@@ -662,6 +662,29 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) >= 0L))
   }
 
+  test("e2e pipeline: composition agrees with the stage operators") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("text_pipeline_e2e")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(2)).toSet
+    // stage 1: every survivor is its exact-dedup group's keeper
+    val keepers = Dedup.queries("dedup_exact")(spark, sfDir)
+      .select($"keeper_doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keepers))
+    // stage 3: every survivor passed the stratified sampler
+    val sampled = TextAnalysis.queries("text_sample_stratified")(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(sampled))
+    // stage 4: shard assignment matches the standalone shuffle-shard op
+    val shards = TextAnalysis.queries("text_shuffle_shard")(spark, sfDir)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    assert(out.forall(r => shards(r.getLong(2)) == r.getInt(0)))
+    // positions are dense 1..n per shard
+    out.groupBy(_.getInt(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("BPE training: 3 ranked rules; rule 1 is the true argmax bigram") {
     import spark.implicits._
     val rules = TextAnalysis.queries("text_bpe_train")(spark, sfDir).collect()
