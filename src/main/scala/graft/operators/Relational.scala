@@ -1470,15 +1470,22 @@ object Relational {
   // makes the join tractable at 100 TB. Deterministic slice (orderkey
   // % 4) bounds graph density, not semantics. The degree table is
   // node-count-sized — linear in the catalog, far too big to broadcast
-  // at the 100 TB design point — so degrees are annotated via two
-  // shuffled-hash joins keyed on p1/p2 (the same keys the wedge and
-  // closure joins shuffle on); all four joins stay shuffled-hash on
-  // uniform keys (sorting wedge streams is pure overhead).
+  // at the 100 TB design point — so degrees are annotated via shuffled
+  // joins keyed on p1/p2 (the same keys the wedge and closure joins
+  // shuffle on). NO join-strategy hints: every build side here (edge
+  // list, degree table, oriented edges) is O(data/partitions), and a
+  // forced shuffled-hash build died with SparkOutOfMemoryError at the
+  // 20× soak point — sort-merge spills, which is why it is Spark's
+  // default for large⋈large; the r6 "sorting is pure overhead"
+  // micro-optimization was a small-SF artifact. Hinted `merge` (not
+  // unhinted): at test SF the planner would otherwise broadcast the
+  // statically-small sides, and the pinned plan must be the one that
+  // survives 100×.
   private val triangleCount: Q = (s, d) => {
     import s.implicits._
     val li = Tables.lineitem(s, d).filter($"l_orderkey" % 4 === 0)
       .select($"l_orderkey", $"l_partkey")
-    val e = li.as("a").hint("shuffle_hash")
+    val e = li.as("a").hint("merge")
       .join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey" &&
         $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
@@ -1487,14 +1494,14 @@ object Relational {
       .groupBy($"node").agg(count(lit(1)).as("dg"))
     val lower = ($"d1" < $"d2") || ($"d1" === $"d2" && $"p1" < $"p2")
     val o = e
-      .join(deg.select($"node".as("p1"), $"dg".as("d1")).hint("shuffle_hash"), "p1")
-      .join(deg.select($"node".as("p2"), $"dg".as("d2")).hint("shuffle_hash"), "p2")
+      .join(deg.select($"node".as("p1"), $"dg".as("d1")).hint("merge"), "p1")
+      .join(deg.select($"node".as("p2"), $"dg".as("d2")).hint("merge"), "p2")
       .select(when(lower, $"p1").otherwise($"p2").as("src"),
         when(lower, $"p2").otherwise($"p1").as("dst"))
-    val w = o.as("x").hint("shuffle_hash")
+    val w = o.as("x").hint("merge")
       .join(o.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
       .select($"x.dst".as("b"), $"y.dst".as("c"))
-    val closed = w.hint("shuffle_hash")
+    val closed = w.hint("merge")
       .join(e, $"b" === $"p1" && $"c" === $"p2")
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(w.agg(count(lit(1)).as("n_wedges")))

@@ -249,14 +249,16 @@ class PlanSpec extends SparkSpec {
 
   test("triangle count never broadcasts the O(nodes) degree table") {
     val p = plan("rel_triangle_count")
-    // degree annotation, wedge, and closure joins are all shuffled-hash
+    // degree annotation, wedge, and closure joins are all SHUFFLED
+    // (sort-merge by default — spillable, the 20×-soak-proven choice;
+    // AQE may downgrade to shuffled-hash when a runtime side is small)
     // on p1/p2 — the degree table is linear in the catalog and cannot
     // broadcast at the 100 TB design point. The only broadcast-shaped
     // nodes allowed are the 1-row scalar-aggregate crossJoins.
     assert(!p.contains("BroadcastHashJoin"),
       s"O(nodes) degree table must not broadcast:\n$p")
-    val shj = "ShuffledHashJoin".r.findAllIn(p).length
-    assert(shj >= 4, s"expected >=4 shuffled-hash joins, got $shj:\n$p")
+    val shuffled = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(shuffled >= 4, s"expected >=4 shuffled joins, got $shuffled:\n$p")
   }
 
   test("bucketed join gate: the join itself is exchange-free") {
