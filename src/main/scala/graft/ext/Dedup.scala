@@ -100,7 +100,11 @@ object Dedup {
     val a = sh.as("a"); val b = sh.as("b")
     // shuffled-hash, not sort-merge: the blocking key (shash) is a
     // salted-uniform 64-bit hash, so per-partition build sides are
-    // near-constant and the two O(n log n) sorts are pure overhead
+    // near-constant and the two O(n log n) sorts are pure overhead.
+    // Scale audit (r7): these builds are fixed-width (doc_id, n,
+    // shash) longs and completed the 20x soak with margin, unlike
+    // rel_triangle_count's wider hash builds which OOMed and moved to
+    // sort-merge - re-audit if partition sizing ever goes static
     a.hint("shuffle_hash").join(b, col("a.shash") === col("b.shash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
