@@ -208,34 +208,50 @@ object Embeddings {
   // rounding. Scale shape: the sub-codebook (labels × dims) broadcasts;
   // vectors stream through one posexplode + one (vec, sub, label)
   // aggregate + one argmin window over labels per subspace.
+  // The corpus pass is MAP-ONLY: train the codebook with one
+  // map-combinable aggregate to |labels|·dims rows (collected — the
+  // k-means-broadcast pattern, bounded by k·d not by corpus size),
+  // then stream every vector through the PqEncodeExpr kernel + inline.
+  // The previous relational formulation (posexplode ×dims → broadcast
+  // join → (vec, sub, label) aggregate → argmin window) shuffled
+  // dims·|labels| rows PER VECTOR — an ~80× corpus amplification that
+  // at 100 TB is the whole job. Same integer-grid derivation, same
+  // oracle.
   private val pqEncode: Q = (s, d) => {
     import s.implicits._
-    val qv = Tables.embeddings(s, d)
-      .select($"vec_id", posexplode($"embedding"))
-      .select($"vec_id", ($"pos" + 1).cast("int").as("dim"),
-        expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("q"))
-      // explicit floor: Spark's int cast truncates but DuckDB's ROUNDS,
-      // so the subspace index must be floored before the cast on both
-      // sides (dims are 1-based; (dim-1)/8 ∈ [0, 8))
-      .withColumn("sub", floor(($"dim" - 1) / lit(8)).cast("int"))
-    val code = Tables.embeddings(s, d)
+    val cb = trainPqCodebook(s, d)
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** Train the (label, dim) integer-grid codebook and collect it —
+    * |labels|·dims rows (k·d-bounded at any corpus size; at 64 dims ×
+    * 10 labels this is 640 rows off one map-combinable aggregate).
+    * Shared by emb_pq_encode and sim_knn_pq.
+    */
+  def trainPqCodebook(s: SparkSession, d: String): graft.functions.PqCodebook = {
+    import s.implicits._
+    val rows = Tables.embeddings(s, d)
       .select($"label", posexplode($"embedding"))
       .select($"label", ($"pos" + 1).cast("int").as("dim"),
         expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))
       .groupBy($"label", $"dim")
       .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-    val diff = $"q" * $"n" - $"sq"
-    qv.join(broadcast(code), "dim")
-      .groupBy($"vec_id", $"sub", $"label")
-      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id", $"sub")
-          .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"sub", $"label".as("code"),
-        ($"s2".cast("double") / ($"n" * $"n")).as("sub_dist2"))
-      .orderBy($"vec_id", $"sub")
+      .collect()
+    val dims = rows.iterator.map(_.getInt(1)).max
+    val labels = rows.iterator.map(_.getInt(0)).toSet.toIndexedSeq.sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val ns = new Array[Long](labels.length)
+    val sq = new Array[Long](labels.length * dims)
+    rows.foreach { r =>
+      val li = labelIdx(r.getInt(0))
+      ns(li) = r.getLong(2)
+      sq(li * dims + (r.getInt(1) - 1)) = r.getLong(3)
+    }
+    graft.functions.PqCodebook(labels, ns.toIndexedSeq, sq.toIndexedSeq,
+      dims, subDim = 8)
   }
   private val pqEncodeSql =
     """WITH u AS (

@@ -520,39 +520,23 @@ object Similarity {
     * a float accumulation whose summation order could reorder ranks. */
   private val knnPq: Q = (s, d) => {
     import s.implicits._
-    val gridQ = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
-    def gridded(df: DataFrame, idCol: String): DataFrame = df
-      .select(col(idCol), posexplode($"embedding"))
-      .select(col(idCol), ($"pos" + 1).cast("int").as("dim"), expr(gridQ).as("q"))
-      // explicit floor before the cast: Spark's int cast truncates but
-      // DuckDB's ROUNDS (same guard as emb_pq_encode)
-      .withColumn("sub", floor(($"dim" - 1) / lit(8)).cast("int"))
-    // per-(label, dim) integer-grid codebook over ALL vectors — the
-    // label field is the training assignment, exactly as emb_pq_encode
-    val code = Tables.embeddings(s, d)
-      .select($"label", posexplode($"embedding"))
-      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(gridQ).as("cq"))
-      .groupBy($"label", $"dim")
-      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-    val diff = $"q" * $"n" - $"sq"
+    // Codebook trained once (map-combinable aggregate to k·d rows,
+    // collected — the k-means-broadcast pattern); both the corpus
+    // encode and the query LUT are then MAP-ONLY kernel passes
+    // (PqEncodeExpr / PqSubDistsExpr + inline) instead of the old
+    // posexplode → broadcast join → aggregate → argmin window chain,
+    // whose shuffle carried dims·|labels| rows per corpus vector.
+    val cb = Embeddings.trainPqCodebook(s, d)
     // encode the corpus: argmin sub-centroid per (vec, sub)
-    val corpusCodes = gridded(
-        Tables.embeddings(s, d).filter($"vec_id" >= 10), "vec_id")
-      .join(broadcast(code), "dim")
-      .groupBy($"vec_id", $"sub", $"label")
-      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
-      .withColumn("rk", row_number().over(Window.partitionBy($"vec_id", $"sub")
-        .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")))
-      .filter($"rk" === 1)
-      .select($"vec_id".as("neighbor_id"), $"sub", $"label".as("code"))
+    val corpusCodes = Tables.embeddings(s, d).filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"),
+        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
+      .select($"neighbor_id", $"sub", $"code")
     // ADC lookup table: every (query, sub, label) sub-distance on the
     // integer ppm grid
-    val lut = gridded(
-        Tables.embeddings(s, d).filter($"vec_id" < 10)
-          .withColumnRenamed("vec_id", "query_id"), "query_id")
-      .join(broadcast(code), "dim")
-      .groupBy($"query_id", $"sub", $"label")
-      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+    val lut = Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
       .select($"query_id", $"sub", $"label",
         expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
           .as("sd_ppm"))

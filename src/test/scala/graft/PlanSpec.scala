@@ -283,4 +283,29 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 fact shuffle, got $exchanges:\n$p")
   }
+
+  test("pq encode is a map-only kernel pass (no hash exchange, no window)") {
+    // the corpus pass must be scan → PqEncodeExpr → inline; the old
+    // posexplode → codebook join → aggregate → argmin-window chain
+    // shuffled dims·|labels| rows per vector (~80× amplification).
+    // Only the presentation ORDER BY (range partitioning) may exchange.
+    val p = plan("emb_pq_encode")
+    assert(!p.contains("hashpartitioning"),
+      s"pq encode must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), s"argmin must fold into the kernel:\n$p")
+    assert(p.contains("PqEncodeExpr") || p.contains("pqencodeexpr"),
+      s"kernel expression missing from the plan:\n$p")
+  }
+
+  test("pq/adc knn: corpus encode and query LUT are kernel passes") {
+    // the only aggregates allowed are the ADC (query, neighbor) sum;
+    // no argmin windows anywhere (both folded into the kernels)
+    val p = plan("sim_knn_pq")
+    assert(!p.contains("Window Partition"), p)
+    val windows = "Window ".r.findAllIn(p).length
+    // one ranking window remains: the final top-5 per query over the
+    // |queries|·|corpus| ADC totals — bounded by the candidate set,
+    // not the raw corpus
+    assert(windows <= 1, s"expected ≤1 ranking window, got $windows:\n$p")
+  }
 }
