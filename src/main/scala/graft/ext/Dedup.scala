@@ -771,7 +771,91 @@ object Dedup {
       |JOIN sz sb ON sb.source = source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  // ------------------------------------------- exact substring spans
+  /** Exact duplicated-SPAN detection — the substring-level dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: a suffix array finds
+    * maximal repeated substrings; the distributed equivalent is to
+    * hash every char 20-gram, equi-join matching hashes across
+    * documents, and stitch CONSECUTIVE matches back into maximal spans
+    * via diagonal run-grouping (two positions extend the same span iff
+    * they share the alignment offset ai−bi; islands in `ai` along a
+    * diagonal = maximal runs; a true shared span of L chars yields
+    * L−19 consecutive windows → span_chars = L exactly).
+    *
+    * Scale shape: grams are O(total chars) map-side rows; the pair
+    * join is df-CAPPED (hashes occurring > 64 times are boilerplate —
+    * 20-char spans shared by dozens of docs — and excluded by RULE,
+    * mirrored in the oracle), so each join group is ≤ 64² and the
+    * output is candidate-bounded, never all-pairs. Run-stitching
+    * shuffles on (pair, diagonal) keys — already pair-partitioned.
+    * Emitted per pair: longest span, span count, total duplicated
+    * chars (spans ≥ 30 chars).
+    */
+  private val substringSpans: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 20
+    val MinSpan = 30
+    val DfCap = 64
+    // length guard: sequence(1, n) goes descending for n < 1 (winnow's
+    // same trap); the oracle's generate_series is simply empty
+    val grams = spread(Tables.documents(s, d))
+      .filter(length($"text") >= K)
+      .select($"doc_id", $"text",
+        explode(expr(s"sequence(1, length(text) - ${K - 1})")).as("i"))
+      .select($"doc_id", $"i",
+        substring(md5(expr(s"substr(text, i, $K)")), 1, 8).as("h"))
+    val keep = grams.groupBy($"h")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("nd"))
+      .filter($"cnt".between(2, DfCap) && $"nd" >= 2)
+      .select($"h")
+    val g2 = grams.join(keep, "h")
+    val m = g2.as("a").hint("shuffle_hash").join(g2.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.i").as("ai"), col("b.i").as("bi"))
+      .distinct()
+    val runs = m
+      .withColumn("diag", $"ai" - $"bi")
+      .withColumn("grp", $"ai" - row_number().over(
+        Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"ai")))
+    runs.groupBy($"a_id", $"b_id", $"diag", $"grp")
+      .agg((count(lit(1)) + lit(K - 1)).as("span_chars"))
+      .filter($"span_chars" >= MinSpan)
+      .groupBy($"a_id", $"b_id")
+      .agg(max($"span_chars").as("max_span"),
+        count(lit(1)).as("n_spans"),
+        sum($"span_chars").as("dup_chars"))
+      .orderBy($"a_id", $"b_id")
+  }
+  private val substringSpansSql =
+    """WITH grams AS (
+      |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 20)), 1, 8) AS h
+      |  FROM documents, unnest(generate_series(1, length(text) - 19)) t(i)),
+      |keep AS (
+      |  SELECT h FROM grams GROUP BY h
+      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND COUNT(DISTINCT doc_id) >= 2),
+      |m AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ai, b.i AS bi
+      |  FROM grams a JOIN keep USING (h) JOIN grams b USING (h)
+      |  WHERE a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT a_id, b_id, ai - bi AS diag, ai,
+      |    ai - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, ai - bi
+      |      ORDER BY ai) AS grp
+      |  FROM m),
+      |spans AS (
+      |  SELECT a_id, b_id, COUNT(*) + 19 AS span_chars
+      |  FROM runs GROUP BY a_id, b_id, diag, grp)
+      |SELECT a_id, b_id, MAX(span_chars) AS max_span,
+      |  COUNT(*) AS n_spans,
+      |  CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+      |FROM spans WHERE span_chars >= 30
+      |GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring_spans" -> substringSpans,
     "dedup_incremental" -> incremental,
     "dedup_incremental_bloom" -> incrementalBloom,
     "dedup_source_overlap" -> sourceOverlap,
@@ -785,6 +869,7 @@ object Dedup {
     "dedup_dedupe" -> dedupe)
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> substringSpansSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
     "dedup_source_overlap" -> sourceOverlapSql,

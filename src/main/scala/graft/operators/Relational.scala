@@ -1237,6 +1237,49 @@ object Relational {
       |  AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
+  // ------------------------------------------------ large-volume orders
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered fact
+    * self-aggregate driving a two-hop join and a global top-100. Scale
+    * shape: the qty aggregate partially aggregates map-side and its
+    * (orderkey) exchange is REUSED by the orders join (same key); the
+    * customer hop shuffles the ~1% surviving rows, not the fact; the
+    * top-100 plans TakeOrderedAndProject (per-partition heaps, 100-row
+    * result exchange — never a global sort). Q18's canonical third
+    * lineitem join is pre-aggregated away (identical result, one fewer
+    * fact scan). Exact DECIMAL(18,4) sum; orderkey tiebreak makes the
+    * top-100 deterministic.
+    */
+  private val bigOrders: Q = (s, d) => {
+    import s.implicits._
+    val big = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty"))
+      .filter($"qty" > 300)
+      .select($"l_orderkey".as("o_orderkey"), $"qty".cast("double").as("sum_qty"))
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").as("o_date"), $"o_totalprice")
+      .join(big, "o_orderkey")
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_date",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_date", $"o_orderkey")
+      .limit(100)
+  }
+  private val bigOrdersSql =
+    """WITH big AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+      |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  o_totalprice, sum_qty
+      |FROM orders JOIN big USING (o_orderkey)
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100""".stripMargin
+
   // ----------------------------------------------------- salted join gate
   // The skew-salting operator under the oracle gate: result must be
   // EXACTLY the plain inner join (the oracle computes the plain join),
@@ -1461,6 +1504,60 @@ object Relational {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --------------------------------------------------- calendar gap-fill
+  /** Time-series gap-fill + forward-fill — the resampling primitive of
+    * metrics/feature pipelines: the 1995 daily revenue series per order
+    * priority, with MISSING calendar days materialized from a per-key
+    * generated date sequence (`sequence()` + explode — no driver-side
+    * calendar) and revenue carried forward via `last(ignoreNulls)`
+    * over the date order. Scale shape: the daily aggregate partially
+    * aggregates map-side down to (keys × days) rows — tiny relative to
+    * the fact at any SF; the series explode is O(keys × days); the
+    * fill window is per-key sequential — the standard distributed
+    * gap-fill. `is_gap` marks synthesized days.
+    */
+  private val gapfill: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .select($"o_orderpriority".as("prio"),
+        $"o_orderdate".cast("date").as("dt"), $"o_totalprice")
+      .filter($"dt".between("1995-01-01", "1995-12-31"))
+      .groupBy($"prio", $"dt")
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val series = daily.groupBy($"prio")
+      .agg(min($"dt").as("lo"), max($"dt").as("hi"))
+      .select($"prio", explode(expr("sequence(lo, hi, interval 1 day)")).as("dt"))
+    series.join(daily, Seq("prio", "dt"), "left")
+      .select($"prio", $"dt", coalesce($"n_orders", lit(0L)).as("n_orders"),
+        $"revenue".isNull.as("is_gap"),
+        last($"revenue", ignoreNulls = true).over(
+          Window.partitionBy($"prio").orderBy($"dt")).as("filled_revenue"))
+      .orderBy($"prio", $"dt")
+  }
+  private val gapfillSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_orders
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE)
+      |    BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      |  GROUP BY 1, 2),
+      |bounds AS (SELECT prio, MIN(dt) AS lo, MAX(dt) AS hi FROM daily GROUP BY 1),
+      |series AS (
+      |  SELECT prio, CAST(g AS DATE) AS dt
+      |  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) t(g)),
+      |j AS (
+      |  SELECT s.prio, s.dt, daily.revenue,
+      |    COALESCE(daily.n_orders, 0) AS n_orders,
+      |    daily.revenue IS NULL AS is_gap
+      |  FROM series s LEFT JOIN daily ON s.prio = daily.prio AND s.dt = daily.dt)
+      |SELECT prio, dt, n_orders, is_gap,
+      |  LAST_VALUE(revenue IGNORE NULLS) OVER (PARTITION BY prio ORDER BY dt)
+      |    AS filled_revenue
+      |FROM j ORDER BY prio, dt""".stripMargin
+
   // ------------------------------------------------- triangle counting
   // Triangle counting on the part co-purchase graph (edge = two parts
   // in one order) via DEGREE ORIENTATION — the standard distributed
@@ -1533,6 +1630,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "rel_window_range"       -> windowRange,
+    "rel_gapfill"            -> gapfill,
     "rel_triangle_count"     -> triangleCount,
     "rel_returned_revenue"   -> returnedRevenue,
     "rel_pagerank"           -> pagerank,
@@ -1583,16 +1681,19 @@ object Relational {
     "rel_trade_volume"       -> tradeVolume,
     "rel_market_share"       -> marketShare,
     "rel_product_profit"     -> productProfit,
+    "rel_big_orders"         -> bigOrders,
     "rel_heavy_hitters"      -> heavyHitters,
   )
 
   val oracles: Map[String, String] = Map(
     "rel_window_range"       -> windowRangeSql,
+    "rel_gapfill"            -> gapfillSql,
     "rel_triangle_count"     -> triangleCountSql,
     "rel_approx_distinct"    -> approxDistinctSql,
     "rel_trade_volume"       -> tradeVolumeSql,
     "rel_market_share"       -> marketShareSql,
     "rel_product_profit"     -> productProfitSql,
+    "rel_big_orders"         -> bigOrdersSql,
     "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
