@@ -735,7 +735,12 @@ object Dedup {
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("shingle"))
       .select($"source", xxhash64($"shingle").as("shash"))
-      .distinct()
+      // one materialization feeds BOTH self-join legs and the size
+      // aggregate: the per-leg shuffle_hash hint makes the two legs'
+      // subplans non-identical, so ReuseExchange can't kick in and the
+      // whole tokenize+distinct pipeline ran three times (profiled:
+      // 2×2.1 s duplicate jobs at sf0.1)
+      .distinct().localCheckpoint()
     val sz = t.groupBy($"source").agg(count(lit(1)).as("n"))
     val shared = t.as("a").hint("shuffle_hash").join(t.as("b"),
         $"a.shash" === $"b.shash" && $"a.source" < $"b.source")
