@@ -797,7 +797,12 @@ object Dedup {
     * Emitted per pair: longest span, span count, total duplicated
     * chars (spans ≥ 30 chars).
     */
-  private val substringSpans: Q = (s, d) => {
+  /** Maximal shared spans ≥ 30 chars per (a, b, diagonal) — the shared
+    * core of `dedup_substring_spans` (report) and `dedup_span_removal`
+    * (apply): one row per maximal run with its length and start offset
+    * in the b document.
+    */
+  private def substringSpanTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val K = 20
@@ -826,8 +831,14 @@ object Dedup {
       .withColumn("grp", $"ai" - row_number().over(
         Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"ai")))
     runs.groupBy($"a_id", $"b_id", $"diag", $"grp")
-      .agg((count(lit(1)) + lit(K - 1)).as("span_chars"))
+      .agg((count(lit(1)) + lit(K - 1)).as("span_chars"),
+        min($"bi").as("b_start"))
       .filter($"span_chars" >= MinSpan)
+  }
+
+  private val substringSpans: Q = (s, d) => {
+    import s.implicits._
+    substringSpanTable(s, d)
       .groupBy($"a_id", $"b_id")
       .agg(max($"span_chars").as("max_span"),
         count(lit(1)).as("n_spans"),
@@ -859,8 +870,74 @@ object Dedup {
       |FROM spans WHERE span_chars >= 30
       |GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
 
+  /** The APPLY side of substring dedup: splice the longest duplicated
+    * span out of the LATER document of each pair (keeper = smaller
+    * doc_id, the dedup_exact rule). One greedy removal per doc —
+    * production pipelines iterate this to a fixpoint; one pass keeps
+    * the gate's splice arithmetic (substr ‖ substr) fully visible.
+    * Deterministic span pick: longest, then earliest b_start, then
+    * smallest a_id / diagonal. Scale shape: the span table is
+    * candidate-bounded (df-capped join, see [[substringSpanTable]]);
+    * the pick is a per-b_id window over few spans; the splice joins
+    * span rows back to `documents` on doc_id — one key-partitioned
+    * join, text touched only map-side.
+    */
+  private val spanRemoval: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pick = substringSpanTable(s, d)
+      .withColumn("rk", row_number().over(Window.partitionBy($"b_id")
+        .orderBy($"span_chars".desc, $"b_start", $"a_id", $"diag")))
+      .filter($"rk" === 1)
+      .select($"b_id".as("doc_id"), $"a_id".as("kept_from"),
+        $"b_start", $"span_chars")
+    Tables.documents(s, d).select($"doc_id", $"text")
+      .join(pick, "doc_id")
+      .select($"doc_id", $"kept_from",
+        length($"text").as("orig_chars"), $"span_chars".as("removed_chars"),
+        md5(concat(
+          expr("substr(text, 1, cast(b_start - 1 as int))"),
+          expr("substr(text, cast(b_start + span_chars as int))")))
+          .as("cleaned_fp"))
+      .orderBy($"doc_id")
+  }
+  private val spanRemovalSql =
+    """WITH grams AS (
+      |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 20)), 1, 8) AS h
+      |  FROM documents, unnest(generate_series(1, length(text) - 19)) t(i)),
+      |keep AS (
+      |  SELECT h FROM grams GROUP BY h
+      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND COUNT(DISTINCT doc_id) >= 2),
+      |m AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ai, b.i AS bi
+      |  FROM grams a JOIN keep USING (h) JOIN grams b USING (h)
+      |  WHERE a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT a_id, b_id, ai - bi AS diag, ai, bi,
+      |    ai - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, ai - bi
+      |      ORDER BY ai) AS grp
+      |  FROM m),
+      |spans AS (
+      |  SELECT a_id, b_id, diag, COUNT(*) + 19 AS span_chars,
+      |    MIN(bi) AS b_start
+      |  FROM runs GROUP BY a_id, b_id, diag, grp
+      |  HAVING COUNT(*) + 19 >= 30),
+      |pick AS (
+      |  SELECT b_id AS doc_id, a_id AS kept_from, b_start, span_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY b_id
+      |      ORDER BY span_chars DESC, b_start, a_id, diag) AS rk
+      |  FROM spans)
+      |SELECT d.doc_id, p.kept_from, length(d.text) AS orig_chars,
+      |  p.span_chars AS removed_chars,
+      |  md5(substr(d.text, 1, CAST(p.b_start - 1 AS INT))
+      |      || substr(d.text, CAST(p.b_start + p.span_chars AS INT)))
+      |    AS cleaned_fp
+      |FROM documents d JOIN pick p ON d.doc_id = p.doc_id AND p.rk = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> substringSpans,
+    "dedup_span_removal" -> spanRemoval,
     "dedup_incremental" -> incremental,
     "dedup_incremental_bloom" -> incrementalBloom,
     "dedup_source_overlap" -> sourceOverlap,
@@ -875,6 +952,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> substringSpansSql,
+    "dedup_span_removal" -> spanRemovalSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
     "dedup_source_overlap" -> sourceOverlapSql,
