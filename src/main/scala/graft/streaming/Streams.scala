@@ -342,6 +342,66 @@ object Streams {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  // --------------------------- transformWithState (Spark 4 TWS API)
+  /** Per-key ingest progress emitted by [[lsnMonitor]]. */
+  final case class KeyProgress(id: Int, n_applied: Long, max_lsn: Long)
+
+  /** Exactly-once-per-LSN ingest monitor on `transformWithState` —
+    * the Spark 4 arbitrary-state API (explicit `ValueState` +
+    * encoders, the successor to FMGWS). Per key, state holds
+    * (n_applied, max_lsn); rows at or below the stored high-water LSN
+    * are redelivered duplicates and are SKIPPED, rows above it advance
+    * the counter — so replaying any prefix of the log changes nothing
+    * (the `dedupedIngest` guarantee as pure keyed state, no
+    * watermark-bounded dedup buffer: the high-water mark is O(1) per
+    * key FOREVER, where dropDuplicatesWithinWatermark must bound its
+    * id buffer by time). Emits the updated progress row per batch in
+    * which a key advanced. State O(live keys), RocksDB-backed (a TWS
+    * requirement — set `spark.sql.streaming.stateStore.providerClass`
+    * to RocksDBStateStoreProvider before starting the query).
+    */
+  private class LsnMonitorProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, CurrentRec, KeyProgress] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[KeyProgress] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[KeyProgress]("progress",
+        org.apache.spark.sql.Encoders.product[KeyProgress],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[CurrentRec],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyProgress] = {
+      val prev = if (st.exists()) st.get() else KeyProgress(key, 0L, Long.MinValue)
+      // in-batch order is arbitrary — apply in LSN order so the
+      // monotone high-water filter is batch-split-invariant
+      val next = rows.toSeq.sortBy(_.lsn).foldLeft(prev) { (acc, r) =>
+        if (r.lsn > acc.max_lsn) KeyProgress(key, acc.n_applied + 1, r.lsn)
+        else acc
+      }
+      if (next != prev) { st.update(next); Iterator.single(next) }
+      else Iterator.empty
+    }
+  }
+
+  def lsnMonitor(cur: Dataset[CurrentRec]): Dataset[KeyProgress] = {
+    import cur.sparkSession.implicits._
+    cur.groupByKey(_.id)
+      .transformWithState(new LsnMonitorProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  def lsnMonitorQuery(raw: DataFrame, queryName: String, checkpoint: String,
+                      availableNow: Boolean = false): StreamingQuery = {
+    val writer = lsnMonitor(currentRecords(raw)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   // ----------------------------------------------- windowed aggregation
   /** Event-time tumbling-window op counts with a watermark — the
     * stateful-streaming surface the reference never uses (SURVEY T3

@@ -425,6 +425,52 @@ class StreamingSpec extends SparkSpec {
     assert(fps.distinct.length === fps.length)
   }
 
+  test("transformWithState lsn monitor: replayed batches advance nothing") {
+    import spark.implicits._
+    val in = tmp(); val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 47, nKeys = 6, nOps = 40)
+    val lines = ops.map(toJson)
+    // at-least-once delivery: batch 1, batch 2, then batch 1 REPLAYED
+    writeLines(in, "b0.jsonl", lines.take(20))
+    writeLines(in, "b1.jsonl", lines.drop(20))
+    writeLines(in, "b2.jsonl", lines.take(20))
+    // TWS requires the RocksDB state store; scope it to this query
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Streams.lsnMonitorQuery(
+        Streams.rawFileStream(spark, in, maxFilesPerTrigger = Some(1)),
+        "tws_lsn", ck, availableNow = true).awaitTermination()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+    // last emission per key == batch truth: every distinct LSN applied
+    // exactly once despite the replayed prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"max_lsn".desc)
+    val finalState = spark.table("tws_lsn")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"id", $"n_applied", $"max_lsn")
+    val expected = ops.groupBy(o => o.before.orElse(o.after).get.id)
+      .view.mapValues { es =>
+        val lsns = es.map(_.lsn).distinct
+        (lsns.length.toLong, lsns.max)
+      }.toMap
+    val rows = finalState.collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, mx) = expected(r.getAs[Int]("id"))
+      assert(r.getAs[Long]("n_applied") == n,
+        s"key ${r.getAs[Int]("id")}: applied ${r.getAs[Long]("n_applied")} != $n")
+      assert(r.getAs[Long]("max_lsn") == mx)
+    }
+  }
+
   test("streaming funnel: per-user stage progression across micro-batches") {
     import spark.implicits._
     import graft.streaming.Streams.{FunnelEvent, FunnelProgress}
