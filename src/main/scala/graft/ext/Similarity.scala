@@ -487,6 +487,79 @@ object Similarity {
   // shuffled instead of O(corpus) per query.
   private val knnTopKAggQ: Q = (s, d) => knnBruteTopKAgg(s, d, k = 5)
 
+  // --------------------------------------- Matryoshka truncation recall
+  /** Matryoshka-style dimension truncation audit (Kusupati et al.
+    * 2022): rank the corpus per query by full-dim cosine AND by
+    * first-16-dims cosine (re-normalized — a prefix slice is not unit
+    * length), and report top-5 overlap per query — the recall\@k a
+    * pipeline measures before switching its retrieval index to
+    * truncated vectors (4× cheaper distance math and storage).
+    * Cross-engine exactness: both cosines are spelled as
+    * dot/(√dot·√dot) with IN-ORDER double folds on both engines (the
+    * dot Expression and DuckDB's list_inner_product over DOUBLE[]) —
+    * same op order, bit-identical — then round(5) before ranking.
+    * Scale shape: queries broadcast, ONE corpus scan scores both
+    * rankings (two windows over the same query-keyed exchange); at
+    * real scale the per-ranking reduction is the TopK aggregate
+    * (sim_knn_topk_agg's plan), not the window.
+    */
+  private val mrlTruncate: Q = (s, d) => {
+    import s.implicits._
+    val D = 16
+    val q = Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qf"))
+    val c = Tables.embeddings(s, d).filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("cf"))
+    val scored = c.join(broadcast(q))
+      .select($"query_id", $"neighbor_id",
+        round(cosine($"qf", $"cf"), 5).as("cos_full"),
+        round(cosine(slice($"qf", 1, D), slice($"cf", 1, D)), 5).as("cos_t"))
+    val wFull = Window.partitionBy($"query_id")
+      .orderBy($"cos_full".desc, $"neighbor_id")
+    val wT = Window.partitionBy($"query_id")
+      .orderBy($"cos_t".desc, $"neighbor_id")
+    scored
+      .withColumn("r_full", row_number().over(wFull))
+      .withColumn("r_t", row_number().over(wT))
+      .filter($"r_full" <= 5 || $"r_t" <= 5)
+      .groupBy($"query_id")
+      .agg(sum(when($"r_full" <= 5 && $"r_t" <= 5, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .select($"query_id", $"n_overlap",
+        ($"n_overlap" / lit(5.0)).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
+  private val mrlTruncateSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qf
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cf
+      |  FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_inner_product(qf, cf) /
+      |      (sqrt(list_inner_product(qf, qf)) *
+      |       sqrt(list_inner_product(cf, cf))), 5) AS cos_full,
+      |    round(list_inner_product(qf[1:16], cf[1:16]) /
+      |      (sqrt(list_inner_product(qf[1:16], qf[1:16])) *
+      |       sqrt(list_inner_product(cf[1:16], cf[1:16]))), 5) AS cos_t
+      |  FROM q, c),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_full DESC, neighbor_id) AS r_full,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_t DESC, neighbor_id) AS r_t
+      |  FROM scored)
+      |SELECT query_id,
+      |  CAST(SUM(CASE WHEN r_full <= 5 AND r_t <= 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN r_full <= 5 AND r_t <= 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) / 5.0 AS recall_at_5
+      |FROM ranked WHERE r_full <= 5 OR r_t <= 5
+      |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   // ------------------------------------------------ PQ / ADC search
   /** Product-quantized kNN with Asymmetric Distance Computation — the
     * fourth ANN regime (next to brute, IVF, LSH) and the companion of
@@ -597,6 +670,7 @@ object Similarity {
     "sim_neardup_top_pairs" -> nearDupTopPairs,
     "sim_neardup_lsh" -> nearDupLshQ,
     "sim_knn_topk_agg" -> knnTopKAggQ,
+    "sim_mrl_truncate" -> mrlTruncate,
     "sim_knn_ivf" -> knnIvfQ,
     "sim_knn_lsh" -> knnLshQ,
     "sim_knn_pq" -> knnPq)
@@ -606,6 +680,7 @@ object Similarity {
     "sim_neardup_top_pairs" -> nearDupTopPairsSql,
     "sim_neardup_lsh" -> nearDupLshSql,
     "sim_knn_topk_agg" -> knnBruteSql,
+    "sim_mrl_truncate" -> mrlTruncateSql,
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_pq" -> knnPqSql)

@@ -1558,6 +1558,64 @@ object Relational {
       |    AS filled_revenue
       |FROM j ORDER BY prio, dt""".stripMargin
 
+  // ------------------------------------------- rolling z-score anomaly
+  /** Rolling z-score anomaly detection — the streaming-metrics op
+    * (flag a point > 3σ from its trailing baseline) in its batch form:
+    * per user, each value scored against the PRECEDING 19 events
+    * (current row excluded — the baseline must not contain the point
+    * under test). Cross-engine float discipline: values quantize to a
+    * cents grid (q ≤ ~6e4, so Σq² ≤ 7e10 — far from LONG overflow),
+    * window n/Σq/Σq² are exact integers, and the 3σ verdict is a PURE
+    * INTEGER predicate — (qn−s1)²(n−1) > 9n(ns2−s1²), no float enters
+    * the decision; the reported z is three IEEE-deterministic ops +
+    * round(4). Scale shape: one per-key window over a rows frame —
+    * O(1) state per row, the same plan at any SF.
+    */
+  private val rollingZscore: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"user_id", $"event_id",
+      unix_micros($"ts".cast("timestamp")).as("ts_us"),
+      expr("cast(floor(cast(value as double) * 100d + 0.5d) as bigint)").as("q"))
+    val win = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-19, -1)
+    val v = $"n" * $"s2" - $"s1" * $"s1"
+    val dev = $"q" * $"n" - $"s1"
+    e.select($"user_id", $"event_id", $"q",
+        count(lit(1)).over(win).as("n"),
+        sum($"q").over(win).as("s1"),
+        sum($"q" * $"q").over(win).as("s2"))
+      .select($"user_id", $"event_id", $"n".as("n_window"),
+        when($"n" >= 10 && v > 0,
+          round(dev.cast("double") / sqrt(v.cast("double")) *
+            sqrt(($"n" - 1).cast("double")), 4)).as("z"),
+        coalesce(when($"n" >= 10 && v > 0,
+          dev * dev * ($"n" - 1) > lit(9L) * $"n" * v), lit(false))
+          .as("is_anomaly"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val rollingZscoreSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, q,
+      |    COUNT(*) OVER win AS n,
+      |    CAST(SUM(q) OVER win AS BIGINT) AS s1,
+      |    CAST(SUM(q * q) OVER win AS BIGINT) AS s2
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                 ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, n AS n_window,
+      |  CASE WHEN n >= 10 AND (n * s2 - s1 * s1) > 0 THEN
+      |    round((q * n - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |      * sqrt(CAST(n - 1 AS DOUBLE)), 4)
+      |  END AS z,
+      |  COALESCE(CASE WHEN n >= 10 AND (n * s2 - s1 * s1) > 0 THEN
+      |    (q * n - s1) * (q * n - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+      |  END, FALSE) AS is_anomaly
+      |FROM w ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------- triangle counting
   // Triangle counting on the part co-purchase graph (edge = two parts
   // in one order) via DEGREE ORIENTATION — the standard distributed
@@ -1631,6 +1689,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "rel_window_range"       -> windowRange,
     "rel_gapfill"            -> gapfill,
+    "rel_rolling_zscore"     -> rollingZscore,
     "rel_triangle_count"     -> triangleCount,
     "rel_returned_revenue"   -> returnedRevenue,
     "rel_pagerank"           -> pagerank,
@@ -1688,6 +1747,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "rel_window_range"       -> windowRangeSql,
     "rel_gapfill"            -> gapfillSql,
+    "rel_rolling_zscore"     -> rollingZscoreSql,
     "rel_triangle_count"     -> triangleCountSql,
     "rel_approx_distinct"    -> approxDistinctSql,
     "rel_trade_volume"       -> tradeVolumeSql,
