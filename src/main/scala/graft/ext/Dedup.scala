@@ -810,17 +810,33 @@ object Dedup {
     val DfCap = 64
     // length guard: sequence(1, n) goes descending for n < 1 (winnow's
     // same trap); the oracle's generate_series is simply empty
+    // engine-side key: the md5 prefix CONVERTED to its 64-bit integer
+    // image (conv is injective on 8 hex chars → equality semantics are
+    // EXACTLY the oracle's string equality, but every downstream
+    // shuffle/aggregate/join keys on a fixed-width long instead of an
+    // 8-char string)
     val grams = spread(Tables.documents(s, d))
       .filter(length($"text") >= K)
       .select($"doc_id", $"text",
         explode(expr(s"sequence(1, length(text) - ${K - 1})")).as("i"))
       .select($"doc_id", $"i",
-        substring(md5(expr(s"substr(text, i, $K)")), 1, 8).as("h"))
+        expr(s"cast(conv(substring(md5(substr(text, i, $K)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+    // df-cap probe: COUNT(DISTINCT doc_id) >= 2 plans an Expand that
+    // doubles the gram-table shuffle; "at least two distinct docs" is
+    // equivalently MIN(doc_id) <> MAX(doc_id) — plain partial-agg
+    // columns, one un-expanded pass (profiled 3.6 s → sub-second)
     val keep = grams.groupBy($"h")
-      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("nd"))
-      .filter($"cnt".between(2, DfCap) && $"nd" >= 2)
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("dmin"),
+        max($"doc_id").as("dmax"))
+      .filter($"cnt".between(2, DfCap) && $"dmin" =!= $"dmax")
       .select($"h")
-    val g2 = grams.join(keep, "h")
+    // materialize the df-capped subset ONCE for both self-join legs:
+    // the per-leg hint breaks ReuseExchange (the sourceOverlap lesson)
+    // and without it each leg re-runs the full gram pipeline. The
+    // checkpoint is the CAPPED set — bounded by DfCap × |kept hashes|,
+    // tiny by construction — never the O(total chars) gram table.
+    val g2 = grams.join(keep, "h").localCheckpoint()
     val m = g2.as("a").hint("shuffle_hash").join(g2.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -851,7 +867,7 @@ object Dedup {
       |  FROM documents, unnest(generate_series(1, length(text) - 19)) t(i)),
       |keep AS (
       |  SELECT h FROM grams GROUP BY h
-      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND COUNT(DISTINCT doc_id) >= 2),
+      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND MIN(doc_id) <> MAX(doc_id)),
       |m AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ai, b.i AS bi
       |  FROM grams a JOIN keep USING (h) JOIN grams b USING (h)
@@ -907,7 +923,7 @@ object Dedup {
       |  FROM documents, unnest(generate_series(1, length(text) - 19)) t(i)),
       |keep AS (
       |  SELECT h FROM grams GROUP BY h
-      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND COUNT(DISTINCT doc_id) >= 2),
+      |  HAVING COUNT(*) BETWEEN 2 AND 64 AND MIN(doc_id) <> MAX(doc_id)),
       |m AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ai, b.i AS bi
       |  FROM grams a JOIN keep USING (h) JOIN grams b USING (h)
