@@ -732,4 +732,70 @@ class ExtSpec extends SparkSpec {
     val again = TextAnalysis.queries("text_shuffle_shard")(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("substring spans: lengths lawful, spans fit inside both documents") {
+    import spark.implicits._
+    val spans = graft.ext.Dedup.queries("dedup_substring_spans")(spark, sfDir)
+    val lens = Tables.documents(spark, sfDir)
+      .select($"doc_id", length($"text").as("len"))
+    val rows = spans.join(lens.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("len", "a_len"), "a_id")
+      .join(lens.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("len", "b_len"), "b_id")
+      .collect()
+    assert(rows.nonEmpty, "fixture must contain shared spans")
+    rows.foreach { r =>
+      val (maxSpan, nSpans, dupChars) = (r.getAs[Long]("max_span"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(maxSpan >= 30, "reported spans honor the MinSpan floor")
+      assert(nSpans >= 1 && dupChars >= maxSpan)
+      assert(dupChars <= nSpans * maxSpan)
+      // a shared span is a real substring of BOTH docs
+      assert(maxSpan <= math.min(r.getAs[Int]("a_len"), r.getAs[Int]("b_len")))
+    }
+  }
+
+  test("span removal: splice accounting exact, keeper rule holds") {
+    import spark.implicits._
+    val rem = graft.ext.Dedup.queries("dedup_span_removal")(spark, sfDir).collect()
+    assert(rem.nonEmpty)
+    rem.foreach { r =>
+      // keeper = smaller id: removal always targets the LATER doc
+      assert(r.getAs[Long]("kept_from") < r.getAs[Long]("doc_id"))
+      val (orig, removed) = (r.getAs[Int]("orig_chars").toLong,
+        r.getAs[Long]("removed_chars"))
+      assert(removed >= 30 && removed <= orig)
+    }
+    // one removal decision per doc
+    val ids = rem.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("rolling zscore: anomaly implies a warmed-up window, z agrees in sign") {
+    import spark.implicits._
+    val z = SparkEntry.queries("rel_rolling_zscore")(spark, sfDir)
+    val rows = z.collect()
+    val anomalies = rows.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(anomalies.nonEmpty, "fixture should contain >3-sigma points")
+    anomalies.foreach { r =>
+      assert(r.getAs[Long]("n_window") >= 10, "verdict requires 10 baseline rows")
+      assert(math.abs(r.getAs[Double]("z")) > 3.0,
+        "integer predicate and float z must agree above the threshold")
+    }
+    // no verdict ever fires on a cold window
+    rows.filter(_.getAs[Long]("n_window") < 10)
+      .foreach(r => assert(!r.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("mrl truncation: overlap bounded by k and identical-prefix self-consistency") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_mrl_truncate")(spark, sfDir).collect()
+    assert(rows.length == 10) // one row per query vector
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 5)
+      assert(r.getAs[Double]("recall_at_5") == n / 5.0)
+    }
+  }
 }
