@@ -144,10 +144,52 @@ object Multimodal {
       |FROM f, unnest(generate_series(0, n - 1)) t(i)
       |ORDER BY media_id, frame_no""".stripMargin
 
+  // Payload validation under the oracle gate — the ingest-time sniff
+  // every media pipeline runs before paying a decode: per kind, byte
+  // accounting plus a MAGIC-BYTE check (here: first payload byte,
+  // hex-encoded; "printable" stands in for a real per-format magic
+  // table, which would be a broadcast lookup in the same plan). All
+  // binary-side ops (binary substring, hex, octet length) — the column
+  // family the other two gates don't touch. Fixed-width uppercase hex
+  // compares lexicographically == numerically, so the printable
+  // predicate is engine-exact. One partial-agg shuffle to |kinds| rows.
+  private val validate: Q = (s, d) => {
+    import s.implicits._
+    val m = Tables.documents(s, d).select(
+      kindCol($"doc_id").as("kind"),
+      octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
+      hex(substring($"text".cast("binary"), 1, 1)).as("magic"))
+    m.groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"n_bytes").as("total_bytes"),
+        min($"n_bytes").as("min_bytes"),
+        max($"n_bytes").as("max_bytes"),
+        countDistinct($"magic").as("n_distinct_magic"),
+        sum(when($"magic" >= "20" && $"magic" <= "7E", 1L).otherwise(0L))
+          .as("n_printable"))
+      .orderBy($"kind")
+  }
+  private val validateSql =
+    """WITH m AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    substr(upper(hex(encode(text))), 1, 2) AS magic
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes,
+      |  COUNT(DISTINCT magic) AS n_distinct_magic,
+      |  CAST(SUM(CASE WHEN magic >= '20' AND magic <= '7E' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_printable
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> meta,
-    "multimodal_frames" -> frames)
+    "multimodal_frames" -> frames,
+    "multimodal_validate" -> validate)
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> metaSql,
-    "multimodal_frames" -> framesSql)
+    "multimodal_frames" -> framesSql,
+    "multimodal_validate" -> validateSql)
 }

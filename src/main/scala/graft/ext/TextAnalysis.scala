@@ -1104,7 +1104,47 @@ object TextAnalysis {
       |  doc_id
       |FROM k ORDER BY shard, pos""".stripMargin
 
+  // ------------------------------------------------ unit-level dedup
+  /** Sentence-unit duplication profile — dedup at the UNIT granularity
+    * between exact-doc and substring-span: split each doc on '. ',
+    * hash every ≥20-char unit, and report per doc how many of its
+    * units occur anywhere else in the corpus (boilerplate sentences,
+    * templated paragraphs). The unit-count derives from a COUNT window
+    * over the unit-hash exchange (the keywords lesson — no second
+    * shuffle + join), then one re-aggregate per doc: two exchanges
+    * end-to-end at any corpus size. dup_frac is one exact-int double
+    * division.
+    */
+  private val unitDedup: Q = (s, d) => {
+    import s.implicits._
+    val units = Tables.spread(Tables.documents(s, d))
+      .select($"doc_id", explode(split($"text", "\\. ")).as("u"))
+      .filter(length($"u") >= 20)
+      .select($"doc_id", md5($"u").as("uh"))
+    units
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"uh")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_units"),
+        sum(when($"n" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_units", $"n_dup",
+        ($"n_dup".cast("double") / $"n_units").as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+  private val unitDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id, md5(s) AS uh
+      |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+      |        FROM documents)
+      |  WHERE length(s) >= 20),
+      |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY uh) AS n FROM u)
+      |SELECT doc_id, COUNT(*) AS n_units,
+      |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_unit_dedup" -> unitDedup,
     "text_pipeline_e2e" -> pipelineE2e,
     "text_quality_calibrate" -> qualityCalibrate,
     "text_bpe_train" -> bpeTrain,
@@ -1130,6 +1170,7 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_unit_dedup" -> unitDedupSql,
     "text_pipeline_e2e" -> pipelineE2eSql,
     "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bpe_train" -> bpeTrainSql,
