@@ -1105,21 +1105,26 @@ object TextAnalysis {
       |FROM k ORDER BY shard, pos""".stripMargin
 
   // ------------------------------------------------ unit-level dedup
-  /** Sentence-unit duplication profile — dedup at the UNIT granularity
-    * between exact-doc and substring-span: split each doc on '. ',
-    * hash every ≥20-char unit, and report per doc how many of its
-    * units occur anywhere else in the corpus (boilerplate sentences,
-    * templated paragraphs). The unit-count derives from a COUNT window
-    * over the unit-hash exchange (the keywords lesson — no second
-    * shuffle + join), then one re-aggregate per doc: two exchanges
-    * end-to-end at any corpus size. dup_frac is one exact-int double
-    * division.
+  /** Unit-level duplication profile — dedup at the granularity between
+    * exact-doc and substring-span: each doc splits into DISJOINT
+    * 10-word blocks (the paragraph/sentence stand-in for this
+    * punctuation-free corpus; swap the block rule for a sentence
+    * splitter on real text and nothing downstream changes), and the
+    * report says per doc how many of its blocks occur anywhere else in
+    * the corpus (boilerplate, templated passages). The block-count
+    * derives from a COUNT window over the unit-hash exchange (the
+    * keywords lesson — no second shuffle + join), then one
+    * re-aggregate per doc: two exchanges end-to-end at any corpus
+    * size. dup_frac is one exact-int double division.
     */
   private val unitDedup: Q = (s, d) => {
     import s.implicits._
     val units = Tables.spread(Tables.documents(s, d))
-      .select($"doc_id", explode(split($"text", "\\. ")).as("u"))
-      .filter(length($"u") >= 20)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 10)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, cast(floor(size(ws) / 10) as int) - 1), " +
+          "b -> concat_ws(' ', slice(ws, b * 10 + 1, 10)))")).as("u"))
       .select($"doc_id", md5($"u").as("uh"))
     units
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"uh")))
@@ -1131,11 +1136,13 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
   private val unitDedupSql =
-    """WITH u AS (
-      |  SELECT doc_id, md5(s) AS uh
-      |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
-      |        FROM documents)
-      |  WHERE length(s) >= 20),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(ws[b * 10 + 1 : b * 10 + 10], ' ')) AS uh
+      |  FROM t, unnest(generate_series(0,
+      |    CAST(floor(len(ws) / 10) AS INT) - 1)) q(b)
+      |  WHERE len(ws) >= 10),
       |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY uh) AS n FROM u)
       |SELECT doc_id, COUNT(*) AS n_units,
       |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
