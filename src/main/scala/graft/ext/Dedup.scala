@@ -831,13 +831,18 @@ object Dedup {
         max($"doc_id").as("dmax"))
       .filter($"cnt".between(2, DfCap) && $"dmin" =!= $"dmax")
       .select($"h")
-    // materialize the df-capped subset ONCE for both self-join legs:
-    // the per-leg hint breaks ReuseExchange (the sourceOverlap lesson)
-    // and without it each leg re-runs the full gram pipeline. The
-    // checkpoint is the CAPPED set — bounded by DfCap × |kept hashes|,
-    // tiny by construction — never the O(total chars) gram table.
-    val g2 = grams.join(keep, "h").localCheckpoint()
-    val m = g2.as("a").hint("shuffle_hash").join(g2.as("b"), "h")
+    // The capped subset is DATA-PROPORTIONAL when the corpus actually
+    // contains duplicates (every gram of a duplicated doc qualifies),
+    // so it is NOT checkpointed — the 20× soak OOMed the heap on the
+    // materialization; recomputing the gram pipeline per leg is the
+    // scale-safe trade (map-side work, no pinned blocks). Same soak
+    // killed a forced shuffle-hash build on this join ("can't acquire
+    // memory to build hash relation") — hinted `merge`: sort-merge
+    // spills, and per-group fan-out here is df-cap-bounded, not
+    // uniform, so a hash build's per-partition footprint is unbounded
+    // in the duplicate mass (the rel_triangle_count lesson verbatim).
+    val g2 = grams.join(keep, "h")
+    val m = g2.as("a").hint("merge").join(g2.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.i").as("ai"), col("b.i").as("bi"))
