@@ -284,6 +284,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 fact shuffle, got $exchanges:\n$p")
   }
 
+  test("big orders: top-100 plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("rel_big_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("substring spans: pair join is sort-merge (spillable), never hash-built") {
+    // the 20× soak killed a forced shuffle-hash build here — per-group
+    // fan-out is duplicate-mass-driven, so the build side is unbounded
+    val p = plan("dedup_substring_spans")
+    assert(p.contains("SortMergeJoin"), s"pair join must sort-merge:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"no hash build on the pair join:\n$p")
+  }
+
+  test("rolling zscore is one window pass (single per-key exchange)") {
+    val p = plan("rel_rolling_zscore")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1, s"expected the single user_id window exchange, got $ex:\n$p")
+  }
+
   test("pq encode is a map-only kernel pass (no hash exchange, no window)") {
     // the corpus pass must be scan → PqEncodeExpr → inline; the old
     // posexplode → codebook join → aggregate → argmin-window chain
