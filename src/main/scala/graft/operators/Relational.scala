@@ -1280,6 +1280,59 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100""".stripMargin
 
+  // ------------------------------------------- sole-late suppliers (Q21)
+  /** TPC-H Q21 join SHAPE — semi AND anti join against the same fact:
+    * suppliers who were the ONLY late shipper in a multi-supplier
+    * order. (This schema carries no receipt/commit dates, so "late" is
+    * shipdate > orderdate + 90 days — the structure, not the constant,
+    * is the point.) Scale shape: the derived line table is keyed on
+    * l_orderkey for ALL THREE self-references (base, EXISTS semi,
+    * NOT-EXISTS anti) — one fact shuffle reused across the whole
+    * chain; supplier is a broadcast dim; the final top-20 is
+    * TakeOrderedAndProject. The semi/anti pair is the decorrelated
+    * form of Q21's EXISTS / NOT EXISTS — no correlated re-execution
+    * per row.
+    */
+  private val lateSuppliers: Q = (s, d) => {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate".cast("date") >
+          expr("cast(o_orderdate as date) + interval 90 day")).as("late"))
+    val base = l.filter($"late")
+    val multiSupp = base.as("l1").join(l.as("l2"),
+      col("l2.l_orderkey") === col("l1.l_orderkey") &&
+        col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
+    val soleLate = multiSupp.as("l1").join(base.as("l3"),
+      col("l3.l_orderkey") === col("l1.l_orderkey") &&
+        col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+    soleLate
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name").limit(20)
+  }
+  private val lateSuppliersSql =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(l_shipdate AS DATE) >
+      |      CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM l l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |              AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   // ----------------------------------------------------- salted join gate
   // The skew-salting operator under the oracle gate: result must be
   // EXACTLY the plain inner join (the oracle computes the plain join),
@@ -1741,6 +1794,7 @@ object Relational {
     "rel_market_share"       -> marketShare,
     "rel_product_profit"     -> productProfit,
     "rel_big_orders"         -> bigOrders,
+    "rel_late_suppliers"     -> lateSuppliers,
     "rel_heavy_hitters"      -> heavyHitters,
   )
 
@@ -1754,6 +1808,7 @@ object Relational {
     "rel_market_share"       -> marketShareSql,
     "rel_product_profit"     -> productProfitSql,
     "rel_big_orders"         -> bigOrdersSql,
+    "rel_late_suppliers"     -> lateSuppliersSql,
     "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
