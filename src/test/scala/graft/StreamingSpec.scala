@@ -471,6 +471,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState lsn monitor: state survives a checkpoint restart") {
+    import spark.implicits._
+    val in = tmp(); val ck = tmp() + "/ck"
+    val ops = randomStream(seed = 53, nKeys = 4, nOps = 24)
+    val lines = ops.map(toJson)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // memory sinks refuse checkpoint recovery — foreachBatch supports
+    // it, and it's the production sink shape anyway
+    val buf = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    def run(): Unit = {
+      import graft.streaming.Streams.KeyProgress
+      Streams.lsnMonitor(
+          Streams.currentRecords(Streams.rawFileStream(spark, in)))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[KeyProgress], _: Long) =>
+          val got = df.collect().map(k => (k.id, k.n_applied, k.max_lsn))
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    try {
+      // run 1: first half of the log, then the query STOPS
+      writeLines(in, "b0.jsonl", lines.take(12))
+      run()
+      // run 2: a FRESH query on the same checkpoint sees the second
+      // half PLUS a replay of the first — recovered RocksDB state must
+      // ignore the replayed prefix and continue counting
+      writeLines(in, "b1.jsonl", lines.drop(12) ++ lines.take(12))
+      run()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+    val expected = ops.groupBy(o => o.before.orElse(o.after).get.id)
+      .view.mapValues { es =>
+        val lsns = es.map(_.lsn).distinct
+        (lsns.length.toLong, lsns.max)
+      }.toMap
+    // last emission per key (highest max_lsn) == batch truth: every
+    // distinct LSN counted exactly once ACROSS the restart, replays
+    // ignored by the recovered state
+    val finalPerKey = buf.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    assert(finalPerKey.keySet == expected.keySet)
+    finalPerKey.foreach { case (id, (_, n, mx)) =>
+      assert((n, mx) == expected(id),
+        s"key $id: ($n, $mx) != ${expected(id)}")
+    }
+  }
+
   test("streaming funnel: per-user stage progression across micro-batches") {
     import spark.implicits._
     import graft.streaming.Streams.{FunnelEvent, FunnelProgress}
