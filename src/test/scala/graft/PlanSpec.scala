@@ -303,6 +303,13 @@ class PlanSpec extends SparkSpec {
     assert(ex == 1, s"expected the single user_id window exchange, got $ex:\n$p")
   }
 
+  test("late suppliers: EXISTS/NOT-EXISTS decorrelate to semi+anti joins") {
+    val p = plan("rel_late_suppliers")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"both subqueries must decorrelate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq encode is a map-only kernel pass (no hash exchange, no window)") {
     // the corpus pass must be scan → PqEncodeExpr → inline; the old
     // posexplode → codebook join → aggregate → argmin-window chain
