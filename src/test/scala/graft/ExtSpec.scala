@@ -788,6 +788,37 @@ class ExtSpec extends SparkSpec {
       .foreach(r => assert(!r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("unit dedup: fractions lawful, duplicated blocks exist in the fixture") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_unit_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_units"), r.getAs[Long]("n_dup"))
+      assert(n >= 1 && dup >= 0 && dup <= n)
+      assert(r.getAs[Double]("dup_frac") == dup.toDouble / n)
+    }
+    // non-degenerate: the corpus's near-dup docs share aligned blocks
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0)
+  }
+
+  test("multimodal validate: per-kind accounting consistent with the meta gate") {
+    import spark.implicits._
+    val v = SparkEntry.queries("multimodal_validate")(spark, sfDir).collect()
+    assert(v.map(_.getAs[String]("kind")).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    val metaByKind = SparkEntry.queries("multimodal_meta")(spark, sfDir)
+      .groupBy($"kind").agg(count(lit(1)).as("n"), sum($"n_bytes").as("b"))
+      .collect().map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("b"))).toMap
+    v.foreach { r =>
+      val (n, b) = metaByKind(r.getAs[String]("kind"))
+      assert(r.getAs[Long]("n_media") == n)
+      assert(r.getAs[Long]("total_bytes") == b)
+      assert(r.getAs[Long]("min_bytes") <= r.getAs[Long]("max_bytes"))
+      assert(r.getAs[Long]("n_printable") <= r.getAs[Long]("n_media"))
+    }
+  }
+
   test("mrl truncation: overlap bounded by k and identical-prefix self-consistency") {
     import spark.implicits._
     val rows = SparkEntry.queries("sim_mrl_truncate")(spark, sfDir).collect()
