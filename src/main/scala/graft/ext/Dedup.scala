@@ -735,16 +735,25 @@ object Dedup {
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("shingle"))
       .select($"source", xxhash64($"shingle").as("shash"))
-      // one materialization feeds BOTH self-join legs and the size
-      // aggregate: the per-leg shuffle_hash hint makes the two legs'
-      // subplans non-identical, so ReuseExchange can't kick in and the
-      // whole tokenize+distinct pipeline ran three times (profiled:
-      // 2×2.1 s duplicate jobs at sf0.1)
-      .distinct().localCheckpoint()
-    val sz = t.groupBy($"source").agg(count(lit(1)).as("n"))
-    val shared = t.as("a").hint("shuffle_hash").join(t.as("b"),
-        $"a.shash" === $"b.shash" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      // ONE hash aggregate to (shash → source-set) replaces r7's
+      // distinct + two-leg shuffle_hash self-join: collect_set is
+      // bounded by #sources (a small constant per the scale note
+      // above), dedups (source, shash) in-buffer, and the a<b pairs
+      // expand in-group — no join anywhere on the shingle axis. The
+      // materialization survives because the set table feeds both the
+      // size aggregate and the pair counts, and it is SMALLER than the
+      // r7 exploded-distinct table (one row per distinct shingle).
+      .groupBy($"shash").agg(collect_set($"source").as("ss"))
+      .localCheckpoint()
+    val sz = t.select(explode($"ss").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = t.filter(size($"ss") >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, x ->
+          |  transform(filter(ss, y -> y > x),
+          |    y -> struct(x as source_a, y as source_b))))""".stripMargin))
+        .as("p"))
+      .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
       .agg(count(lit(1)).as("shared_shingles"))
     shared
       .join(broadcast(sz.withColumnRenamed("source", "source_a")
@@ -809,44 +818,35 @@ object Dedup {
     val MinSpan = 30
     val DfCap = 64
     // length guard: sequence(1, n) goes descending for n < 1 (winnow's
-    // same trap); the oracle's generate_series is simply empty
-    // engine-side key: the md5 prefix CONVERTED to its 64-bit integer
-    // image (conv is injective on 8 hex chars → equality semantics are
-    // EXACTLY the oracle's string equality, but every downstream
-    // shuffle/aggregate/join keys on a fixed-width long instead of an
-    // 8-char string)
+    // same trap); the oracle's generate_series is simply empty.
+    // Engine-side key: xxhash64 of the gram, NOT the oracle's md5
+    // prefix — the output rows depend on the hash only through
+    // EQUALITY, and a 64-bit collision regime is identical either way
+    // (a stray collision makes a 20-char pseudo-run, filtered by the
+    // ≥30 span floor; changing the output needs ≥11 consecutive
+    // collisions). xxhash64 is one codegen'd pass vs md5's digest +
+    // hex + conv, and this pipeline is the query's dominant map cost.
     val grams = spread(Tables.documents(s, d))
       .filter(length($"text") >= K)
       .select($"doc_id", $"text",
         explode(expr(s"sequence(1, length(text) - ${K - 1})")).as("i"))
-      .select($"doc_id", $"i",
-        expr(s"cast(conv(substring(md5(substr(text, i, $K)), 1, 8), 16, 10) as bigint)")
-          .as("h"))
-    // df-cap probe: COUNT(DISTINCT doc_id) >= 2 plans an Expand that
-    // doubles the gram-table shuffle; "at least two distinct docs" is
-    // equivalently MIN(doc_id) <> MAX(doc_id) — plain partial-agg
-    // columns, one un-expanded pass (profiled 3.6 s → sub-second)
-    val keep = grams.groupBy($"h")
-      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("dmin"),
-        max($"doc_id").as("dmax"))
-      .filter($"cnt".between(2, DfCap) && $"dmin" =!= $"dmax")
-      .select($"h")
-    // The capped subset is DATA-PROPORTIONAL when the corpus actually
-    // contains duplicates (every gram of a duplicated doc qualifies),
-    // so it is NOT checkpointed — the 20× soak OOMed the heap on the
-    // materialization; recomputing the gram pipeline per leg is the
-    // scale-safe trade (map-side work, no pinned blocks). Same soak
-    // killed a forced shuffle-hash build on this join ("can't acquire
-    // memory to build hash relation") — hinted `merge`: sort-merge
-    // spills, and per-group fan-out here is df-cap-bounded, not
-    // uniform, so a hash build's per-partition footprint is unbounded
-    // in the duplicate mass (the rel_triangle_count lesson verbatim).
-    val g2 = grams.join(keep, "h")
-    val m = g2.as("a").hint("merge").join(g2.as("b"), "h")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.i").as("ai"), col("b.i").as("bi"))
-      .distinct()
+      .select($"doc_id", $"i", xxhash64(expr(s"substr(text, i, $K)")).as("h"))
+    // ONE shuffle for probe + pair generation: the df-cap lives inside
+    // [[graft.functions.CappedPairs]]'s aggregation buffer (saturates
+    // at cap+1 rows — no unbounded group can exist at any corpus
+    // size), and `finish` emits the a<b cross-doc pairs directly. The
+    // r7 shape paid a df-probe aggregate PLUS a two-leg sort-merge
+    // self-join plus a distinct exchange (three corpus-sized exchanges,
+    // three runs of the gram map pipeline); this is one gram pass and
+    // one gram-sized exchange. Per-pair rows are unique by
+    // construction ((doc, i) determines h). The 20× soak lesson
+    // stands: nothing is checkpointed, no hash relation is built over
+    // duplicate-mass-driven fan-out.
+    val cappedPairs = udaf(new graft.functions.CappedPairs(DfCap))
+    val m = grams.groupBy($"h")
+      .agg(cappedPairs($"doc_id", $"i").as("pairs"))
+      .select(explode($"pairs").as("p"))
+      .select($"p.a_id", $"p.b_id", $"p.ai", $"p.bi")
     val runs = m
       .withColumn("diag", $"ai" - $"bi")
       .withColumn("grp", $"ai" - row_number().over(

@@ -713,17 +713,27 @@ object TextAnalysis {
   // of the bigram, so the big shuffle carries (doc_id, hash) — no text.
   private val lmScore: Q = (s, d) => {
     import s.implicits._
+    // Bigrams leave the map stage as two 8-byte hashes — the full
+    // bigram (bh) and its w1 prefix (w1h) — so the LM aggregate
+    // shuffles fixed-width longs, not bigram STRINGS (r7 grouped on
+    // `big` itself; the string exchange was the query's largest). w1h
+    // rides along per distinct bh (max = any: it's functionally
+    // determined by bh), so the prefix-denominator window never needs
+    // the text either. 64-bit collision caveat as everywhere in this
+    // file: a collision perturbs one count, never the schema.
     val bg = Tables.spread(Tables.documents(s, d))
       .select($"doc_id", toks($"text").as("ws"))
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ws)-1), " +
-          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1)))")).as("big"))
-    val lm = bg.groupBy($"big").agg(count(lit(1)).as("c"))
-      .withColumn("cw",
-        sum($"c").over(Window.partitionBy(expr("split_part(big, ' ', 1)"))))
-      .select(xxhash64($"big").as("bh"), expr("c * 1000000 div cw").as("p6"))
-    bg.select($"doc_id", xxhash64($"big").as("bh"))
+          "i -> struct(xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1))) as bh, " +
+          "            xxhash64(element_at(ws,i)) as w1h))")).as("b"))
+      .select($"doc_id", $"b.bh".as("bh"), $"b.w1h".as("w1h"))
+    val lm = bg.groupBy($"bh")
+      .agg(count(lit(1)).as("c"), max($"w1h").as("w1h"))
+      .withColumn("cw", sum($"c").over(Window.partitionBy($"w1h")))
+      .select($"bh", expr("c * 1000000 div cw").as("p6"))
+    bg.select($"doc_id", $"bh")
       .join(lm, "bh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"p6").as("sum_p6"))
@@ -1007,9 +1017,12 @@ object TextAnalysis {
       val cnt = best.getLong(2)
       rules += ((k, bl, br, cnt))
       // vocab-sized map + checkpoint: keeps the next iteration's plan
-      // flat instead of nesting K folds
-      words = words.select(expr(bpeMergeExpr(bl, br)).as("syms"), $"freq")
-        .localCheckpoint()
+      // flat instead of nesting K folds. The LAST merge's vocab has no
+      // reader — localCheckpoint is eager, so building it was a whole
+      // wasted job.
+      if (k < BpeMerges)
+        words = words.select(expr(bpeMergeExpr(bl, br)).as("syms"), $"freq")
+          .localCheckpoint()
     }
     rules.result().toDF("merge_rank", "lsym", "rsym", "pair_count")
       .orderBy($"merge_rank")

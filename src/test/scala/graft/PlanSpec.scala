@@ -289,12 +289,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("substring spans: pair join is sort-merge (spillable), never hash-built") {
-    // the 20× soak killed a forced shuffle-hash build here — per-group
-    // fan-out is duplicate-mass-driven, so the build side is unbounded
+  test("substring spans: one capped-pairs aggregate — no join, no distinct") {
+    // r8 shape: the df-cap probe, the keep join, and the pair
+    // expansion all fold into ONE CappedPairs aggregate whose buffer
+    // saturates at cap+1 rows — a single gram-sized exchange, no
+    // unbounded group at any corpus size. The r7 two-leg sort-merge
+    // self-join and its distinct exchange are gone; the r6 20× soak
+    // lesson (never a hash build over duplicate-mass-driven fan-out)
+    // holds trivially because there is no pair join at all.
     val p = plan("dedup_substring_spans")
-    assert(p.contains("SortMergeJoin"), s"pair join must sort-merge:\n$p")
-    assert(!p.contains("ShuffledHashJoin"), s"no hash build on the pair join:\n$p")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).length
+    assert(joins == 0, s"span pair generation must be join-free, got $joins:\n$p")
+    assert(p.contains("cappedpairs") || p.contains("CappedPairs"),
+      s"the capped-pairs aggregate must drive the plan:\n$p")
   }
 
   test("rolling zscore is one window pass (single per-key exchange)") {
