@@ -408,28 +408,55 @@ object TextAnalysis {
   // bigram occurrences that are duplicates, and the fraction of
   // 5-gram occurrences that are duplicates — the signals that catch
   // boilerplate/looping text which length and stopword gates miss.
-  // Two explode+count passes (2-grams, 5-grams) joined on doc_id; all
-  // fractions are double-of-exact-ints, engine-identical.
-  private def docNgrams(base: DataFrame, n: Int): DataFrame =
-    base.filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws)-${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+  // Every statistic is WITHIN one document, so the whole operator is a
+  // per-row ARRAY kernel: sort the doc's n-gram array once, then read
+  // run lengths off the sorted array — max run = top count, non-
+  // singleton mass = duplicate occurrences. Zero exchanges at any
+  // corpus size (r7 exploded to (doc_id, gram) rows and paid two
+  // string-keyed aggregate shuffles plus a join for numbers that never
+  // left the row). Sort order only delimits runs; counts are
+  // order-free, so no cross-engine collation dependence. The n<2 guard
+  // doubles as the sequence(2, n) descending trap guard.
+  private def sortedNgrams(n: Int): String =
+    s"array_sort(transform(sequence(1, size(ws)-${n - 1}), " +
+      s"i -> concat_ws(' ', slice(ws, i, $n))))"
+  /** (top-run length, duplicated-occurrence count) over a pre-sorted
+    * gram array column `c`. */
+  private def runStats(c: String): (String, String) = {
+    val top =
+      s"""IF(size($c) < 2, size($c), aggregate(sequence(2, size($c)),
+         |  struct(1 as run, 1 as best),
+         |  (acc, i) -> IF(element_at($c, i) = element_at($c, i-1),
+         |    struct(acc.run + 1 as run,
+         |           greatest(acc.best, acc.run + 1) as best),
+         |    struct(1 as run, acc.best as best)),
+         |  acc -> acc.best))""".stripMargin
+    val dup =
+      s"""IF(size($c) = 0, 0,
+         |  size($c) - size(filter(sequence(1, size($c)), i ->
+         |    (i = 1 OR element_at($c, i) <> element_at($c, i-1)) AND
+         |    (i = size($c) OR element_at($c, i) <> element_at($c, i+1)))))""".stripMargin
+    (top, dup)
+  }
   private val repetition: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.spread(Tables.documents(s, d)).select($"doc_id", split($"text", " ").as("ws"))
-    val a2 = docNgrams(base, 2).groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_bigrams"), max($"cnt").as("top_bigram_count"),
-        sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("dup2"))
-    val a5 = docNgrams(base, 5).groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_5grams"),
-        sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("dup5"))
-    a2.join(a5, Seq("doc_id"), "left")
+    val (top2, dup2) = runStats("s2")
+    val (_, dup5) = runStats("s5")
+    Tables.spread(Tables.documents(s, d))
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .withColumn("s2", expr(sortedNgrams(2)))
+      .withColumn("s5", expr(s"IF(size(ws) >= 5, ${sortedNgrams(5)}, array())"))
+      .select($"doc_id",
+        size($"s2").cast("long").as("n_bigrams"),
+        expr(top2).cast("long").as("top_bigram_count"),
+        expr(dup2).cast("long").as("d2"),
+        size($"s5").cast("long").as("n5"),
+        expr(dup5).cast("long").as("d5"))
       .select($"doc_id", $"n_bigrams", $"top_bigram_count",
         ($"top_bigram_count".cast("double") / $"n_bigrams").as("top_bigram_frac"),
-        ($"dup2".cast("double") / $"n_bigrams").as("dup_bigram_frac"),
-        (coalesce($"dup5", lit(0L)).cast("double") / coalesce($"n_5grams", lit(1L)))
-          .as("dup_5gram_frac"))
+        ($"d2".cast("double") / $"n_bigrams").as("dup_bigram_frac"),
+        ($"d5".cast("double") / greatest($"n5", lit(1L))).as("dup_5gram_frac"))
       .withColumn("passes_repetition",
         $"top_bigram_frac" <= 0.05 && $"dup_5gram_frac" <= 0.30)
       .orderBy($"doc_id")
@@ -1138,7 +1165,10 @@ object TextAnalysis {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, cast(floor(size(ws) / 10) as int) - 1), " +
           "b -> concat_ws(' ', slice(ws, b * 10 + 1, 10)))")).as("u"))
-      .select($"doc_id", md5($"u").as("uh"))
+      // the hash only ever feeds COUNT-equality — xxhash64 keeps the
+      // window exchange at 8 bytes/unit where md5 shipped a 32-char
+      // digest string (usual 64-bit collision caveat)
+      .select($"doc_id", xxhash64($"u").as("uh"))
     units
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"uh")))
       .groupBy($"doc_id")
