@@ -19,7 +19,8 @@ object SparkEntry {
       scd2.Scd2Queries.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++
-      ext.Embeddings.queries ++ sources.Federated.queries
+      ext.Embeddings.queries ++ sources.Federated.queries ++
+      sources.FileFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       scd2.Scd2Queries.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
       ext.Similarity.oracles ++ ext.Multimodal.oracles ++
-      ext.Embeddings.oracles ++ sources.Federated.oracles
+      ext.Embeddings.oracles ++ sources.Federated.oracles ++
+      sources.FileFormats.oracles
 }

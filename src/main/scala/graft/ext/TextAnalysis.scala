@@ -1193,7 +1193,125 @@ object TextAnalysis {
       |    AS DOUBLE) / COUNT(*) AS dup_frac
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ BM25 scoring
+  /** BM25 retrieval scoring of the corpus against a fixed 3-term query
+    * — the relevance-scoring primitive of retrieval-augmented data
+    * curation. EVERYTHING stays on the exact integer grid: the idf
+    * ratio (N−df+½)/(df+½) becomes the exact rational
+    * (2N−2df+1)/(2df+1) in ppm, and the tf saturation
+    * tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 clears its
+    * denominators to 22·tf·D / (10·tf·D + 3·D + 9·dl·N) in ppm (D =
+    * corpus tokens, N = docs — avgdl never materializes as a float).
+    * No log, no double, no cross-engine drift; the monotone-in-BM25
+    * integer score is the gate. Scale shape: per-doc tf/dl are pure
+    * array maps (no explode); corpus stats collapse to ONE broadcast
+    * row; top-50 is TakeOrderedAndProject. Magnitude audit: idf_ppm ≤
+    * 2N·10⁶ and sat_ppm ≤ 2.2·10⁶, so each term product ≤ 4.4·10¹²·N —
+    * BIGINT-safe through petabyte corpora. */
+  private val bm25Terms = Seq("join", "hash", "scan")
+  private val bm25: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.spread(Tables.documents(s, d))
+      .select($"doc_id", toks($"text").as("ws"))
+      .select(($"doc_id" +: size($"ws").cast("long").as("dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          expr(s"cast(size(filter(ws, w -> w = '$t')) as long)").as(s"tf$i")
+        }): _*)
+    val statCols = count(lit(1)).as("nn") +: sum($"dl").as("dd") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = bm25Terms.indices.map { i =>
+      val idf = expr(s"(2*nn - 2*df$i + 1) * 1000000L div (2*df$i + 1)")
+      val sat = expr(s"22 * tf$i * dd * 1000000L div " +
+        s"(10 * tf$i * dd + 3 * dd + 9 * dl * nn)")
+      when(col(s"tf$i") > 0, idf * sat).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl".as("n_tokens"), score.as("bm25_x"))
+      .filter($"bm25_x" > 0)
+      .orderBy($"bm25_x".desc, $"doc_id")
+      .limit(50)
+  }
+  private val bm25Sql = {
+    val terms = bm25Terms.zipWithIndex
+    val tfCols = terms.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.map { case (_, i) =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i" }.mkString(", ")
+    val scoreSum = terms.map { case (_, i) =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |  ((2*nn - 2*df$i + 1) * 1000000 // (2*df$i + 1))
+         |  * (22 * tf$i * dd * 1000000 // (10 * tf$i * dd + 3 * dd + 9 * dl * nn))
+         |ELSE 0 END""".stripMargin }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl, $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS nn, SUM(dl) AS dd, $dfCols FROM base)
+       |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       |  CAST($scoreSum AS BIGINT) AS bm25_x
+       |FROM base, stats
+       |WHERE $scoreSum > 0
+       |ORDER BY bm25_x DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  // ------------------------------------------------- PMI collocations
+  /** Collocation mining — the corpus-dictionary step (phrase detection
+    * à la word2vec's phrase pass): rank bigrams by lift = P(ab) /
+    * (P(a)·P(b)), the exact monotone image of PMI, computed as
+    * c_ab·T·10⁶ div (c_a·c_b) on the integer grid (no log, no float).
+    * Scale shape: one unigram aggregate and one bigram aggregate (both
+    * map-side combined, vocab-sized outputs — the corpus never joins
+    * anything); the ≥5-occurrence floor prunes the bigram table BEFORE
+    * its two word-keyed joins against the unigram counts; top-30 is
+    * TakeOrderedAndProject. Word-keyed joins shuffle vocab-sized
+    * tables only — at 100 TB that is millions of rows, not billions. */
+  private val collocations: Q = (s, d) => {
+    import s.implicits._
+    val ws = Tables.spread(Tables.documents(s, d))
+      .select($"doc_id", toks($"text").as("ws"))
+    val uni = ws.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val bg = ws.filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws,i) as w1, element_at(ws,i+1) as w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+    val tot = bg.agg(sum($"cab").as("t"))
+    bg.filter($"cab" >= 5)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"cab",
+        expr("cab * t * 1000000L div (ca * cb)").as("lift_ppm"))
+      .orderBy($"lift_ppm".desc, $"w1", $"w2")
+      .limit(30)
+  }
+  private val collocationsSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw
+      |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS cab
+      |  FROM tok, unnest(generate_series(1, len(ws)-1)) u(i)
+      |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+      |tot AS (SELECT SUM(cab) AS t FROM bg)
+      |SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+      |  CAST(cab * t * 1000000 // (ca * cb) AS BIGINT) AS lift_ppm
+      |FROM bg
+      |JOIN (SELECT w AS w1, cw AS ca FROM uni) USING (w1)
+      |JOIN (SELECT w AS w2, cw AS cb FROM uni) USING (w2)
+      |CROSS JOIN tot
+      |WHERE cab >= 5
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_bm25"          -> bm25,
+    "text_collocations"  -> collocations,
     "text_unit_dedup" -> unitDedup,
     "text_pipeline_e2e" -> pipelineE2e,
     "text_quality_calibrate" -> qualityCalibrate,
@@ -1220,6 +1338,8 @@ object TextAnalysis {
     "text_keywords" -> keywords)
 
   val oracles: Map[String, String] = Map(
+    "text_bm25"          -> bm25Sql,
+    "text_collocations"  -> collocationsSql,
     "text_unit_dedup" -> unitDedupSql,
     "text_pipeline_e2e" -> pipelineE2eSql,
     "text_quality_calibrate" -> qualityCalibrateSql,

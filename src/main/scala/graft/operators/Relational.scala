@@ -1739,7 +1739,153 @@ object Relational {
       |       (SELECT COUNT(*) FROM w) AS n_wedges,
       |       (SELECT n_triangles FROM t) AS n_triangles""".stripMargin
 
+  // ------------------------------------------- min-cost supplier (Q2)
+  /** TPC-H Q2 SHAPE — the correlated "supplier with the minimum supply
+    * cost per part, within a region" lookup. This schema carries no
+    * partsupp, so supply cost derives from lineitem: exact DECIMAL MIN
+    * of l_extendedprice per (part, supplier) — the structure (fact
+    * aggregate → region-filtered dim join → per-part correlated min →
+    * top-100), not the constant, is the point. Scale shape: ONE fact
+    * shuffle builds the (part, supplier) cost table; the correlated
+    * subquery decorrelates to a per-part window MIN over the
+    * already-aggregated (much smaller) cost table; supplier/nation/
+    * region and the filtered part dim all broadcast; top-100 is
+    * TakeOrderedAndProject. Fully deterministic: DECIMAL cost, total
+    * tiebreak order. */
+  private val minCostSupplier: Q = (s, d) => {
+    import s.implicits._
+    val cost = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey", dec($"l_extendedprice").as("p"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"p").as("cost"))
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    cost.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+      .withColumn("min_cost",
+        min($"cost").over(Window.partitionBy($"l_partkey")))
+      .filter($"cost" === $"min_cost")
+      .join(broadcast(Tables.part(s, d)
+          .filter($"p_type" === "PROMO" && $"p_size".between(10, 20))
+          .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+        $"cost".cast("double").as("cost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+  private val minCostSupplierSql =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'),
+      |b AS (
+      |  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+      |  FROM cost JOIN eu ON l_suppkey = s_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  CAST(cost AS DOUBLE) AS cost
+      |FROM b JOIN part ON l_partkey = p_partkey
+      |WHERE cost = min_cost AND p_type = 'PROMO' AND p_size BETWEEN 10 AND 20
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------- top supplier (Q15)
+  /** TPC-H Q15 SHAPE — the "revenue view + suppliers matching its MAX"
+    * query. Scale shape: one map-side-combined fact aggregate to a
+    * supplier-sized revenue table; the MAX is a 1-row scalar aggregate
+    * broadcast back via crossJoin (never a single-reducer global
+    * window — the revenue table is supplier-count-sized and a
+    * Window.partitionBy() would funnel it through one task); supplier
+    * names broadcast. DECIMAL revenue → the = MAX equality is exact on
+    * both engines. */
+  private val topSupplier: Q = (s, d) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+      .select($"l_suppkey", (dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("r"))
+      .groupBy($"l_suppkey").agg(sum($"r").as("total_rev"))
+    val mx = rev.agg(max($"total_rev").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_rev" === $"mx")
+      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+  private val topSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -------------------------------------------- idle customers (Q22)
+  /** TPC-H Q22 SHAPE — "rich customers in selected country codes with
+    * no orders": a global scalar average, an above-average filter, and
+    * a NOT EXISTS decorrelated to an anti join. This schema has no
+    * phone column, so the country code is a nationkey residue — shape
+    * over constant, as with Q21. The above-average comparison runs as
+    * exact cross-multiplication (bal·cnt > total, all DECIMAL/BIGINT)
+    * instead of comparing against a floating AVG — engines never see a
+    * float until the output cast. Scale shape: the customer scan
+    * aggregates to ONE stats row broadcast back; the anti join
+    * shuffles only code-filtered above-average customers against the
+    * orders key column. */
+  private val idleCustomers: Q = (s, d) => {
+    import s.implicits._
+    val cands = Tables.customer(s, d)
+      .withColumn("code", pmod($"c_nationkey", lit(7)).cast("int"))
+      .filter($"code".isin(1, 3, 5))
+      .select($"c_custkey", $"code", dec($"c_acctbal").as("bal"))
+    val stats = cands.filter($"bal" > 0)
+      .agg(sum($"bal").as("tot"), count(lit(1)).as("cnt"))
+    cands.crossJoin(broadcast(stats))
+      .filter($"bal" * $"cnt" > $"tot")
+      // "no RECENT orders" (this dense fixture gives every customer
+      // some order; Q22's NOT EXISTS stays non-degenerate under a
+      // recency cut, and the date predicate pushes to the orders scan)
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("2000-06-01 00:00:00").cast("timestamp_ntz"))
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"code")
+      .agg(count(lit(1)).as("numcust"), sum($"bal").cast("double").as("totacctbal"))
+      .orderBy($"code")
+  }
+  private val idleCustomersSql =
+    """WITH cands AS (
+      |  SELECT c_custkey, CAST(c_nationkey % 7 AS INT) AS code,
+      |    CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+      |  FROM customer WHERE c_nationkey % 7 IN (1, 3, 5)),
+      |stats AS (
+      |  SELECT SUM(bal) AS tot, COUNT(*) AS cnt FROM cands WHERE bal > 0)
+      |SELECT code, COUNT(*) AS numcust,
+      |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      |FROM cands, stats
+      |WHERE bal * cnt > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+      |GROUP BY code ORDER BY code""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rel_min_cost_supplier"  -> minCostSupplier,
+    "rel_top_supplier"       -> topSupplier,
+    "rel_idle_customers"     -> idleCustomers,
     "rel_window_range"       -> windowRange,
     "rel_gapfill"            -> gapfill,
     "rel_rolling_zscore"     -> rollingZscore,
@@ -1799,6 +1945,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_min_cost_supplier"  -> minCostSupplierSql,
+    "rel_top_supplier"       -> topSupplierSql,
+    "rel_idle_customers"     -> idleCustomersSql,
     "rel_window_range"       -> windowRangeSql,
     "rel_gapfill"            -> gapfillSql,
     "rel_rolling_zscore"     -> rollingZscoreSql,

@@ -311,6 +311,44 @@ class PlanSpec extends SparkSpec {
     assert(ex == 1, s"expected the single user_id window exchange, got $ex:\n$p")
   }
 
+  test("min-cost supplier: dims broadcast, correlated min is a post-agg window") {
+    // Q2 shape: the only fact-sized exchange is the (part, supplier)
+    // cost aggregate; region-filtered supplier and the part dim ride
+    // broadcasts, and the per-part min runs over the aggregated table
+    val p = plan("rel_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"supplier + part dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+  }
+
+  test("top supplier: MAX is a broadcast scalar, never a global window") {
+    val p = plan("rel_top_supplier")
+    assert(!p.contains("Window"), s"rev=MAX must not window the revenue table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row MAX must broadcast back:\n$p")
+  }
+
+  test("idle customers: NOT EXISTS is an anti join with the date pushed down") {
+    val p = plan("rel_idle_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recency predicate must reach the orders scan:\n$p")
+  }
+
+  test("bm25 and collocations: integer-grid top-k via TakeOrdered") {
+    assert(plan("text_bm25").contains("TakeOrderedAndProject"))
+    assert(plan("text_collocations").contains("TakeOrderedAndProject"))
+  }
+
+  test("file-format lanes scan csv/json/orc, not parquet") {
+    assert(plan("src_csv_json").toLowerCase.contains("filescan csv"),
+      "supplier must come through the CSV lane")
+    assert(plan("src_csv_json").toLowerCase.contains("filescan json"),
+      "nation must come through the JSON lane")
+    assert(plan("src_orc_scan").toLowerCase.contains("filescan orc"),
+      "lineitem must come through the ORC lane")
+  }
+
   test("late suppliers: EXISTS/NOT-EXISTS decorrelate to semi+anti joins") {
     val p = plan("rel_late_suppliers")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
