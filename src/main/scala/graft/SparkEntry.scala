@@ -20,7 +20,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++
       ext.Embeddings.queries ++ sources.Federated.queries ++
-      sources.FileFormats.queries
+      sources.FileFormats.queries ++ streaming.StreamGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
       ext.Similarity.oracles ++ ext.Multimodal.oracles ++
       ext.Embeddings.oracles ++ sources.Federated.oracles ++
-      sources.FileFormats.oracles
+      sources.FileFormats.oracles ++ streaming.StreamGate.oracles
 }

@@ -1018,7 +1018,10 @@ object TextAnalysis {
        |      slice(split(acc, ' '), 1, size(split(acc, ' ')) - 1), array($ms)))
        |    ELSE concat(acc, ' ', x) END)""".stripMargin
   }
-  private val bpeTrain: Q = (s, d) => {
+  /** The learned merge rules (rank, l, r, freq-weighted pair count) —
+    * the shared trainer behind `text_bpe_train` (reports the rules)
+    * and `text_bpe_encode` (applies them to the corpus). */
+  private def bpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     import s.implicits._
     // the single corpus-sized pass: word → corpus frequency
     var words = Tables.spread(Tables.documents(s, d))
@@ -1051,7 +1054,11 @@ object TextAnalysis {
         words = words.select(expr(bpeMergeExpr(bl, br)).as("syms"), $"freq")
           .localCheckpoint()
     }
-    rules.result().toDF("merge_rank", "lsym", "rsym", "pair_count")
+    rules.result()
+  }
+  private val bpeTrain: Q = (s, d) => {
+    import s.implicits._
+    bpeRules(s, d).toDF("merge_rank", "lsym", "rsym", "pair_count")
       .orderBy($"merge_rank")
   }
   private val bpeTrainSql = {
@@ -1094,6 +1101,75 @@ object TextAnalysis {
        |  UNION ALL
        |  SELECT 3, l, r, cnt FROM b3)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  // ----------------------------------------------------- BPE encoding
+  /** Tokenizer APPLICATION — the train→apply composition every
+    * pretraining pipeline runs after `text_bpe_train`: learn the merge
+    * rules, encode the corpus, report per-doc BPE token counts (the
+    * numbers that drive packing, pricing, and mixture weighting).
+    * Scale shape: the rules re-derive from the vocab-sized trainer
+    * (driver-side scalars, 3 rows); encoding runs ONCE PER DISTINCT
+    * WORD — a vocab-sized column fold, never a per-occurrence fold —
+    * and occurrences join the encoded lengths on the word key (one
+    * corpus-sized shuffle keyed on the word). The DuckDB oracle
+    * replays the identical trainer and fold, so the gate pins the
+    * whole train→apply pipeline end-to-end. */
+  private val bpeEncode: Q = (s, d) => {
+    import s.implicits._
+    val rules = bpeRules(s, d)
+    val occ = Tables.spread(Tables.documents(s, d))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    var enc = occ.select($"w").distinct()
+      .select($"w", concat_ws(" ",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("syms"))
+    rules.foreach { case (_, bl, br, _) =>
+      enc = enc.select($"w", expr(bpeMergeExpr(bl, br)).as("syms")) }
+    occ.join(enc.select($"w",
+        size(split($"syms", " ")).cast("long").as("n_syms")), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val bpeEncodeSql = {
+    def pairsOf(w: String) =
+      s"""(SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r, freq
+         |   FROM (SELECT string_split(syms, ' ') AS a, freq FROM $w) t,
+         |        unnest(range(1, len(a))) u(i)
+         |   WHERE len(a) >= 2)""".stripMargin
+    def bestOf(p: String) =
+      s"""(SELECT l, r FROM $p x
+         |   GROUP BY l, r ORDER BY SUM(freq) DESC, l, r LIMIT 1)""".stripMargin
+    def mergeOf(w: String, b: String) =
+      s"""(SELECT w, list_reduce(string_split(syms, ' '), (acc, x) -> CASE
+         |     WHEN string_split(acc, ' ')[-1] = $b.l AND x = $b.r
+         |     THEN array_to_string(list_concat(
+         |       list_slice(string_split(acc, ' '), 1, len(string_split(acc, ' ')) - 1),
+         |       [$b.l || $b.r]), ' ')
+         |     ELSE acc || ' ' || x END) AS syms, freq
+         |   FROM $w CROSS JOIN $b)""".stripMargin
+    s"""WITH occ AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |wf AS (SELECT w, COUNT(*) AS freq FROM occ GROUP BY w),
+       |w0 AS (
+       |  SELECT w, array_to_string(list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS syms, freq
+       |  FROM wf),
+       |b1 AS ${bestOf(pairsOf("w0"))},
+       |w1 AS ${mergeOf("w0", "b1")},
+       |b2 AS ${bestOf(pairsOf("w1"))},
+       |w2 AS ${mergeOf("w1", "b2")},
+       |b3 AS ${bestOf(pairsOf("w2"))},
+       |w3 AS ${mergeOf("w2", "b3")},
+       |enc AS (SELECT w, len(string_split(syms, ' ')) AS n_syms FROM w3)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM occ JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------- global shuffle/shard
@@ -1312,6 +1388,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_bm25"          -> bm25,
     "text_collocations"  -> collocations,
+    "text_bpe_encode"    -> bpeEncode,
     "text_unit_dedup" -> unitDedup,
     "text_pipeline_e2e" -> pipelineE2e,
     "text_quality_calibrate" -> qualityCalibrate,
@@ -1340,6 +1417,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bm25"          -> bm25Sql,
     "text_collocations"  -> collocationsSql,
+    "text_bpe_encode"    -> bpeEncodeSql,
     "text_unit_dedup" -> unitDedupSql,
     "text_pipeline_e2e" -> pipelineE2eSql,
     "text_quality_calibrate" -> qualityCalibrateSql,
