@@ -85,6 +85,49 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  // ------------------------------------------------------ CappedPairs
+  private val docPosGen: Gen[(Long, Long)] = for {
+    d <- Gen.chooseNum(0L, 6L)   // few docs → real collisions per group
+    i <- Gen.chooseNum(1L, 40L)
+  } yield (d, i)
+
+  /** Reference semantics: the relational probe + join + pair expansion
+    * the aggregate replaced — keep iff 2 ≤ n ≤ cap, emit every
+    * cross-doc a<b occurrence pair. */
+  private def refPairs(xs: List[(Long, Long)], cap: Int) = {
+    if (xs.length < 2 || xs.length > cap) Set.empty[(Long, Long, Long, Long)]
+    else (for {
+      x <- xs; y <- xs; if x._1 < y._1
+    } yield (x._1, y._1, x._2, y._2)).toSet
+  }
+
+  test("CappedPairs: any split/merge order matches the relational reference") {
+    import graft.functions.CappedPairs
+    check(Prop.forAll(Gen.listOf(docPosGen), Gen.chooseNum(2, 10)) {
+      (xs: List[(Long, Long)], cap: Int) =>
+        val agg = new CappedPairs(cap)
+        val (a, rest) = xs.splitAt(xs.length / 3)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        def reduceAll(part: List[(Long, Long)]) =
+          part.foldLeft(agg.zero)(agg.reduce)
+        val merged = agg.merge(agg.merge(reduceAll(a), reduceAll(b)), reduceAll(c))
+        val got = agg.finish(merged)
+          .map(p => (p.a_id, p.b_id, p.ai, p.bi)).toSet
+        got == refPairs(xs, cap)
+    })
+  }
+
+  test("CappedPairs: buffer never exceeds 2(cap+1) longs under any growth") {
+    import graft.functions.CappedPairs
+    check(Prop.forAll(Gen.listOf(docPosGen), Gen.chooseNum(2, 6)) {
+      (xs: List[(Long, Long)], cap: Int) =>
+        val agg = new CappedPairs(cap)
+        val buf = xs.foldLeft(agg.zero)(agg.reduce)
+        val doubled = agg.merge(buf, buf)
+        buf.length <= 2 * (cap + 1) && doubled.length <= 2 * (cap + 1)
+    })
+  }
+
   test("LongSquaredDistance: eval ≡ codegen ≡ reference; ragged → null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
