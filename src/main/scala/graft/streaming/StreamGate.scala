@@ -60,6 +60,45 @@ object StreamGate {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  val queries: Map[String, Q] = Map("stream_event_rollup" -> eventRollup)
-  val oracles: Map[String, String] = Map("stream_event_rollup" -> eventRollupSql)
+  /** Streaming STATEFUL DEDUP under the gate: the events source
+    * replayed with every row duplicated (union of two readStream lanes
+    * — a two-source replay, the at-least-once delivery model),
+    * `dropDuplicates` on the key collapsing them back, then the same
+    * rollup. The oracle sees plain exactly-once SQL — the gate pins
+    * that streaming dedup state actually delivers exactly-once
+    * semantics over a duplicated feed, not just that the query runs.
+    * Scale: dropDuplicates state is keyed storage; production bounds
+    * it with a watermark (dropDuplicatesWithinWatermark — the
+    * Streams.dedupedIngest lane, spec-covered); bounded AvailableNow
+    * replay keeps the unbounded variant exact here. */
+  private val dedupRollup: Q = (s, d) => {
+    val sink = s"stream_dedup_${ctr.incrementAndGet()}"
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    def lane = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val deduped = lane.unionByName(lane)
+      .dropDuplicates("event_id")
+    val q = deduped
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_event_rollup" -> eventRollup,
+    "stream_dedup_rollup" -> dedupRollup)
+  val oracles: Map[String, String] = Map(
+    "stream_event_rollup" -> eventRollupSql,
+    "stream_dedup_rollup" -> eventRollupSql)
 }
