@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.SqlSurface.queries ++
+    operators.Relational.queries ++ operators.Tpch.queries ++
+      operators.SqlSurface.queries ++
       scd2.Scd2Queries.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++
@@ -25,7 +26,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.SqlSurface.oracles ++
+    operators.Relational.oracles ++ operators.Tpch.oracles ++
+      operators.SqlSurface.oracles ++
       scd2.Scd2Queries.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
       ext.Similarity.oracles ++ ext.Multimodal.oracles ++

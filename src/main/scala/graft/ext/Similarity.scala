@@ -665,6 +665,121 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- IVF-PQ fused search
+  /** IVF + PQ/ADC fused — the fifth ANN regime and the one that is
+    * actually deployed at 100 TB (FAISS `IndexIVFPQ` re-expressed
+    * relationally): the coarse quantizer prunes the corpus to
+    * `nprobe` cells per query (the knnIvf cell ranking on the exact
+    * integer grid), and ONLY the surviving vectors are scored — from
+    * their 8-int PQ codes via the broadcast ADC lookup table, never
+    * from the original embeddings. Composition of the two gated
+    * parents: cells from [[knnIvf]]'s ranking, scoring from
+    * [[knnPq]]'s ADC. Scale shape: the corpus-sized pass reads codes
+    * only (64× less I/O than raw vectors), the cell prune cuts it by
+    * nprobe/nCells BEFORE the LUT join, and every join input on the
+    * query side (cells, LUT) is queries×cells-bounded → broadcast.
+    * Probing every cell degrades to exactly plain PQ
+    * (SimilaritySpec pins knnIvfPq(nprobe=∞) ≡ sim_knn_pq).
+    * Cross-engine exactness: inherited — integer-grid cell metric,
+    * integer ppm ADC sums, no float accumulation anywhere. */
+  def knnIvfPq(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val grid = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
+    val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), posexplode($"embedding"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("q"))
+    val code = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+    val diff = $"q" * $"n" - $"sq"
+    val wq = Window.partitionBy($"query_id")
+      .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")
+    val cells = qv.join(broadcast(code), "dim")
+      .groupBy($"query_id", $"label")
+      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+      .withColumn("crk", row_number().over(wq))
+      .filter($"crk" <= nprobe)
+      .select($"query_id", $"label".as("cell"))
+    val cb = Embeddings.trainPqCodebook(s, d)
+    val corpusCodes = Tables.embeddings(s, d).filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"label".as("cell"),
+        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
+      .select($"neighbor_id", $"cell", $"sub", $"code")
+    val lut = Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
+      .select($"query_id", $"sub", $"label",
+        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
+          .as("sd_ppm"))
+    corpusCodes
+      .join(broadcast(cells), "cell") // IVF prune: probed cells only
+      .join(broadcast(lut), Seq("query_id", "sub"))
+      .filter($"code" === $"label")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"sd_ppm").as("adc_ppm"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"adc_ppm".asc, $"neighbor_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_ppm")
+      .orderBy($"query_id", $"rank")
+  }
+  private val knnIvfPqQ: Q = (s, d) => knnIvfPq(s, d, k = 5, nprobe = 3)
+  private val knnIvfPqSql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor((CAST(i AS INT) - 1) / 8) AS INT) AS sub,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |  GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT u.vec_id, u.sub, code.label,
+      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
+      |    MIN(code.n) AS n
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY 1, 2, 3),
+      |cells AS (
+      |  SELECT query_id, label AS cell FROM (
+      |    SELECT query_id, label,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY CAST(s2t AS DOUBLE) / (n * n), label) AS crk
+      |    FROM (SELECT vec_id AS query_id, label, SUM(s2) AS s2t, MIN(n) AS n
+      |          FROM dists WHERE vec_id < 10 GROUP BY 1, 2))
+      |  WHERE crk <= 3),
+      |enc AS (
+      |  SELECT d2.vec_id AS neighbor_id, e.label AS cell, d2.sub,
+      |    d2.label AS code
+      |  FROM (SELECT vec_id, sub, label,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |        FROM dists WHERE vec_id >= 10) d2
+      |  JOIN embeddings e ON e.vec_id = d2.vec_id
+      |  WHERE rk = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, sub, label,
+      |    CAST(floor(CAST(s2 AS DOUBLE) / (n * n) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
+      |  FROM dists WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm
+      |  FROM enc
+      |  JOIN cells ON cells.cell = enc.cell
+      |  JOIN lut ON lut.query_id = cells.query_id
+      |    AND enc.sub = lut.sub AND enc.code = lut.label
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_ppm, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, rank, neighbor_id, adc_ppm
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
@@ -673,7 +788,8 @@ object Similarity {
     "sim_mrl_truncate" -> mrlTruncate,
     "sim_knn_ivf" -> knnIvfQ,
     "sim_knn_lsh" -> knnLshQ,
-    "sim_knn_pq" -> knnPq)
+    "sim_knn_pq" -> knnPq,
+    "sim_knn_ivfpq" -> knnIvfPqQ)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,
@@ -683,5 +799,6 @@ object Similarity {
     "sim_mrl_truncate" -> mrlTruncateSql,
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_lsh" -> knnLshSql,
-    "sim_knn_pq" -> knnPqSql)
+    "sim_knn_pq" -> knnPqSql,
+    "sim_knn_ivfpq" -> knnIvfPqSql)
 }

@@ -81,6 +81,15 @@ class ExtSpec extends SparkSpec {
     assert(brute.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("IVF-PQ with every cell probed degrades to exactly plain PQ") {
+    // the fused regime's law: the coarse prune is a pure subset
+    // operation, so probing all cells must reproduce the PQ/ADC
+    // ranking bit-for-bit (same adc_ppm integers, same tiebreaks)
+    val pq = Similarity.queries("sim_knn_pq")(spark, sfDir).collect()
+    val full = Similarity.knnIvfPq(spark, sfDir, k = 5, nprobe = 10).collect()
+    assert(pq.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("IVF with nprobe=3 returns k ranked results per query, subset-scored") {
     val ivf = Similarity.knnIvf(spark, sfDir, k = 5, nprobe = 3)
     val perQuery = ivf.groupBy("query_id").count().collect()

@@ -380,4 +380,51 @@ class PlanSpec extends SparkSpec {
     // not the raw corpus
     assert(windows <= 1, s"expected ≤1 ranking window, got $windows:\n$p")
   }
+
+  test("forecast revenue (Q6) is a join-free scan with pushed predicates") {
+    val p = plan("rel_forecast_revenue")
+    assert(!p.contains("Join"), s"Q6 must plan zero joins:\n$p")
+    // discount/quantity predicates reach the parquet scan; at 100 TB
+    // this is the row-group-skipping probe
+    // the PushedFilters string truncates, so pin the visible prefix +
+    // the pruned 4-of-11-column ReadSchema (the scan-efficiency claim)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"Q6 predicates must push to the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"Q6 must read exactly 4 lineitem columns:\n$p")
+  }
+
+  test("order priority (Q4) decorrelates EXISTS to one semi join") {
+    val p = plan("rel_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bracket revenue (Q19): disjunctive join never shuffles the fact") {
+    val p = plan("rel_bracket_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-brand part envelope must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"Q19 must not shuffle lineitem for the dim join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("excess shippers (Q20): both IN levels are semi joins, HAVING side broadcast") {
+    val p = plan("rel_excess_shippers")
+    assert(p.contains("LeftSemi"), s"outer IN must plan as semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the HAVING survivors are supplier-bounded and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ivf-pq: query-side tables broadcast, corpus pass stays equi-join") {
+    val p = plan("sim_knn_ivfpq")
+    // cells and the ADC LUT are queries×cells-bounded broadcasts; the
+    // corpus-sized code stream must never hit a nested-loop or a
+    // cartesian — the prune and the ADC are both equi-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"ivf-pq corpus pass must stay equi-join:\n$p")
+  }
 }
