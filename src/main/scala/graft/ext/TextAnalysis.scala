@@ -285,6 +285,62 @@ object TextAnalysis {
       |  ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rank
       |FROM v ORDER BY rank""".stripMargin
 
+  // ----------------------------------------------------- inverted index
+  // Capped-postings inverted index — the search-index build over the
+  // corpus: per term, collection frequency, document frequency, and
+  // the first `PostingsK` doc ids as the posting-list head. The state
+  // trap at 100 TB is the posting list itself: a stopword's full list
+  // is corpus-sized, so a collect_list/sort formulation holds O(df)
+  // rows per term in one reducer. Here postings come from the typed
+  // [[graft.functions.TopK]] aggregator (score = −doc_id ⇒ k smallest,
+  // exact for ids < 2⁵³): every map partition pre-reduces to ≤ k rows
+  // before the term-keyed exchange, so per-term state is k regardless
+  // of df — the same bounded-buffer reduction knnBruteTopKAgg and
+  // CappedPairs use. The df ≥ threshold cut runs FIRST and the
+  // surviving term set (vocabulary-bounded, tiny) broadcast-semi-joins
+  // into the postings pass, so low-df terms never reach the
+  // aggregator. Postings render as a CSV string: deterministic
+  // ascending order, and the gate compares scalars, not arrays.
+  private val invertedIndex: Q = (s, d) => {
+    import s.implicits._
+    val postingsK = 20
+    val td = Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+    val stats = td.groupBy($"w")
+      .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 50)
+    val topk = new graft.functions.TopK(postingsK)
+    val postings = td
+      .join(broadcast(stats.select($"w")), Seq("w"), "left_semi")
+      .select($"w", $"doc_id").distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.Scored(r._2, -r._2.toDouble))
+      .agg(topk.toColumn.name("top"))
+      .map { case (w, top) => (w, top.map(_.id).mkString(",")) }
+      .toDF("w", "postings")
+    stats.join(postings, "w")
+      .select($"w", $"cf", $"df", $"postings")
+      .orderBy($"df".desc, $"w")
+      .limit(100)
+  }
+  private val invertedIndexSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |stats AS (
+      |  SELECT w, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      |  FROM t GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 50),
+      |p AS (SELECT DISTINCT w, doc_id FROM t),
+      |caps AS (
+      |  SELECT w, array_to_string(list_sort(list(doc_id)), ',') AS postings
+      |  FROM (SELECT w, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+      |        FROM p) q
+      |  WHERE rn <= 20 GROUP BY w)
+      |SELECT stats.w, cf, df, postings
+      |FROM stats JOIN caps ON stats.w = caps.w
+      |ORDER BY df DESC, stats.w LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------- novelty
   // Per-document n-gram novelty vs the corpus — the quality signal
   // behind boilerplate filters (a page of nav chrome shares most of its
@@ -1406,6 +1462,7 @@ object TextAnalysis {
     "text_train_split" -> trainSplit,
     "text_chunking" -> chunking,
     "text_vocabulary" -> vocabulary,
+    "text_inverted_index" -> invertedIndex,
     "text_novelty" -> novelty,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
@@ -1435,6 +1492,7 @@ object TextAnalysis {
     "text_train_split" -> trainSplitSql,
     "text_chunking" -> chunkingSql,
     "text_vocabulary" -> vocabularySql,
+    "text_inverted_index" -> invertedIndexSql,
     "text_novelty" -> noveltySql,
     "text_decontaminate" -> decontaminateSql,
     "text_repetition" -> repetitionSql,

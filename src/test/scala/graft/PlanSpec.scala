@@ -417,6 +417,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("inverted index: df cut broadcasts, postings pre-reduce map-side") {
+    val p = plan("text_inverted_index")
+    // low-df terms are cut by a broadcast semi join BEFORE the typed
+    // aggregator; the postings aggregate itself must show a partial
+    // (map-side) phase — bounded k-row buffers, not a per-term collect
+    assert(p.contains("LeftSemi"), s"df cut must be a semi join:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk"),
+      s"postings must pre-reduce map-side via the TopK aggregator:\n$p")
+  }
+
   test("ivf-pq: query-side tables broadcast, corpus pass stays equi-join") {
     val p = plan("sim_knn_ivfpq")
     // cells and the ADC LUT are queries×cells-bounded broadcasts; the
