@@ -95,10 +95,57 @@ object StreamGate {
       .orderBy(col("event_type"))
   }
 
+  /** EVENT-TIME tumbling windows through the streaming engine, under
+    * the gate — T3's core op (watermark + windowed agg) promoted from
+    * spec-only batch-twin checks to the hash oracle. The µs event time
+    * rebuilds from the raw nanos long with integer division (`div`,
+    * exact — a double division would lose precision above 2⁵³ ns) and
+    * the 1-day tumbling window aligns to UTC epoch days, so the
+    * oracle is a plain CAST(ts AS DATE) rollup. The watermark bounds
+    * state eviction in a production append-mode run; bounded
+    * AvailableNow replay + complete mode keeps emission total here so
+    * the gate can check every window (append mode would hold the
+    * final watermark-open windows in state — a delivery property, not
+    * a data property). Scale: state is (days × event types) keyed,
+    * map-side partial aggregation before the state store, identical
+    * to the batch rollup's shuffle volume. */
+  private val windowedCounts: Q = (s, d) => {
+    val sink = s"stream_window_${ctr.incrementAndGet()}"
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // eventsTimestamps handles both shapes the source can present
+    // (raw nanos long → exact `div` rebuild, or an already-µs NTZ)
+    // watermarks require TIMESTAMP (not NTZ); the session runs UTC so
+    // the cast is the identity mapping and windows align to UTC days
+    val withTs = graft.Tables.eventsTimestamps(src)
+      .select(col("ts").cast("timestamp").as("ets"), col("event_type"))
+    val q = withTs
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("window.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+  }
+  private val windowedCountsSql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_event_rollup" -> eventRollup,
-    "stream_dedup_rollup" -> dedupRollup)
+    "stream_dedup_rollup" -> dedupRollup,
+    "stream_windowed_counts" -> windowedCounts)
   val oracles: Map[String, String] = Map(
     "stream_event_rollup" -> eventRollupSql,
-    "stream_dedup_rollup" -> eventRollupSql)
+    "stream_dedup_rollup" -> eventRollupSql,
+    "stream_windowed_counts" -> windowedCountsSql)
 }
