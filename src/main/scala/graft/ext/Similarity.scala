@@ -228,7 +228,12 @@ object Similarity {
     * codebook aggregate is centroid-sized, broadcasts to the query
     * side, and the corpus is scanned only in probed cells via an
     * equi-join on the cell label. */
-  def knnIvf(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
+  /** The IVF coarse-quantizer cell ranking, shared by [[knnIvf]] and
+    * [[knnIvfPq]]: per query, the `nprobe` best `label` cells by the
+    * exact integer-grid L2 centroid metric. Returns (query_id, label).
+    * One source of truth — the gated equivalence laws (nprobe=∞ ≡
+    * brute / ≡ plain PQ) depend on every caller ranking identically. */
+  private def ivfCells(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val grid = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
     val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
@@ -242,13 +247,17 @@ object Similarity {
     val diff = $"q" * $"n" - $"sq"
     val wq = Window.partitionBy($"query_id")
       .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")
-    val cells = qv.join(broadcast(code), "dim")
+    qv.join(broadcast(code), "dim")
       .groupBy($"query_id", $"label")
       .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
       .withColumn("crk", row_number().over(wq))
       .filter($"crk" <= nprobe)
       .select($"query_id", $"label")
-    val probes = cells.join(querySet(s, d), "query_id")
+  }
+
+  def knnIvf(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val probes = ivfCells(s, d, nprobe).join(querySet(s, d), "query_id")
     val corpus = corpusSet(s, d, extra = Seq("label"))
     val scored = corpus.join(broadcast(probes), "label")
       .select($"query_id", $"neighbor_id",
@@ -591,6 +600,34 @@ object Similarity {
     * ⌊s2/n² / 10⁶ + ½⌋, three IEEE-deterministic double ops — so the
     * ADC total is a BIGINT sum (order-free, engine-exact) rather than
     * a float accumulation whose summation order could reorder ranks. */
+  /** PQ corpus encode — (neighbor_id, cell, sub, code), a MAP-ONLY
+    * kernel pass (PqEncodeExpr + inline); `cell` is the vector's
+    * coarse-quantizer label, used by [[knnIvfPq]]'s prune and pruned
+    * away by Catalyst where unused. Shared by knnPq / knnIvfPq. */
+  private def pqCorpusCodes(s: SparkSession, d: String,
+      cb: graft.functions.PqCodebook): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"label".as("cell"),
+        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
+      .select($"neighbor_id", $"cell", $"sub", $"code")
+  }
+
+  /** ADC lookup table — every (query, sub, label) sub-distance on the
+    * integer ppm grid (PqSubDistsExpr kernel, map-only). Shared by
+    * knnPq / knnIvfPq; the ppm quantization here is the one the
+    * equivalence law and both oracles replicate. */
+  private def pqAdcLut(s: SparkSession, d: String,
+      cb: graft.functions.PqCodebook): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
+      .select($"query_id", $"sub", $"label",
+        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
+          .as("sd_ppm"))
+  }
+
   private val knnPq: Q = (s, d) => {
     import s.implicits._
     // Codebook trained once (map-combinable aggregate to k·d rows,
@@ -600,21 +637,8 @@ object Similarity {
     // posexplode → broadcast join → aggregate → argmin window chain,
     // whose shuffle carried dims·|labels| rows per corpus vector.
     val cb = Embeddings.trainPqCodebook(s, d)
-    // encode the corpus: argmin sub-centroid per (vec, sub)
-    val corpusCodes = Tables.embeddings(s, d).filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"),
-        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
-      .select($"neighbor_id", $"sub", $"code")
-    // ADC lookup table: every (query, sub, label) sub-distance on the
-    // integer ppm grid
-    val lut = Tables.embeddings(s, d).filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"),
-        inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
-      .select($"query_id", $"sub", $"label",
-        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
-          .as("sd_ppm"))
-    corpusCodes
-      .join(broadcast(lut), Seq("sub"))
+    pqCorpusCodes(s, d, cb)
+      .join(broadcast(pqAdcLut(s, d, cb)), Seq("sub"))
       .filter($"code" === $"label")
       .groupBy($"query_id", $"neighbor_id")
       .agg(sum($"sd_ppm").as("adc_ppm"))
@@ -684,38 +708,11 @@ object Similarity {
     * integer ppm ADC sums, no float accumulation anywhere. */
   def knnIvfPq(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 3): DataFrame = {
     import s.implicits._
-    val grid = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
-    val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), posexplode($"embedding"))
-      .select($"query_id", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("q"))
-    val code = Tables.embeddings(s, d)
-      .select($"label", posexplode($"embedding"))
-      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
-      .groupBy($"label", $"dim")
-      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-    val diff = $"q" * $"n" - $"sq"
-    val wq = Window.partitionBy($"query_id")
-      .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")
-    val cells = qv.join(broadcast(code), "dim")
-      .groupBy($"query_id", $"label")
-      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
-      .withColumn("crk", row_number().over(wq))
-      .filter($"crk" <= nprobe)
-      .select($"query_id", $"label".as("cell"))
+    val cells = ivfCells(s, d, nprobe).withColumnRenamed("label", "cell")
     val cb = Embeddings.trainPqCodebook(s, d)
-    val corpusCodes = Tables.embeddings(s, d).filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"label".as("cell"),
-        inline(graft.functions.PqExpressions.pqEncode($"embedding", cb)))
-      .select($"neighbor_id", $"cell", $"sub", $"code")
-    val lut = Tables.embeddings(s, d).filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"),
-        inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
-      .select($"query_id", $"sub", $"label",
-        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
-          .as("sd_ppm"))
-    corpusCodes
+    pqCorpusCodes(s, d, cb)
       .join(broadcast(cells), "cell") // IVF prune: probed cells only
-      .join(broadcast(lut), Seq("query_id", "sub"))
+      .join(broadcast(pqAdcLut(s, d, cb)), Seq("query_id", "sub"))
       .filter($"code" === $"label")
       .groupBy($"query_id", $"neighbor_id")
       .agg(sum($"sd_ppm").as("adc_ppm"))

@@ -30,31 +30,40 @@ object StreamGate {
 
   private val ctr = new AtomicInteger()
 
-  /** Per-event-type rollup of the events table, computed BY THE
-    * STREAMING ENGINE over the same parquet the oracle reads. */
-  private val eventRollup: Q = (s, d) => {
-    val sink = s"stream_rollup_${ctr.incrementAndGet()}"
-    // explicit schema: a streaming source never infers (inference is a
-    // second full scan and a type-drift hazard); ts stays the raw
-    // nanos long — untouched here
+  /** The shared replay harness: stream the events table (explicit
+    * schema — a streaming source never infers), apply `transform`,
+    * run it to a memory sink with bounded AvailableNow replay in
+    * complete mode, and hand the sink table back. Every gate differs
+    * only in its transform; the replay contract lives HERE once. */
+  private def runToMemory(s: SparkSession, d: String, sinkPrefix: String)(
+      transform: (() => DataFrame) => DataFrame): DataFrame = {
+    val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream.schema(schema)
+    // a lane FACTORY rather than one source: the dedup gate replays
+    // the feed through two independent readStream lanes
+    def lane(): DataFrame = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-    val agg = src.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
-    val q = agg.writeStream
+    val q = transform(() => lane()).writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table(sink)
+  }
+
+  /** Per-event-type rollup of the events table, computed BY THE
+    * STREAMING ENGINE over the same parquet the oracle reads. */
+  private val eventRollup: Q = (s, d) =>
+    runToMemory(s, d, "stream_rollup") { lane =>
+      lane().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+    }
       .select(col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("event_type"))
-  }
   private val eventRollupSql =
     """SELECT event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -71,29 +80,19 @@ object StreamGate {
     * it with a watermark (dropDuplicatesWithinWatermark — the
     * Streams.dedupedIngest lane, spec-covered); bounded AvailableNow
     * replay keeps the unbounded variant exact here. */
-  private val dedupRollup: Q = (s, d) => {
-    val sink = s"stream_dedup_${ctr.incrementAndGet()}"
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    def lane = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .select(col("event_id"), col("event_type"), col("value"))
-    val deduped = lane.unionByName(lane)
-      .dropDuplicates("event_id")
-    val q = deduped
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
-      .writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
+  private val dedupRollup: Q = (s, d) =>
+    runToMemory(s, d, "stream_dedup") { lane =>
+      def shaped = lane()
+        .select(col("event_id"), col("event_type"), col("value"))
+      shaped.unionByName(shaped)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+    }
       .select(col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("event_type"))
-  }
 
   /** EVENT-TIME tumbling windows through the streaming engine, under
     * the gate — T3's core op (watermark + windowed agg) promoted from
@@ -109,32 +108,21 @@ object StreamGate {
     * a data property). Scale: state is (days × event types) keyed,
     * map-side partial aggregation before the state store, identical
     * to the batch rollup's shuffle volume. */
-  private val windowedCounts: Q = (s, d) => {
-    val sink = s"stream_window_${ctr.incrementAndGet()}"
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    // eventsTimestamps handles both shapes the source can present
-    // (raw nanos long → exact `div` rebuild, or an already-µs NTZ)
-    // watermarks require TIMESTAMP (not NTZ); the session runs UTC so
-    // the cast is the identity mapping and windows align to UTC days
-    val withTs = graft.Tables.eventsTimestamps(src)
-      .select(col("ts").cast("timestamp").as("ets"), col("event_type"))
-    val q = withTs
-      .withWatermark("ets", "1 hour")
-      .groupBy(window(col("ets"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
+  private val windowedCounts: Q = (s, d) =>
+    runToMemory(s, d, "stream_window") { lane =>
+      // eventsTimestamps handles both shapes the source can present
+      // (raw nanos long → exact `div` rebuild, or an already-µs NTZ);
+      // watermarks require TIMESTAMP (not NTZ) — the session runs UTC
+      // so the cast is identity and windows align to UTC days
+      graft.Tables.eventsTimestamps(lane())
+        .select(col("ts").cast("timestamp").as("ets"), col("event_type"))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
       .select(col("window.start").cast("date").cast("string").as("day"),
         col("event_type"), col("n_events"))
       .orderBy(col("day"), col("event_type"))
-  }
   private val windowedCountsSql =
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
       |  COUNT(*) AS n_events
