@@ -130,14 +130,19 @@ object Embeddings {
   // --------------------------------------------------- cluster assignment
   // The k-means assignment step: every vector goes to its nearest
   // per-label centroid (the codebook the centroids query builds — the
-  // IVF quantizer made oracle-checkable). Distance stays EXACT until a
-  // final division: per dim, (q_v·n_l − sq_ld)² is an exact BIGINT
-  // (q_v = 1e-6-grid value, n_l = label count, sq_ld = label's grid
-  // sum), and Σ over dims is an order-free long sum; dist² = S/n_l² is
-  // ONE double division from identical integers → identical in every
-  // engine, so argmin needs no rounding. Tie break by label. Scale
-  // shape: the codebook (labels × dims rows) broadcasts; the vector
-  // side streams through one posexplode + one (vec_id, label) aggregate.
+  // IVF quantizer made oracle-checkable). Distance is EXACT integers
+  // end-to-end: per dim, d = q − cm where q is the 1e-6-grid value and
+  // cm = sq div n the TRUNCATED integer centroid mean (truncating
+  // division is bit-identical in Spark `div`, DuckDB `//`, Scala `/`);
+  // dist² = Σ d² is an order-free long sum and the argmin ranks pure
+  // BIGINTs — no division, no rounding, nothing to drift. The mean
+  // folds in BEFORE the square (not the old Σ(q·n − sq)² form) so the
+  // per-dim diff is ≤ ~2.2e6 REGARDLESS of cell size — the old form's
+  // diff was n·(q − mean) and overflowed Long once a cell reached
+  // ~10⁵ vectors (caught by the 20× scale soak). Tie break by label.
+  // Scale shape: the codebook (labels × dims rows) broadcasts; the
+  // vector side streams through one posexplode + one (vec_id, label)
+  // aggregate.
   private def assignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qv = Tables.embeddings(s, d)
@@ -150,18 +155,18 @@ object Embeddings {
         expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))
       .groupBy($"label", $"dim")
       .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-    val diff = $"q" * $"n" - $"sq"
+      .withColumn("cm", expr("sq div n"))
+    val diff = $"q" - $"cm"
     qv.join(broadcast(code), "dim")
       .groupBy($"vec_id", $"label")
       .agg(min($"true_label").as("true_label"),
-        sum(diff * diff).as("s2"), min($"n").as("n"))
-      .select($"vec_id", $"true_label", $"label",
-        ($"s2".cast("double") / ($"n" * $"n")).as("dist2"))
+        sum(diff * diff).as("s2"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id").orderBy($"dist2", $"label")))
+          .partitionBy($"vec_id").orderBy($"s2", $"label")))
       .filter($"rk" === 1)
-      .select($"vec_id", $"true_label", $"label".as("assigned_label"), $"dist2")
+      .select($"vec_id", $"true_label", $"label".as("assigned_label"),
+        $"s2".cast("double").as("dist2"))
   }
   private val clusterAssign: Q = (s, d) => {
     import s.implicits._
@@ -173,22 +178,21 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
       |  GROUP BY 1, 2),
       |d AS (
       |  SELECT u.vec_id, MIN(u.true_label) AS true_label, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY u.vec_id, code.label),
       |r AS (
       |  SELECT vec_id, true_label, label,
-      |    CAST(s2 AS DOUBLE) / (n * n) AS dist2,
+      |    CAST(s2 AS DOUBLE) AS dist2,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |      ORDER BY s2, label) AS rk
       |  FROM d)
       |SELECT vec_id, true_label, label AS assigned_label, dist2
       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
@@ -260,22 +264,21 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
       |  GROUP BY 1, 2),
       |d AS (
       |  SELECT u.vec_id, u.sub, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY 1, 2, 3),
       |r AS (
       |  SELECT vec_id, sub, label,
-      |    CAST(s2 AS DOUBLE) / (n * n) AS sub_dist2,
+      |    CAST(s2 AS DOUBLE) AS sub_dist2,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-      |      ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |      ORDER BY s2, label) AS rk
       |  FROM d)
       |SELECT vec_id, sub, label AS code, sub_dist2
       |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
@@ -331,19 +334,18 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT true_label AS label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT true_label AS label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM u GROUP BY 1, 2),
       |dists AS (
       |  SELECT u.vec_id, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY u.vec_id, code.label),
       |assign AS (
       |  SELECT vec_id, label AS cluster
       |  FROM (SELECT vec_id, label,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id
-      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |            ORDER BY s2, label) AS rk
       |        FROM dists)
       |  WHERE rk = 1),
       |va AS (

@@ -244,12 +244,19 @@ object Similarity {
       .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
       .groupBy($"label", $"dim")
       .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-    val diff = $"q" * $"n" - $"sq"
-    val wq = Window.partitionBy($"query_id")
-      .orderBy(($"s2".cast("double") / ($"n" * $"n")).asc, $"label")
+      // TRUNCATED integer centroid mean — folding the mean in before
+      // the square keeps the per-dim diff ≤ ~2.2e6 at ANY cell size
+      // (the old Σ(q·n − sq)² form squared n·(q − mean) and overflowed
+      // Long once a cell reached ~10⁵ vectors; caught by the 20× scale
+      // soak). Truncating division is bit-identical in Spark `div`,
+      // DuckDB `//`, and Scala `/`, and the rank is a pure BIGINT
+      // order — no floating division anywhere.
+      .withColumn("cm", expr("sq div n"))
+    val diff = $"q" - $"cm"
+    val wq = Window.partitionBy($"query_id").orderBy($"s2".asc, $"label")
     qv.join(broadcast(code), "dim")
       .groupBy($"query_id", $"label")
-      .agg(sum(diff * diff).as("s2"), min($"n").as("n"))
+      .agg(sum(diff * diff).as("s2"))
       .withColumn("crk", row_number().over(wq))
       .filter($"crk" <= nprobe)
       .select($"query_id", $"label")
@@ -283,22 +290,21 @@ object Similarity {
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
       |  WHERE vec_id < 10),
       |code AS (
-      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
       |  GROUP BY 1, 2),
       |d AS (
       |  SELECT u.query_id, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY 1, 2),
       |cells AS (
       |  SELECT query_id, label
       |  FROM (SELECT query_id, label,
       |          ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS crk
+      |            ORDER BY s2, label) AS crk
       |        FROM d)
       |  WHERE crk <= 3),
       |scored AS (
@@ -624,7 +630,7 @@ object Similarity {
       .select($"vec_id".as("query_id"),
         inline(graft.functions.PqExpressions.pqSubDists($"embedding", cb)))
       .select($"query_id", $"sub", $"label",
-        expr("cast(floor(cast(s2 as double) / (n * n) / 1000000d + 0.5d) as bigint)")
+        expr("cast(floor(cast(s2 as double) / 1000000d + 0.5d) as bigint)")
           .as("sd_ppm"))
   }
 
@@ -655,27 +661,26 @@ object Similarity {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
       |  GROUP BY 1, 2),
       |dists AS (
       |  SELECT u.vec_id, u.sub, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY 1, 2, 3),
       |enc AS (
       |  SELECT vec_id AS neighbor_id, sub, label AS code
       |  FROM (SELECT vec_id, sub, label,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |            ORDER BY s2, label) AS rk
       |        FROM dists WHERE vec_id >= 10)
       |  WHERE rk = 1),
       |lut AS (
       |  SELECT vec_id AS query_id, sub, label,
-      |    CAST(floor(CAST(s2 AS DOUBLE) / (n * n) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
+      |    CAST(floor(CAST(s2 AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
       |  FROM dists WHERE vec_id < 10),
       |adc AS (
       |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm
@@ -730,23 +735,22 @@ object Similarity {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
       |  GROUP BY 1, 2),
       |dists AS (
       |  SELECT u.vec_id, u.sub, code.label,
-      |    SUM((u.q * code.n - code.sq) * (u.q * code.n - code.sq)) AS s2,
-      |    MIN(code.n) AS n
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
       |  FROM u JOIN code ON u.dim = code.dim
       |  GROUP BY 1, 2, 3),
       |cells AS (
       |  SELECT query_id, label AS cell FROM (
       |    SELECT query_id, label,
       |      ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY CAST(s2t AS DOUBLE) / (n * n), label) AS crk
-      |    FROM (SELECT vec_id AS query_id, label, SUM(s2) AS s2t, MIN(n) AS n
+      |        ORDER BY s2t, label) AS crk
+      |    FROM (SELECT vec_id AS query_id, label, SUM(s2) AS s2t
       |          FROM dists WHERE vec_id < 10 GROUP BY 1, 2))
       |  WHERE crk <= 3),
       |enc AS (
@@ -754,13 +758,13 @@ object Similarity {
       |    d2.label AS code
       |  FROM (SELECT vec_id, sub, label,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-      |            ORDER BY CAST(s2 AS DOUBLE) / (n * n), label) AS rk
+      |            ORDER BY s2, label) AS rk
       |        FROM dists WHERE vec_id >= 10) d2
       |  JOIN embeddings e ON e.vec_id = d2.vec_id
       |  WHERE rk = 1),
       |lut AS (
       |  SELECT vec_id AS query_id, sub, label,
-      |    CAST(floor(CAST(s2 AS DOUBLE) / (n * n) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
+      |    CAST(floor(CAST(s2 AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
       |  FROM dists WHERE vec_id < 10),
       |adc AS (
       |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm

@@ -41,7 +41,17 @@ case class PqCodebook(
 
 /** Shared kernel of the PQ expressions: quantize the embedding onto
   * the 1e-6 integer grid once, then walk (sub, label) computing the
-  * exact-integer sub-distance s2 = Σ_dims (q·n − sq)².
+  * exact-integer sub-distance s2 = Σ_dims (q − cm)², where
+  * cm = sq div n is the TRUNCATED integer centroid mean.
+  *
+  * Why the mean and not the old Σ(q·n − sq)² form: that diff is
+  * n·(q − mean) — its square needs n²-proportional headroom and
+  * overflows Long once cells reach ~10⁵ vectors (caught by the 20×
+  * scale soak). With the mean folded in first, |q − cm| ≤ ~2.2e6
+  * regardless of cell size, so s2 ≤ dims·(2.2e6)² ≈ 3e14 at ANY
+  * scale. Truncating integer division is bit-identical across
+  * Scala `/`, Spark `div`, and DuckDB `//` — the oracle replicates
+  * cm exactly, and the ranking never needs a floating division.
   */
 trait PqKernel { self: UnaryExpression =>
   def cb: PqCodebook
@@ -86,7 +96,7 @@ trait PqKernel { self: UnaryExpression =>
     var acc = 0L
     var d = lo
     while (d < hi) {
-      val diff = q(d) * n - cb.sqArr(base + d)
+      val diff = q(d) - cb.sqArr(base + d) / n // truncated centroid mean
       acc += diff * diff
       d += 1
     }
@@ -125,18 +135,17 @@ case class PqEncodeExpr(child: Expression, cb: PqCodebook)
     var s = 0
     while (s < cb.numSubs) {
       var bestLabel = 0
-      var bestDist = Double.MaxValue
+      var bestDist = Long.MaxValue
       var li = 0
       while (li < cb.labelArr.length) {
-        val n = cb.nArr(li)
-        // exactly CAST(s2 AS DOUBLE) / (n * n): long product, one
-        // double division — the oracle's op order
-        val dist = subDist(q, s, li).toDouble / (n * n).toDouble
-        // strict < over ascending labels = tie to smallest label
+        // pure-integer argmin — no division, nothing for engines to
+        // disagree on; strict < over ascending labels = tie to
+        // smallest label
+        val dist = subDist(q, s, li)
         if (dist < bestDist) { bestDist = dist; bestLabel = cb.labelArr(li) }
         li += 1
       }
-      out(s) = new GenericInternalRow(Array[Any](s, bestLabel, bestDist))
+      out(s) = new GenericInternalRow(Array[Any](s, bestLabel, bestDist.toDouble))
       s += 1
     }
     new GenericArrayData(out)
