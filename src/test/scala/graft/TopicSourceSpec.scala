@@ -78,6 +78,29 @@ class TopicSourceSpec extends SparkSpec {
     } finally MemTopic.drop(t)
   }
 
+  test("CDC bronze pipeline runs end-to-end on the topic lane (S1 parity)") {
+    // the reference's cdc_to_parquet shape: Kafka value column →
+    // envelope flatten → partitioned bronze. The topic lane feeds the
+    // SAME downstream contract as the file lane (raw_message string),
+    // so the whole bronze pipeline runs unchanged on this source.
+    import graft.cdc.CdcFixtures._
+    val t = "t_cdc"; MemTopic.create(t, partitions = 2)
+    try {
+      val ops = randomStream(seed = 11, nKeys = 6, nOps = 40)
+      ops.map(toJson).zipWithIndex.foreach { case (j, i) =>
+        MemTopic.produce(t, i % 2, s"k$i", j)
+      }
+      val raw = stream(t)
+        .select(org.apache.spark.sql.functions.col("value").as("raw_message"))
+      val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
+      graft.streaming.Streams.bronzeQuery(raw, out, ck, availableNow = true)
+        .awaitTermination()
+      val bronze = spark.read.parquet(out)
+      assert(bronze.count() == 40)
+      assert(bronze.columns.contains("op") && bronze.columns.contains("dt"))
+    } finally MemTopic.drop(t)
+  }
+
   test("retention past the committed offset: failOnDataLoss fails, =false skips to earliest") {
     val t = "t_loss"; MemTopic.create(t, partitions = 1)
     try {
