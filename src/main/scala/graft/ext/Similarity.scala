@@ -781,6 +781,58 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------- PQ candidates → re-rank
+  /** The full production ANN serving stack under one gate: IVF-PQ
+    * retrieves a k′=20 candidate pool from compressed codes (cheap,
+    * approximate), then ONLY those candidates are re-scored with the
+    * exact cosine — the two-stage retrieve-then-rerank every deployed
+    * vector search runs (FAISS nprobe+refine, ScaNN reordering). Scale
+    * shape: the expensive exact kernel touches k′·|queries| rows
+    * instead of the corpus — the candidate pool joins the corpus by id
+    * (hash join on neighbor_id), queries broadcast, and the final
+    * top-5 is a per-query window over ≤ k′ rows. The gate pins the
+    * COMPOSED result: candidate generation, id join-back, exact
+    * rescoring, and the re-rank all hash-match the oracle's replay. */
+  def knnRerankFrom(s: SparkSession, d: String, kPrime: Int, nprobe: Int,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cands = knnIvfPq(s, d, k = kPrime, nprobe = nprobe)
+      .select($"query_id", $"neighbor_id")
+    val scored = cands
+      .join(corpusSet(s, d), "neighbor_id")
+      .join(broadcast(querySet(s, d)), "query_id")
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+  private val knnRerank: Q = (s, d) => knnRerankFrom(s, d, kPrime = 20, nprobe = 3)
+  // oracle: the IVF-PQ chain extended by candidate join-back + exact
+  // cosine re-rank (string surgery on the shared final SELECT keeps
+  // the two derivations in lockstep)
+  private val knnRerankSql: String = knnIvfPqSql.replace(
+    """SELECT query_id, rank, neighbor_id, adc_ppm
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin,
+    """, cand AS (
+      |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+      |rescored AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    round(list_cosine_similarity(
+      |      CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_sim
+      |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+      |  JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+      |rr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM rescored)
+      |SELECT query_id, rank, neighbor_id, cos_sim
+      |FROM rr WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
@@ -790,7 +842,8 @@ object Similarity {
     "sim_knn_ivf" -> knnIvfQ,
     "sim_knn_lsh" -> knnLshQ,
     "sim_knn_pq" -> knnPq,
-    "sim_knn_ivfpq" -> knnIvfPqQ)
+    "sim_knn_ivfpq" -> knnIvfPqQ,
+    "sim_knn_rerank" -> knnRerank)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,
@@ -801,5 +854,6 @@ object Similarity {
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_pq" -> knnPqSql,
-    "sim_knn_ivfpq" -> knnIvfPqSql)
+    "sim_knn_ivfpq" -> knnIvfPqSql,
+    "sim_knn_rerank" -> knnRerankSql)
 }

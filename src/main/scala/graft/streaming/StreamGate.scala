@@ -128,12 +128,59 @@ object StreamGate {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** The DSv2 topic source (S1's offset contract,
+    * `sources/TopicSource.scala`) under the HASH GATE: the events
+    * table is produced once per (session, sfDir) into a 4-partition
+    * [[graft.sources.MemTopic]] log, then the gated query consumes it
+    * through the full micro-batch protocol — initialOffset, admission
+    * control, partition planning, reader factory — and aggregates.
+    * The oracle reads the original parquet: the gate pins that a trip
+    * through the offset/replay machinery is value-lossless (doubles
+    * round-trip via Java's shortest-repr toString ↔ cast). */
+  private val topicFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val topicRollup: Q = (s, d) => {
+    val topic = topicFixtures.computeIfAbsent((s, d), _ => {
+      val name = s"gate_events_${ctr.incrementAndGet()}_p${ProcessHandle.current().pid()}"
+      graft.sources.MemTopic.create(name, partitions = 4)
+      graft.Tables.events(s, d).select("event_id", "event_type", "value")
+        .collect().foreach { r =>
+          graft.sources.MemTopic.produce(name, (r.getLong(0) % 4).toInt,
+            r.getLong(0).toString, s"${r.getString(1)},${r.getDouble(2)}")
+        }
+      name
+    })
+    val sink = s"stream_topic_${ctr.incrementAndGet()}"
+    val q = s.readStream
+      .format(classOf[graft.sources.MemTopicProvider].getName)
+      .option("topic", topic)
+      .load()
+      .select(split(col("value"), ",").getItem(0).as("event_type"),
+        split(col("value"), ",").getItem(1).cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,4)")).as("sum_value"))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_event_rollup" -> eventRollup,
     "stream_dedup_rollup" -> dedupRollup,
-    "stream_windowed_counts" -> windowedCounts)
+    "stream_windowed_counts" -> windowedCounts,
+    "stream_topic_rollup" -> topicRollup)
   val oracles: Map[String, String] = Map(
     "stream_event_rollup" -> eventRollupSql,
     "stream_dedup_rollup" -> eventRollupSql,
-    "stream_windowed_counts" -> windowedCountsSql)
+    "stream_windowed_counts" -> windowedCountsSql,
+    // same rollup oracle: the topic trip must be value-lossless
+    "stream_topic_rollup" -> eventRollupSql)
 }

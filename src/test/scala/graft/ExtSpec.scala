@@ -90,6 +90,16 @@ class ExtSpec extends SparkSpec {
     assert(pq.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("re-rank over the full candidate pool reproduces brute force exactly") {
+    // retrieve-then-rerank law: with every cell probed and a candidate
+    // pool covering the whole corpus, the exact re-scoring stage must
+    // collapse to plain brute-force top-5 (same cosines, same ties)
+    val brute = Similarity.queries("sim_knn_bruteforce")(spark, sfDir).collect()
+    val full = Similarity.knnRerankFrom(spark, sfDir,
+      kPrime = 100000, nprobe = 10).collect()
+    assert(brute.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("IVF with nprobe=3 returns k ranked results per query, subset-scored") {
     val ivf = Similarity.knnIvf(spark, sfDir, k = 5, nprobe = 3)
     val perQuery = ivf.groupBy("query_id").count().collect()
