@@ -180,6 +180,79 @@ object Scd2Queries {
       |SELECT * FROM ins UNION ALL SELECT * FROM del
       |ORDER BY change, o_orderkey""".stripMargin
 
+  // MOR COMPACTION under the hash gate: the same 3-commit
+  // equality-delete scenario as the change feed (own table instance),
+  // then [[VersionedTable.compact]] folds the accumulated delete
+  // files into plain data files. The gate checks as DATA that
+  // (a) compaction is content-preserving — the aggregate of the
+  // compacted table equals the oracle's pure-SQL replay of the
+  // final MOR state (base minus the k%16=2 deletions, rev per the
+  // commit that last wrote each key), and (b) the layout invariants —
+  // the pre-compaction manifest really carried delete entries, the
+  // compacted one carries none, and the file count hit the target.
+  // All three verdicts are deterministic (manifest facts, not
+  // probabilistic bounds). Scale shape: compaction is the read path
+  // (delete application) + one clustered write; the gate times the
+  // fold itself.
+  private val compactionFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactionTable(s: SparkSession, d: String): VersionedTable = {
+    val root = compactionFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-compaction-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_orderkey") % 3 === 0)
+      val t = new VersionedTable(s, dir.getPath)
+      val k = col("o_orderkey")
+      def one(df: DataFrame) = df.coalesce(1)
+      t.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L))))
+      t.mergeDeltas(
+        one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
+          .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
+        one(base.filter(k % 8 === 1).select(k)), Seq(""))
+      t.mergeDeltas(
+        one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
+        one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
+      dir.getPath
+    })
+    new VersionedTable(s, root)
+  }
+  private val compaction: Q = (s, d) => {
+    import s.implicits._
+    val t = compactionTable(s, d)
+    // the v2 manifest is version-addressed: it keeps its delete
+    // entries no matter how often the gate re-runs the compaction
+    val deltasBefore = t.manifestDetail(2).count(_._3 == "x")
+    val vc = t.compact(targetFileCount = 2)
+    val after = t.manifestDetail(vc)
+    t.read()
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_custkey"),
+        sum($"rev").as("sum_rev"))
+      .select($"n_rows", $"sum_key", $"sum_custkey", $"sum_rev",
+        lit(deltasBefore > 0).as("had_deltas"),
+        lit(after.count(_._3 == "x") == 0).as("deltas_folded"),
+        lit(after.size <= 2).as("compacted"))
+  }
+  private val compactionSql =
+    """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
+      |             WHERE o_orderkey % 3 = 0),
+      |fin AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(CASE WHEN o_orderkey % 16 = 8 THEN 2
+      |              WHEN o_orderkey % 8 = 1 THEN 1
+      |              ELSE 0 END AS BIGINT) AS rev
+      |  FROM base WHERE o_orderkey % 16 <> 2)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+      |  CAST(SUM(rev) AS BIGINT) AS sum_rev,
+      |  TRUE AS had_deltas, TRUE AS deltas_folded, TRUE AS compacted
+      |FROM fin""".stripMargin
+
   // OPTIMIZE under the hash gate (the r6 layout-rewrite machinery,
   // [[VersionedTable.optimize]]): build a table from ROUND-ROBIN
   // shuffled orders rows — every file's zone spans the whole key
@@ -305,6 +378,7 @@ object Scd2Queries {
     "scd2_version_stats" -> versionStats,
     "scd2_changefeed" -> changefeed,
     "scd2_optimize" -> optimizeQ,
+    "scd2_compaction" -> compaction,
     "scd2_zorder" -> zorderQ)
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +387,6 @@ object Scd2Queries {
     "scd2_version_stats" -> versionStatsSql,
     "scd2_changefeed" -> changefeedSql,
     "scd2_optimize" -> optimizeSql,
+    "scd2_compaction" -> compactionSql,
     "scd2_zorder" -> zorderSql)
 }
