@@ -206,10 +206,10 @@ object Embeddings {
   // assign uses). 64 floats → 8 small codes (with a 10-label codebook,
   // ~4 bits each): 64× compression before any distance math, and the
   // asymmetric-distance scan (query × code lookup tables) is a
-  // broadcast join away. Distances stay EXACT until one final double
-  // division, per the clusterAssign derivation — per subspace,
-  // Σ_dims (q·n − sq)² is an exact BIGINT and argmin needs no
-  // rounding. Scale shape: the sub-codebook (labels × dims) broadcasts;
+  // broadcast join away. Distances are EXACT end-to-end, per the
+  // clusterAssign derivation — per subspace, Σ_dims (q − cm)² with
+  // cm the truncated integer centroid mean is an exact BIGINT and
+  // argmin needs no rounding (and no division). Scale shape: the sub-codebook (labels × dims) broadcasts;
   // vectors stream through one posexplode + one (vec, sub, label)
   // aggregate + one argmin window over labels per subspace.
   // The corpus pass is MAP-ONLY: train the codebook with one

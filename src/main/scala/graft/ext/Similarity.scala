@@ -217,8 +217,9 @@ object Similarity {
   // ---------------------------------------------------------- IVF path
   /** IVF top-k: rank cells per query by EXACT integer-grid L2 distance
     * to the per-`label` centroid (the sim_cluster_assign recipe:
-    * q = floor(x·10⁶ + ½) is an exact BIGINT, dist² ∝ Σ(q·n − sq)²
-    * needs no rounding until one final double division), then scan
+    * q = floor(x·10⁶ + ½) is an exact BIGINT, dist² = Σ(q − cm)²
+    * with cm the truncated integer centroid mean — a pure BIGINT
+    * rank, no division at all), then scan
     * only the best `nprobe` cells. The integer grid is what makes the
     * WHOLE pipeline oracle-checkable: centroid means in floating point
     * rank cells differently across engines at the ulp, exact integers
@@ -601,9 +602,9 @@ object Similarity {
     * (the sim_knn_bruteforce plan over k' rows).
     *
     * Cross-engine exactness: sub-distances follow the emb_pq_encode
-    * integer derivation (s2 = Σ(q·n − sq)² exact BIGINT per subspace),
-    * then quantize ONCE to an integer ppm grid —
-    * ⌊s2/n² / 10⁶ + ½⌋, three IEEE-deterministic double ops — so the
+    * integer derivation (s2 = Σ(q − cm)², exact mean-normalized
+    * BIGINT per subspace), then quantize ONCE to an integer ppm grid —
+    * ⌊s2 / 10⁶ + ½⌋, three IEEE-deterministic double ops — so the
     * ADC total is a BIGINT sum (order-free, engine-exact) rather than
     * a float accumulation whose summation order could reorder ranks. */
   /** PQ corpus encode — (neighbor_id, cell, sub, code), a MAP-ONLY
@@ -812,7 +813,8 @@ object Similarity {
   private val knnRerank: Q = (s, d) => knnRerankFrom(s, d, kPrime = 20, nprobe = 3)
   // oracle: the IVF-PQ chain extended by candidate join-back + exact
   // cosine re-rank (string surgery on the shared final SELECT keeps
-  // the two derivations in lockstep)
+  // the two derivations in lockstep; guarded below so an edit to
+  // knnIvfPqSql's tail fails HERE, not as an opaque gate mismatch)
   private val knnRerankSql: String = knnIvfPqSql.replace(
     """SELECT query_id, rank, neighbor_id, adc_ppm
       |FROM ranked WHERE rank <= 5
@@ -832,6 +834,10 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, cos_sim
       |FROM rr WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin)
+  require(knnRerankSql != knnIvfPqSql,
+    "knnRerankSql surgery target drifted: knnIvfPqSql's final SELECT changed")
+  require(knnRerankSql.contains("rank <= 20"),
+    "knnRerankSql must keep the kPrime=20 candidate cut in sync with knnRerank")
 
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   *
   * Integer-grid discipline (see Embeddings.scala header): per (label,
   * dim) the codebook stores n (member count) and sq (Σ of 1e-6-grid
-  * quantized values, exact BIGINT), so a sub-distance
-  * Σ_dims (q·n − sq)² is exact long arithmetic — identical in any
-  * engine — and only the final /n² is a double.
+  * quantized values, exact BIGINT) and derives cm = sq div n — the
+  * truncated integer centroid mean — so a sub-distance
+  * Σ_dims (q − cm)² is exact, n-independent long arithmetic,
+  * identical in any engine; no division appears in a distance.
   *
   * `labels` must be ascending: argmin ties break toward the SMALLEST
   * label, matching `ROW_NUMBER() OVER (ORDER BY dist, label)` in the
@@ -36,6 +37,19 @@ case class PqCodebook(
   @transient lazy val labelArr: Array[Int] = labels.toArray
   @transient lazy val nArr: Array[Long] = ns.toArray
   @transient lazy val sqArr: Array[Long] = sqFlat.toArray
+  /** Truncated integer centroid means, label-major like [[sqFlat]] —
+    * precomputed once so the kernel hot loop does no division. */
+  @transient lazy val cmArr: Array[Long] = {
+    val out = new Array[Long](sqFlat.length)
+    var li = 0
+    while (li < labels.length) {
+      val n = ns(li)
+      var d = 0
+      while (d < dims) { out(li * dims + d) = sqFlat(li * dims + d) / n; d += 1 }
+      li += 1
+    }
+    out
+  }
   def numSubs: Int = (dims + subDim - 1) / subDim
 }
 
@@ -91,12 +105,12 @@ trait PqKernel { self: UnaryExpression =>
   protected def subDist(q: Array[Long], s: Int, li: Int): Long = {
     val lo = s * cb.subDim
     val hi = math.min(lo + cb.subDim, cb.dims)
-    val n = cb.nArr(li)
     val base = li * cb.dims
+    val cm = cb.cmArr
     var acc = 0L
     var d = lo
     while (d < hi) {
-      val diff = q(d) - cb.sqArr(base + d) / n // truncated centroid mean
+      val diff = q(d) - cm(base + d)
       acc += diff * diff
       d += 1
     }
@@ -171,10 +185,10 @@ case class PqEncodeExpr(child: Expression, cb: PqCodebook)
 
 /** All (sub, label) sub-distances for one vector — the ADC
   * lookup-table kernel (sim_knn_pq): embedding →
-  * array<struct<sub, label, s2, n>>, dims·|labels| structs of exact
-  * integers. Same map-only rationale as [[PqEncodeExpr]]; callers
-  * derive the ppm-grid distance downstream so the quantization stays
-  * visible in the plan.
+  * array<struct<sub, label, s2>>, dims·|labels| structs of exact
+  * integers (s2 is already mean-normalized — see [[PqKernel]]). Same
+  * map-only rationale as [[PqEncodeExpr]]; callers quantize s2 to the
+  * ppm grid downstream so the quantization stays visible in the plan.
   */
 case class PqSubDistsExpr(child: Expression, cb: PqCodebook)
     extends UnaryExpression with PqKernel {
@@ -182,8 +196,7 @@ case class PqSubDistsExpr(child: Expression, cb: PqCodebook)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("sub", IntegerType, nullable = false),
     StructField("label", IntegerType, nullable = false),
-    StructField("s2", LongType, nullable = false),
-    StructField("n", LongType, nullable = false))),
+    StructField("s2", LongType, nullable = false))),
     containsNull = false)
 
   def dists(a: ArrayData): ArrayData = {
@@ -196,7 +209,7 @@ case class PqSubDistsExpr(child: Expression, cb: PqCodebook)
       var li = 0
       while (li < cb.labelArr.length) {
         out(k) = new GenericInternalRow(
-          Array[Any](s, cb.labelArr(li), subDist(q, s, li), cb.nArr(li)))
+          Array[Any](s, cb.labelArr(li), subDist(q, s, li)))
         k += 1
         li += 1
       }
@@ -228,7 +241,7 @@ object PqExpressions {
   /** Column API: argmin PQ codes, array<struct<sub, code, sub_dist2>>. */
   def pqEncode(emb: Column, cb: PqCodebook): Column =
     column(PqEncodeExpr(expression(emb), cb))
-  /** Column API: full ADC table, array<struct<sub, label, s2, n>>. */
+  /** Column API: full ADC table, array<struct<sub, label, s2>>. */
   def pqSubDists(emb: Column, cb: PqCodebook): Column =
     column(PqSubDistsExpr(expression(emb), cb))
 }

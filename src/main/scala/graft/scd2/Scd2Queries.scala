@@ -194,9 +194,14 @@ object Scd2Queries {
   // probabilistic bounds). Scale shape: compaction is the read path
   // (delete application) + one clustered write; the gate times the
   // fold itself.
-  private val compactionFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def compactionTable(s: SparkSession, d: String): VersionedTable = {
-    val root = compactionFixtures.computeIfAbsent(d, _ => {
+  // value = (table root, version of the LAST fixture commit) — the
+  // pre-compaction manifest is pinned at build time, not re-derived
+  // from the head (compaction itself advances the head, and the gate
+  // must stay idempotent across re-runs)
+  private val compactionFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def compactionTable(s: SparkSession, d: String): (VersionedTable, Int) = {
+    val (root, preV) = compactionFixtures.computeIfAbsent(d, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-compaction-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
       val fs = new org.apache.hadoop.fs.Path(dir.getPath)
@@ -212,19 +217,20 @@ object Scd2Queries {
         one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
           .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
         one(base.filter(k % 8 === 1).select(k)), Seq(""))
-      t.mergeDeltas(
+      val preV = t.mergeDeltas(
         one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
         one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
-      dir.getPath
+      (dir.getPath, preV)
     })
-    new VersionedTable(s, root)
+    (new VersionedTable(s, root), preV)
   }
   private val compaction: Q = (s, d) => {
     import s.implicits._
-    val t = compactionTable(s, d)
-    // the v2 manifest is version-addressed: it keeps its delete
-    // entries no matter how often the gate re-runs the compaction
-    val deltasBefore = t.manifestDetail(2).count(_._3 == "x")
+    val (t, preV) = compactionTable(s, d)
+    // the pinned pre-compaction manifest keeps its delete entries no
+    // matter how often the gate re-runs the compaction (each re-run
+    // advances the head, so the head is NOT the pre-state)
+    val deltasBefore = t.manifestDetail(preV).count(_._3 == "x")
     val vc = t.compact(targetFileCount = 2)
     val after = t.manifestDetail(vc)
     t.read()

@@ -140,6 +140,16 @@ object StreamGate {
   private val topicFixtures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private val topicRollup: Q = (s, d) => {
+    // evict fixtures of stopped sessions (and their topic's copy of the
+    // events table) — test suites create many sessions, and the CHM key
+    // would otherwise pin each session + log copy for the JVM lifetime
+    val dead = topicFixtures.entrySet().iterator()
+    while (dead.hasNext) {
+      val e = dead.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        graft.sources.MemTopic.drop(e.getValue); dead.remove()
+      }
+    }
     val topic = topicFixtures.computeIfAbsent((s, d), _ => {
       val name = s"gate_events_${ctr.incrementAndGet()}_p${ProcessHandle.current().pid()}"
       graft.sources.MemTopic.create(name, partitions = 4)
