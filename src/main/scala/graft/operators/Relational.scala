@@ -708,6 +708,74 @@ object Relational {
   // tail gave ~30% failure odds across 20 on fresh data. At 100 TB the
   // sketch aggregate is the only full-data pass and it
   // partial-aggregates to d·w counters per map task.
+  // ------------------------------------------------------- 2-D skyline
+  /** Skyline / Pareto frontier (dominance query): the (order date,
+    * total price) points no other point dominates — latest-and-cheapest
+    * order profiles. A new operator FAMILY for the board: dominance is
+    * not expressible as a groupBy/join/window over keys, and the naive
+    * form is an O(n²) NOT-EXISTS self-join. The 2-D case collapses to a
+    * sorted prefix scan — sort by (date DESC, price ASC), keep a point
+    * iff its price strictly undercuts the running minimum — but a bare
+    * cumulative window over that total order is a SINGLE-REDUCER plan.
+    * Here it runs as a DISTRIBUTED PREFIX SCAN (the classic two-phase
+    * scan): range-partition on the total order, cumulative min WITHIN
+    * each partition (`Window.partitionBy(pid)` — parallel), then the
+    * per-partition minima (numPartitions rows, metadata-scale like the
+    * manifest/zone collects) broadcast back as each partition's
+    * exclusive prefix. Correct for ANY range boundary sampling — the
+    * prefix mins are computed from the partitions that actually
+    * materialized. Dedup to distinct (date, price) first so dominance
+    * ties (exact duplicates, which dominate nothing) fold into the
+    * carried count. DECIMAL prices: the strict `<` is exact in both
+    * engines. */
+  private val skyline: Q = (s, d) => {
+    import s.implicits._
+    val pts = Tables.orders(s, d)
+      .select($"o_orderdate".cast("date").as("od"),
+        dec($"o_totalprice").as("price"))
+      .groupBy($"od", $"price").agg(count(lit(1)).as("n_orders"))
+    val parted = pts.repartitionByRange(32, $"od".desc, $"price".asc)
+      .sortWithinPartitions($"od".desc, $"price".asc)
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy($"pid").orderBy($"od".desc, $"price".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("lmin", min($"price").over(w))
+    // exclusive prefix min per partition: numPartitions rows
+    val mins = local.groupBy($"pid").agg(min($"price").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
+    val prefix = mins.scanLeft((-1, null: java.math.BigDecimal)) {
+      case ((_, acc), (pid, m)) =>
+        (pid, if (acc == null || (m != null && m.compareTo(acc) < 0)) m else acc)
+    }.sliding(2).map { case Array((_, accBefore), (pid, _)) =>
+      (pid, accBefore)
+    }.toSeq
+    val preDf = s.createDataFrame(
+      s.sparkContext.parallelize(prefix.map { case (pid, m) =>
+        org.apache.spark.sql.Row(pid, m) }, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("pid", "int", nullable = false)
+        .add("gmin", DecimalType(18, 4), nullable = true))
+    local.join(broadcast(preDf), "pid")
+      .filter(($"lmin".isNull || $"price" < $"lmin") &&
+        ($"gmin".isNull || $"price" < $"gmin"))
+      .select($"od".cast("string").as("od"),
+        $"price".cast("double").as("price"), $"n_orders")
+      .orderBy($"od".desc)
+  }
+  private val skylineSql =
+    """WITH pts AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS od,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |sky AS (
+      |  SELECT * FROM pts p WHERE NOT EXISTS (
+      |    SELECT 1 FROM pts q
+      |    WHERE q.od >= p.od AND q.price <= p.price
+      |      AND (q.od > p.od OR q.price < p.price)))
+      |SELECT CAST(od AS VARCHAR) AS od, CAST(price AS DOUBLE) AS price,
+      |  n_orders
+      |FROM sky ORDER BY od DESC""".stripMargin
+
   private val heavyHitters: Q = (s, d) => {
     import s.implicits._
     val depth = 6; val width = 256
@@ -1942,6 +2010,7 @@ object Relational {
     "rel_big_orders"         -> bigOrders,
     "rel_late_suppliers"     -> lateSuppliers,
     "rel_heavy_hitters"      -> heavyHitters,
+    "rel_skyline"            -> skyline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1959,6 +2028,7 @@ object Relational {
     "rel_big_orders"         -> bigOrdersSql,
     "rel_late_suppliers"     -> lateSuppliersSql,
     "rel_heavy_hitters"      -> heavyHittersSql,
+    "rel_skyline"            -> skylineSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,

@@ -427,6 +427,17 @@ class PlanSpec extends SparkSpec {
       s"postings must pre-reduce map-side via the TopK aggregator:\n$p")
   }
 
+  test("skyline: cumulative min is partition-parallel, never single-reducer") {
+    val p = plan("rel_skyline")
+    // the prefix scan must window WITHIN range partitions (pid in the
+    // partition spec); a bare cumulative window over the total order
+    // would funnel every point through one reducer
+    assert("windowspecdefinition\\(pid".r.findFirstIn(p).isDefined,
+      s"cumulative min must partition by pid:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"skyline order must come from a parallel range sort:\n$p")
+  }
+
   test("ivf-pq: query-side tables broadcast, corpus pass stays equi-join") {
     val p = plan("sim_knn_ivfpq")
     // cells and the ADC LUT are queries×cells-bounded broadcasts; the
