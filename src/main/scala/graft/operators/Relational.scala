@@ -739,8 +739,19 @@ object Relational {
       .withColumn("pid", spark_partition_id())
     val w = Window.partitionBy($"pid").orderBy($"od".desc, $"price".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Local frontier candidates (price strictly under the running
+    // partition min), then localCheckpoint: the checkpoint PINS the
+    // (pid → rows) assignment so the minima collect below and the
+    // final filter read the SAME materialization — without it the two
+    // executions can range-partition differently (AQE/sampling) and
+    // the prefix map desynchronizes from the pids. The checkpoint is
+    // frontier-per-partition-sized (the descending-min chain), never
+    // the fact-sized input — safe at any scale.
     val local = parted.withColumn("lmin", min($"price").over(w))
-    // exclusive prefix min per partition: numPartitions rows
+      .filter($"lmin".isNull || $"price" < $"lmin")
+      .localCheckpoint()
+    // exclusive prefix min per partition: numPartitions rows (the
+    // partition's overall min survives the local filter by definition)
     val mins = local.groupBy($"pid").agg(min($"price").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
     val prefix = mins.scanLeft((-1, null: java.math.BigDecimal)) {
@@ -756,8 +767,7 @@ object Relational {
         .add("pid", "int", nullable = false)
         .add("gmin", DecimalType(18, 4), nullable = true))
     local.join(broadcast(preDf), "pid")
-      .filter(($"lmin".isNull || $"price" < $"lmin") &&
-        ($"gmin".isNull || $"price" < $"gmin"))
+      .filter($"gmin".isNull || $"price" < $"gmin")
       .select($"od".cast("string").as("od"),
         $"price".cast("double").as("price"), $"n_orders")
       .orderBy($"od".desc)

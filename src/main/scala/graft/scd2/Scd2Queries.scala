@@ -180,6 +180,87 @@ object Scd2Queries {
       |SELECT * FROM ins UNION ALL SELECT * FROM del
       |ORDER BY change, o_orderkey""".stripMargin
 
+  // INCREMENTAL JOIN VIEW under the hash gate: two versioned sources
+  // take independent MOR commits — the fact side replays the
+  // change-feed scenario (update/insert/delete across 3 commits), the
+  // dim side updates a deterministic key slice — and
+  // [[JoinViewMaintainer]] drains both feeds into a gold view. The
+  // oracle recomputes the FINAL fact ⋈ dim join in pure SQL (the same
+  // CASE algebra as scd2_changefeed, plus the dim's update), so every
+  // piece of the maintainer — retraction by key, as-of joins against
+  // the other side's applied version, the two-source tag protocol —
+  // is value-checked end-to-end, not just spec-asserted. Scale shape:
+  // each drain step reads O(span) changed rows; the gate reads the
+  // maintained view, never re-joins the sources.
+  private val joinViewFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def joinViewGold(s: SparkSession, d: String): VersionedTable = {
+    val goldRoot = joinViewFixtures.computeIfAbsent(d, _ => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-joinview-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(root.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root.getPath), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+        .filter(col("o_orderkey") % 3 === 0)
+      val dims = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("seg"))
+      val a = new VersionedTable(s, s"$root/a")
+      val b = new VersionedTable(s, s"$root/b")
+      val gold = new VersionedTable(s, s"$root/gold")
+      val k = col("o_orderkey")
+      def one(df: DataFrame) = df.coalesce(1)
+      // fact: the change-feed scenario
+      a.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L))))
+      a.mergeDeltas(
+        one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
+          .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
+        one(base.filter(k % 8 === 1).select(k)), Seq(""))
+      a.mergeDeltas(
+        one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
+        one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
+      // dim: one update span re-segmenting custkey % 7 == 3
+      b.overwrite(one(dims))
+      b.mergeDeltas(
+        one(dims.filter(col("custkey") % 7 === 3)
+          .withColumn("seg", lit("MOVED"))),
+        one(dims.filter(col("custkey") % 7 === 3).select(col("custkey"))),
+        Seq(""))
+      JoinViewMaintainer.drain(s, a, b, gold, JoinViewMaintainer.Config(
+        consumer = "gate", joinCol = "custkey",
+        aKey = "o_orderkey", bKey = "custkey"))
+      s"$root/gold"
+    })
+    new VersionedTable(s, goldRoot)
+  }
+  private val joinView: Q = (s, d) => {
+    import s.implicits._
+    joinViewGold(s, d).read()
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"rev").as("sum_rev"))
+      .orderBy($"seg")
+  }
+  private val joinViewSql =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_custkey AS custkey,
+      |    CAST(CASE WHEN o_orderkey % 16 = 8 THEN 2
+      |              WHEN o_orderkey % 8 = 1 THEN 1
+      |              ELSE 0 END AS BIGINT) AS rev
+      |  FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 16 <> 2),
+      |b AS (
+      |  SELECT c_custkey AS custkey,
+      |    CASE WHEN c_custkey % 7 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer)
+      |SELECT seg, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(rev) AS BIGINT) AS sum_rev
+      |FROM a JOIN b ON a.custkey = b.custkey
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
   // MOR COMPACTION under the hash gate: the same 3-commit
   // equality-delete scenario as the change feed (own table instance),
   // then [[VersionedTable.compact]] folds the accumulated delete
@@ -385,6 +466,7 @@ object Scd2Queries {
     "scd2_changefeed" -> changefeed,
     "scd2_optimize" -> optimizeQ,
     "scd2_compaction" -> compaction,
+    "scd2_join_view" -> joinView,
     "scd2_zorder" -> zorderQ)
 
   val oracles: Map[String, String] = Map(
@@ -394,5 +476,6 @@ object Scd2Queries {
     "scd2_changefeed" -> changefeedSql,
     "scd2_optimize" -> optimizeSql,
     "scd2_compaction" -> compactionSql,
+    "scd2_join_view" -> joinViewSql,
     "scd2_zorder" -> zorderSql)
 }
