@@ -728,7 +728,10 @@ object Relational {
     * ties (exact duplicates, which dominate nothing) fold into the
     * carried count. DECIMAL prices: the strict `<` is exact in both
     * engines. */
-  private val skyline: Q = (s, d) => {
+  /** The pre-checkpoint local-frontier pipeline, exposed separately so
+    * PlanSpec can pin its shape (the checkpoint below is eager and
+    * hides the window/range stages from the final query's plan). */
+  private[graft] def skylineLocalCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pts = Tables.orders(s, d)
       .select($"o_orderdate".cast("date").as("od"),
@@ -739,6 +742,11 @@ object Relational {
       .withColumn("pid", spark_partition_id())
     val w = Window.partitionBy($"pid").orderBy($"od".desc, $"price".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    parted.withColumn("lmin", min($"price").over(w))
+      .filter($"lmin".isNull || $"price" < $"lmin")
+  }
+  private val skyline: Q = (s, d) => {
+    import s.implicits._
     // Local frontier candidates (price strictly under the running
     // partition min), then localCheckpoint: the checkpoint PINS the
     // (pid → rows) assignment so the minima collect below and the
@@ -747,9 +755,7 @@ object Relational {
     // the prefix map desynchronizes from the pids. The checkpoint is
     // frontier-per-partition-sized (the descending-min chain), never
     // the fact-sized input — safe at any scale.
-    val local = parted.withColumn("lmin", min($"price").over(w))
-      .filter($"lmin".isNull || $"price" < $"lmin")
-      .localCheckpoint()
+    val local = skylineLocalCandidates(s, d).localCheckpoint()
     // exclusive prefix min per partition: numPartitions rows (the
     // partition's overall min survives the local filter by definition)
     val mins = local.groupBy($"pid").agg(min($"price").as("m"))

@@ -428,7 +428,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("skyline: cumulative min is partition-parallel, never single-reducer") {
-    val p = plan("rel_skyline")
+    // pin the pre-checkpoint pipeline: the gated query checkpoints the
+    // local candidates (eagerly), which hides these stages from the
+    // final plan string
+    val p = Relational.skylineLocalCandidates(spark, sfDir)
+      .queryExecution.executedPlan.toString
     // the prefix scan must window WITHIN range partitions (pid in the
     // partition spec); a bare cumulative window over the total order
     // would funnel every point through one reducer
