@@ -109,7 +109,8 @@ final case class TopicOffset(offsets: Map[Int, Long]) extends Offset {
       .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
 }
 object TopicOffset {
-  private val Entry = """"(\d+)":(\d+)""".r
+  // -? : the codec is total over Long offsets (FunctionsSpec property)
+  private val Entry = """"(\d+)":(-?\d+)""".r
   def parse(json: String): TopicOffset =
     TopicOffset(Entry.findAllMatchIn(json)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)

@@ -153,4 +153,24 @@ class FunctionsSpec extends SparkSpec {
     assert(ragged.select(graft.functions.VectorExpressions
       .vecL2Sq(col("x"), col("y")).as("d")).collect()(0).isNullAt(0))
   }
+
+  // ------------------------------------------------------ TopicOffset
+  test("TopicOffset JSON round-trips for any partition map (property)") {
+    import graft.sources.TopicOffset
+    // checkpointed offsets survive serialize → recover exactly; -1 is
+    // a legitimate pre-consumption value
+    val mapGen: Gen[Map[Int, Long]] = Gen.mapOf(for {
+      p <- Gen.chooseNum(0, 512)
+      o <- Gen.chooseNum(-1L, Long.MaxValue / 2)
+    } yield p -> o)
+    check(Prop.forAll(mapGen) { m =>
+      TopicOffset.parse(TopicOffset(m).json()).offsets == m
+    })
+    // canonical form: equal maps serialize identically regardless of
+    // insertion order (the engine compares offset JSON strings)
+    check(Prop.forAll(mapGen) { m =>
+      TopicOffset(m).json() ==
+        TopicOffset(m.toSeq.reverse.toMap).json()
+    })
+  }
 }
