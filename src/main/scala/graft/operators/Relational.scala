@@ -1773,6 +1773,59 @@ object Relational {
   // unhinted): at test SF the planner would otherwise broadcast the
   // statically-small sides, and the pinned plan must be the one that
   // survives 100×.
+  // ------------------------------------------------- BFS hop distances
+  /** Single-source BFS over the part co-purchase graph — the iterative
+    * frontier-expansion pattern (Pregel's core loop) next to pagerank's
+    * fixed-iteration power method and the CC label propagation: each
+    * round joins the CURRENT FRONTIER (not the whole visited set)
+    * against the edge list, anti-joins out already-visited nodes, and
+    * stops at the hop bound. Scale shape: edge list built once and
+    * localCheckpoint-truncated (the pagerank pattern); every round is
+    * one frontier-keyed shuffled join + one anti-join — O(frontier)
+    * work per round, O(diameter) rounds, monotone visited set. The
+    * oracle is a DuckDB RECURSIVE CTE — path enumeration bounded by
+    * the same hop cap, folded to MIN(hops) per node; first-visit
+    * frontier semantics ≡ min-over-paths by BFS's invariant. */
+  private val bfsHops: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).filter($"l_orderkey" % 4 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val e0 = li.as("a").hint("merge")
+      .join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .distinct()
+    val edges = e0.unionAll(e0.select($"p2".as("p1"), $"p1".as("p2")))
+      .localCheckpoint()
+    val src = edges.agg(min($"p1")).head.getLong(0)
+    var frontier = Seq(src).toDF("node").withColumn("hops", lit(0))
+    var visited = frontier
+    for (h <- 1 to 3) {
+      val next = edges.join(frontier.select($"node"), $"p1" === $"node")
+        .select($"p2".as("node")).distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint() // truncate per-round lineage (pagerank pattern)
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited.orderBy($"hops", $"node")
+  }
+  private val bfsHopsSql =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+      |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |ed AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e),
+      |bfs(node, hops) AS (
+      |  SELECT (SELECT MIN(p1) FROM ed), 0
+      |  UNION ALL
+      |  SELECT ed.p2, bfs.hops + 1
+      |  FROM bfs JOIN ed ON ed.p1 = bfs.node WHERE bfs.hops < 3)
+      |SELECT node, CAST(MIN(hops) AS INT) AS hops
+      |FROM bfs GROUP BY node ORDER BY hops, node""".stripMargin
+
   private val triangleCount: Q = (s, d) => {
     import s.implicits._
     val li = Tables.lineitem(s, d).filter($"l_orderkey" % 4 === 0)
@@ -2027,6 +2080,7 @@ object Relational {
     "rel_late_suppliers"     -> lateSuppliers,
     "rel_heavy_hitters"      -> heavyHitters,
     "rel_skyline"            -> skyline,
+    "rel_bfs_hops"           -> bfsHops,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2045,6 +2099,7 @@ object Relational {
     "rel_late_suppliers"     -> lateSuppliersSql,
     "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_skyline"            -> skylineSql,
+    "rel_bfs_hops"           -> bfsHopsSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,
