@@ -182,15 +182,46 @@ object StreamGate {
       .orderBy(col("event_type"))
   }
 
+  /** HOPPING (sliding) windows through the streaming engine — the
+    * second half of T3's window surface next to the tumbling gate:
+    * 2-day windows hopping daily, so every event lands in exactly TWO
+    * overlapping windows. The oracle replays that membership rule in
+    * SQL (each event contributes to the windows starting at its day
+    * and the day before) — the gate pins Spark's epoch-aligned hop
+    * assignment, the doubled state footprint, and the aggregate
+    * values, not just that the query runs. */
+  private val hoppingCounts: Q = (s, d) =>
+    runToMemory(s, d, "stream_hopping") { lane =>
+      graft.Tables.eventsTimestamps(lane())
+        .select(col("ts").cast("timestamp").as("ets"), col("event_type"))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
+      .select(col("window.start").cast("date").cast("string").as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+  private val hoppingCountsSql =
+    """WITH m AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS win_start, event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CAST(CAST(ts AS DATE) - 1 AS VARCHAR), event_type
+      |  FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n_events
+      |FROM m GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_event_rollup" -> eventRollup,
     "stream_dedup_rollup" -> dedupRollup,
     "stream_windowed_counts" -> windowedCounts,
+    "stream_hopping_counts" -> hoppingCounts,
     "stream_topic_rollup" -> topicRollup)
   val oracles: Map[String, String] = Map(
     "stream_event_rollup" -> eventRollupSql,
     "stream_dedup_rollup" -> eventRollupSql,
     "stream_windowed_counts" -> windowedCountsSql,
+    "stream_hopping_counts" -> hoppingCountsSql,
     // same rollup oracle: the topic trip must be value-lossless
     "stream_topic_rollup" -> eventRollupSql)
 }
