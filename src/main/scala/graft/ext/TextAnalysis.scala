@@ -306,9 +306,14 @@ object TextAnalysis {
     val postingsK = 20
     val td = Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
+    // localCheckpoint: the stats subtree otherwise re-explodes the
+    // full corpus for the semi-join term set AND the final join — the
+    // checkpoint is vocabulary-bounded (df ≥ 50 terms), one corpus
+    // pass saved (the semanticDedup rationale)
     val stats = td.groupBy($"w")
       .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
       .filter($"df" >= 50)
+      .localCheckpoint()
     val topk = new graft.functions.TopK(postingsK)
     val postings = td
       .join(broadcast(stats.select($"w")), Seq("w"), "left_semi")

@@ -760,10 +760,13 @@ object Relational {
     // partition's overall min survives the local filter by definition)
     val mins = local.groupBy($"pid").agg(min($"price").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
+    // collect (not map): an empty input yields a single 1-element
+    // sliding window, which must fold to an empty prefix list, not a
+    // MatchError
     val prefix = mins.scanLeft((-1, null: java.math.BigDecimal)) {
       case ((_, acc), (pid, m)) =>
         (pid, if (acc == null || (m != null && m.compareTo(acc) < 0)) m else acc)
-    }.sliding(2).map { case Array((_, accBefore), (pid, _)) =>
+    }.sliding(2).collect { case Array((_, accBefore), (pid, _)) =>
       (pid, accBefore)
     }.toSeq
     val preDf = s.createDataFrame(
@@ -1797,19 +1800,24 @@ object Relational {
       .distinct()
     val edges = e0.unionAll(e0.select($"p2".as("p1"), $"p1".as("p2")))
       .localCheckpoint()
-    val src = edges.agg(min($"p1")).head.getLong(0)
-    var frontier = Seq(src).toDF("node").withColumn("hops", lit(0))
-    var visited = frontier
-    for (h <- 1 to 3) {
-      val next = edges.join(frontier.select($"node"), $"p1" === $"node")
-        .select($"p2".as("node")).distinct()
-        .join(visited.select($"node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-        .localCheckpoint() // truncate per-round lineage (pagerank pattern)
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next
+    val srcRow = edges.agg(min($"p1")).head
+    if (srcRow.isNullAt(0)) { // no edges → empty BFS, not an NPE
+      Seq.empty[(Long, Int)].toDF("node", "hops")
+    } else {
+      val src = srcRow.getLong(0)
+      var frontier = Seq(src).toDF("node").withColumn("hops", lit(0))
+      var visited = frontier
+      for (h <- 1 to 3) {
+        val next = edges.join(frontier.select($"node"), $"p1" === $"node")
+          .select($"p2".as("node")).distinct()
+          .join(visited.select($"node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h))
+          .localCheckpoint() // truncate per-round lineage (pagerank pattern)
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      visited.orderBy($"hops", $"node")
     }
-    visited.orderBy($"hops", $"node")
   }
   private val bfsHopsSql =
     """WITH RECURSIVE li AS (

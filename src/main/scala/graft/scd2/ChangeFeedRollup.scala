@@ -53,10 +53,8 @@ object ChangeFeedRollup {
     // exactly after the applied span.
     def lastApplied: Option[Int] =
       if (!gold.exists) None
-      else gold.history().iterator.flatMap(_._3).collectFirst {
-        case m if m.startsWith(s"cfr-$consumer-") =>
-          m.stripPrefix(s"cfr-$consumer-").toIntOption
-      }.flatten
+      else gold.findLatestMeta(_.startsWith(s"cfr-$consumer-"))
+        .flatMap(_.stripPrefix(s"cfr-$consumer-").toIntOption)
     val applied = lastApplied
     applied.filter(v => v > src.cursor(consumer).getOrElse(-1))
       .foreach(v => src.ackChanges(consumer, v))

@@ -62,8 +62,11 @@ object JoinViewMaintainer {
     * history; (-1, -1) when the view has never been written. */
   def applied(gold: VersionedTable, c: Config): (Int, Int) =
     if (!gold.exists) (-1, -1)
-    else gold.history().iterator.flatMap(_._3).collectFirst {
-      case TagRe(name, va, vb) if name == c.consumer => (va.toInt, vb.toInt)
+    else gold.findLatestMeta {
+      case TagRe(name, _, _) => name == c.consumer
+      case _ => false
+    }.collect {
+      case TagRe(_, va, vb) => (va.toInt, vb.toInt)
     }.getOrElse((-1, -1))
 
   /** Apply one pending span of A (if any); returns the A version applied. */

@@ -122,6 +122,29 @@ object Scd2Queries {
   // amplification. The path carries a per-process discriminator so two
   // JVMs against the same sfDir (Verify racing Bench, parallel CI
   // forks) never clobber each other mid-commit.
+  /** The shared 3-commit MOR scenario (one source of truth for the
+    * change-feed, compaction, and join-view fixtures — their oracles
+    * all replay this CASE algebra):
+    *   v0 overwrite: keys with k%4 != 0            (rev 0)
+    *   v1 merge:     update k%8 == 1 → rev 1; insert all k%4 == 0
+    *   v2 merge:     update k%16 == 8 → rev 2; delete k%16 == 2
+    * `base` must carry `o_orderkey`; other columns pass through.
+    * Returns the last committed version. */
+  private def morScenario(t: VersionedTable, base: DataFrame): Int = {
+    val k = col("o_orderkey")
+    // single-file commits: each write here is a dim-sized delta, and a
+    // real writer coalesces those (small-file avoidance)
+    def one(df: DataFrame) = df.coalesce(1)
+    t.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L))))
+    t.mergeDeltas(
+      one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
+        .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
+      one(base.filter(k % 8 === 1).select(k)), Seq(""))
+    t.mergeDeltas(
+      one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
+      one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
+  }
+
   private val feedFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def changefeedTable(s: SparkSession, d: String): VersionedTable = {
     val root = feedFixtures.computeIfAbsent(d, _ => {
@@ -135,18 +158,7 @@ object Scd2Queries {
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .filter(col("o_orderkey") % 3 === 0)
       val t = new VersionedTable(s, dir.getPath)
-      val k = col("o_orderkey")
-      // single-file commits: each write here is a dim-sized delta, and a
-      // real writer coalesces those (small-file avoidance)
-      def one(df: DataFrame) = df.coalesce(1)
-      t.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L)))) // v0
-      t.mergeDeltas(
-        one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
-          .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
-        one(base.filter(k % 8 === 1).select(k)), Seq(""))                   // v1
-      t.mergeDeltas(
-        one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
-        one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))  // v2
+      morScenario(t, base)
       dir.getPath
     })
     new VersionedTable(s, root)
@@ -209,17 +221,9 @@ object Scd2Queries {
       val a = new VersionedTable(s, s"$root/a")
       val b = new VersionedTable(s, s"$root/b")
       val gold = new VersionedTable(s, s"$root/gold")
-      val k = col("o_orderkey")
       def one(df: DataFrame) = df.coalesce(1)
-      // fact: the change-feed scenario
-      a.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L))))
-      a.mergeDeltas(
-        one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
-          .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
-        one(base.filter(k % 8 === 1).select(k)), Seq(""))
-      a.mergeDeltas(
-        one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
-        one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
+      // fact: the shared change-feed scenario
+      morScenario(a, base)
       // dim: one update span re-segmenting custkey % 7 == 3
       b.overwrite(one(dims))
       b.mergeDeltas(
@@ -291,16 +295,7 @@ object Scd2Queries {
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .filter(col("o_orderkey") % 3 === 0)
       val t = new VersionedTable(s, dir.getPath)
-      val k = col("o_orderkey")
-      def one(df: DataFrame) = df.coalesce(1)
-      t.overwrite(one(base.filter(k % 4 =!= 0).withColumn("rev", lit(0L))))
-      t.mergeDeltas(
-        one(base.filter(k % 8 === 1).withColumn("rev", lit(1L))
-          .unionByName(base.filter(k % 4 === 0).withColumn("rev", lit(0L)))),
-        one(base.filter(k % 8 === 1).select(k)), Seq(""))
-      val preV = t.mergeDeltas(
-        one(base.filter(k % 16 === 8).withColumn("rev", lit(2L))),
-        one(base.filter(k % 16 === 8 || k % 16 === 2).select(k)), Seq(""))
+      val preV = morScenario(t, base)
       (dir.getPath, preV)
     })
     (new VersionedTable(s, root), preV)

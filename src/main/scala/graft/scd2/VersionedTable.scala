@@ -267,6 +267,17 @@ final class VersionedTable(spark: SparkSession, root: String,
       (v, m.parent, m.meta, m.entries.size, m.ts)
     }
 
+  /** The most recent commit meta satisfying `p`, scanning versions
+    * newest-first LAZILY and stopping at the first hit — O(1) manifest
+    * reads in the steady state where the wanted tag sits at or near
+    * the head, vs [[history]]'s eager O(versions) materialization.
+    * The recovery-tag scans (cfr / jv protocols) run on every apply
+    * cycle, so their cost must not grow with the view's lifetime. */
+  def findLatestMeta(p: String => Boolean): Option[String] =
+    committedVersions().reverseIterator
+      .flatMap(v => readManifest(v).meta)
+      .collectFirst { case m if p(m) => m }
+
   /** Commit `df` as the next FULL snapshot; returns the new version.
     * `clusterBy` sorts within write tasks so parquet row-group min/max
     * stats become tight zone maps (Delta OPTIMIZE ZORDER's cheap

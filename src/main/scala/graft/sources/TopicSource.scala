@@ -111,9 +111,19 @@ final case class TopicOffset(offsets: Map[Int, Long]) extends Offset {
 object TopicOffset {
   // -? : the codec is total over Long offsets (FunctionsSpec property)
   private val Entry = """"(\d+)":(-?\d+)""".r
-  def parse(json: String): TopicOffset =
-    TopicOffset(Entry.findAllMatchIn(json)
+  def parse(json: String): TopicOffset = {
+    val parsed = TopicOffset(Entry.findAllMatchIn(json)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+    // STRICT: a scraped-but-partial parse of a corrupted checkpoint
+    // would silently default missing partitions to offset 0 downstream
+    // and re-deliver their whole history. Our own json() is canonical,
+    // and the engine only ever hands back what json() produced — so
+    // anything that fails the exact round-trip is corruption and must
+    // fail the query, like Kafka's source does.
+    require(parsed.json() == json.filterNot(_.isWhitespace),
+      s"corrupt topic offset JSON: '$json'")
+    parsed
+  }
 }
 
 /** `spark.readStream.format(classOf[MemTopicProvider].getName)`.
@@ -191,15 +201,31 @@ class MemTopicStream(topic: String, options: CaseInsensitiveStringMap)
     val avail = availableNowBound.getOrElse(snapshotLatest).offsets
     limit match {
       case mr: ReadMaxRows =>
-        // deterministic greedy admission in partition order — each
-        // trigger advances at most maxRows offsets across partitions
-        var budget = mr.maxRows()
-        TopicOffset(partitions.map { p =>
+        // FAIR admission (Kafka-style apportioning): distribute the
+        // budget over partitions with backlog in equal shares, then
+        // redistribute any leftover — a greedy partition-order fill
+        // would starve the higher partitions forever when partition 0
+        // alone produces more than maxRows per trigger
+        val backlog = partitions.map { p =>
           val lo = from.getOrElse(p, 0L)
-          val hi = avail.getOrElse(p, lo)
-          val take = math.min(math.max(hi - lo, 0L), budget)
-          budget -= take
-          p -> (lo + take)
+          p -> math.max(avail.getOrElse(p, lo) - lo, 0L)
+        }.toMap
+        val take = scala.collection.mutable.Map(
+          partitions.map(p => p -> 0L): _*)
+        var budget = mr.maxRows()
+        var hungry = partitions.filter(p => backlog(p) > 0)
+        while (budget > 0 && hungry.nonEmpty) {
+          val share = math.max(budget / hungry.size, 1L)
+          hungry.foreach { p =>
+            if (budget > 0) {
+              val t = math.min(share, math.min(backlog(p) - take(p), budget))
+              take(p) += t; budget -= t
+            }
+          }
+          hungry = hungry.filter(p => take(p) < backlog(p))
+        }
+        TopicOffset(partitions.map { p =>
+          p -> (from.getOrElse(p, 0L) + take(p))
         }.toMap)
       case _ => TopicOffset(avail)
     }
