@@ -78,6 +78,26 @@ class TopicSourceSpec extends SparkSpec {
     } finally MemTopic.drop(t)
   }
 
+  test("admission control apportions the budget fairly across partitions") {
+    // a greedy partition-order fill would hand all 50 to partition 0
+    // and starve partition 1; fair shares drain the small partition
+    // completely and give the large one the remaining budget
+    import graft.sources.{MemTopicStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val t = "t_fair"; MemTopic.create(t, partitions = 2)
+    try {
+      (0 until 1000).foreach(i => MemTopic.produce(t, 0, s"a$i", "v"))
+      (0 until 10).foreach(i => MemTopic.produce(t, 1, s"b$i", "v"))
+      val stream = new MemTopicStream(t,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      val end = stream.latestOffset(TopicOffset(Map(0 -> 0L, 1 -> 0L)),
+        ReadLimit.maxRows(50)).asInstanceOf[TopicOffset]
+      assert(end.offsets(1) == 10, s"small partition must drain: $end")
+      assert(end.offsets(0) == 40, s"large partition gets the rest: $end")
+    } finally MemTopic.drop(t)
+  }
+
   test("CDC bronze pipeline runs end-to-end on the topic lane (S1 parity)") {
     // the reference's cdc_to_parquet shape: Kafka value column →
     // envelope flatten → partitioned bronze. The topic lane feeds the
