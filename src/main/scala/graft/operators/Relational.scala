@@ -210,6 +210,45 @@ object Relational {
       |GROUP BY s.user_id, s.event_id
       |ORDER BY s.user_id, signup_event_id""".stripMargin
 
+  // ------------------------------------------- interval overlap join
+  /** KEYLESS interval-overlap join — the join class Catalyst can only
+    * plan as a nested loop (`a.start ≤ b.end AND b.start ≤ a.end` has
+    * no equi-conjunct), re-expressed with BIN BLOCKING + the home-bin
+    * trick: every 7-day onboarding window explodes to its covered
+    * days, the self-join is an EQUI-join on the day bin, and each
+    * overlapping pair is kept only in the bin where its overlap
+    * STARTS (`day == greatest(start_a, start_b)`) — membership in
+    * that bin is exactly the overlap test, so the filter both dedups
+    * (each pair surfaces once, no distinct over the pair blowup) and
+    * proves overlap. Scale shape: one exchange keyed on the day bin;
+    * per-bin work is (intervals covering that day)², never |A|·|B|;
+    * no BroadcastNestedLoopJoin at any size. The 1-in-97 user slice
+    * keeps the pair count non-degenerate at every SF. */
+  private val intervalOverlap: Q = (s, d) => {
+    import s.implicits._
+    val su = Tables.events(s, d)
+      .filter($"event_type" === "signup" && $"user_id" % 97 === 0)
+      .select($"event_id", $"ts".cast("date").as("d0"))
+    val binned = su.select($"event_id", $"d0",
+      explode(expr("sequence(d0, d0 + interval 6 day)")).as("day"))
+    binned.as("a").join(binned.as("b"),
+        $"a.day" === $"b.day" && $"a.event_id" < $"b.event_id")
+      .filter($"a.day" === greatest($"a.d0", $"b.d0")) // home bin ⇔ overlap
+      .groupBy($"a.day".cast("string").as("ostart"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"ostart")
+  }
+  private val intervalOverlapSql =
+    """WITH s AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d0 FROM events
+      |  WHERE event_type = 'signup' AND user_id % 97 = 0),
+      |p AS (
+      |  SELECT GREATEST(a.d0, b.d0) AS ostart
+      |  FROM s a JOIN s b ON a.event_id < b.event_id
+      |    AND a.d0 <= b.d0 + 6 AND b.d0 <= a.d0 + 6)
+      |SELECT CAST(ostart AS VARCHAR) AS ostart, COUNT(*) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY ostart""".stripMargin
+
   // Full outer join: both null-generating sides at once (supplier ⟗
   // customer per nation — nations may have either side empty at small SF).
   private val joinFullOuter: Q = (s, d) => {
@@ -2089,6 +2128,7 @@ object Relational {
     "rel_heavy_hitters"      -> heavyHitters,
     "rel_skyline"            -> skyline,
     "rel_bfs_hops"           -> bfsHops,
+    "rel_interval_overlap"   -> intervalOverlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2108,6 +2148,7 @@ object Relational {
     "rel_heavy_hitters"      -> heavyHittersSql,
     "rel_skyline"            -> skylineSql,
     "rel_bfs_hops"           -> bfsHopsSql,
+    "rel_interval_overlap"   -> intervalOverlapSql,
     "rel_returned_revenue"   -> returnedRevenueSql,
     "rel_pagerank"           -> pagerankSql,
     "rel_salted_join"        -> saltedJoinSql,

@@ -442,6 +442,17 @@ class PlanSpec extends SparkSpec {
       s"skyline order must come from a parallel range sort:\n$p")
   }
 
+  test("interval overlap joins on the day bin, never a nested loop") {
+    val p = plan("rel_interval_overlap")
+    // the keyless overlap predicate must NOT surface as a BNLJ — the
+    // bin blocking turns it into an equi-join on the exploded day
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap join must be bin-blocked, not nested-loop:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"expected an equi-join on the bin:\n$p")
+  }
+
   test("ivf-pq: query-side tables broadcast, corpus pass stays equi-join") {
     val p = plan("sim_knn_ivfpq")
     // cells and the ADC LUT are queries×cells-bounded broadcasts; the
