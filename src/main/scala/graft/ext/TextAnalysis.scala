@@ -1407,20 +1407,34 @@ object TextAnalysis {
     * tables only — at 100 TB that is millions of rows, not billions. */
   private val collocations: Q = (s, d) => {
     import s.implicits._
-    val ws = Tables.spread(Tables.documents(s, d))
-      .select($"doc_id", toks($"text").as("ws"))
-    val uni = ws.select(explode($"ws").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cw"))
-    val bg = ws.filter(size($"ws") >= 2)
+    // ONE tokenize + explode over the corpus: token i emits
+    // (w1 = ws[i], w2 = ws[i+1] | NULL at document end), so the single
+    // (w1, w2)-keyed aggregate carries BOTH distributions — unigram
+    // counts are the w1-marginal (every token appears exactly once as
+    // w1), bigram counts are the w2-NOT-NULL rows, and the bigram
+    // total is their sum. The aggregate is localCheckpoint'd (the
+    // pagerank pattern): its three consumers would otherwise push
+    // DIFFERENT isnotnull filters below the aggregate (join keys on
+    // one branch, none on the marginal), defeating exchange reuse and
+    // re-running the corpus pass three times — the checkpoint pins the
+    // vocab-sized result once and every downstream op is vocab-sized.
+    val counts = Tables.spread(Tables.documents(s, d))
+      .select(toks($"text").as("ws"))
+      .filter(size($"ws") >= 1) // sequence(1,0) would DESCEND, not empty
       .select(explode(expr(
-        "transform(sequence(1, size(ws)-1), " +
-          "i -> struct(element_at(ws,i) as w1, element_at(ws,i+1) as w2))")).as("b"))
+        "transform(sequence(1, size(ws)), i -> struct(" +
+          "element_at(ws,i) as w1, " +
+          "case when i < size(ws) then element_at(ws,i+1) end as w2))")).as("b"))
       .select($"b.w1", $"b.w2")
-      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = counts.groupBy($"w1").agg(sum($"c").as("cw"))
+    val bg = counts.filter($"w2".isNotNull)
+      .select($"w1", $"w2", $"c".as("cab"))
     val tot = bg.agg(sum($"cab").as("t"))
     bg.filter($"cab" >= 5)
-      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), "w1")
-      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), "w2")
+      .join(uni.select($"w1", $"cw".as("ca")), "w1")
+      .join(uni.select($"w1".as("w2"), $"cw".as("cb")), "w2")
       .crossJoin(broadcast(tot))
       .select($"w1", $"w2", $"cab",
         expr("cab * t * 1000000L div (ca * cb)").as("lift_ppm"))
