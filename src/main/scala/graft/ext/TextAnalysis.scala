@@ -617,6 +617,84 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- per-source cap
+  // Per-domain document cap (the C4 / RefinedWeb domain-balancing
+  // step): keep at most K docs per source, chosen by a deterministic
+  // content-stable order (md5 priority, doc_id tiebreak — the
+  // train-split recipe, different salt). Scale shape: a naive
+  // PARTITION BY source window sorts every mega-domain on one
+  // partition — the classic skew trap — so the cap is HIERARCHICAL:
+  // a salted (source, doc_id mod 16) local top-K first (bounds any
+  // group at its 1/16th), then the global per-source top-K over the
+  // ≤ 16·K survivors. Top-K commutes with the salt split (the global
+  // best-K of a source all survive their salt group's local K), so
+  // the result is exactly the flat window's and the oracle is the
+  // plain SQL ROW_NUMBER form.
+  private val DomainCapK = 15
+  private val domainCap: Q = (s, d) => {
+    import s.implicits._
+    val pri = md5(concat(lit("cap:"), $"doc_id".cast("string")))
+    val local = Window.partitionBy($"source", pmod($"doc_id", lit(16)))
+      .orderBy($"pri", $"doc_id")
+    val global = Window.partitionBy($"source").orderBy($"pri", $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", pri.as("pri"))
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= DomainCapK)
+      .withColumn("rk", row_number().over(global))
+      .filter($"rk" <= DomainCapK)
+      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id")
+  }
+  private val domainCapSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
+       |WHERE rk <= $DomainCapK ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- weighted (importance) sample
+  // Length-weighted Bernoulli sampling with Horvitz–Thompson inverse
+  // probabilities (importance sampling for mixture reweighting): doc d
+  // keeps with p_d = n_chars_d / max_chars, decided by a deterministic
+  // md5 uniform — reproducible across runs, engines, and shard counts,
+  // like every sampling op here. The kept rows carry inv_p_ppm (≈ 1/p
+  // on the integer ppm grid) so a downstream aggregate can unbiasedly
+  // estimate full-corpus statistics from the sample. Scale shape: ONE
+  // partial-aggregate pass to a scalar (max), broadcast back, then a
+  // pure map filter — the corpus is never shuffled.
+  private val sampleWeighted: Q = (s, d) => {
+    import s.implicits._
+    val hx = "0123456789abcdef"
+    val m = Tables.documents(s, d).agg(max($"n_chars").as("maxc"))
+    Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("wsamp:"), $"doc_id".cast("string"))))
+      .withColumn("u",
+        ((expr(s"locate(substr(h,1,1),'$hx')") - 1) * 16 +
+          expr(s"locate(substr(h,2,1),'$hx')") - 1).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter($"u" * $"maxc" < $"n_chars" * 256)
+      .select($"doc_id", $"n_chars", $"u".as("samp_key"),
+        expr("maxc * 1000000L div n_chars").as("inv_p_ppm"))
+      .orderBy($"doc_id")
+  }
+  private val sampleWeightedSql =
+    """WITH m AS (SELECT MAX(n_chars) AS maxc FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST((strpos('0123456789abcdef',
+      |        substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),1,1)) - 1) * 16
+      |      + strpos('0123456789abcdef',
+      |        substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),2,1)) - 1
+      |      AS BIGINT) AS u
+      |  FROM documents)
+      |SELECT doc_id, n_chars, u AS samp_key,
+      |  CAST(maxc * 1000000 // n_chars AS BIGINT) AS inv_p_ppm
+      |FROM b, m WHERE u * maxc < n_chars * 256
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- sequence packing
   // Pretraining sequence packing: lay documents head-to-tail into
   // fixed token-budget context windows (bins) — per SHARD, because
@@ -1487,6 +1565,8 @@ object TextAnalysis {
     "text_repetition" -> repetition,
     "text_scrub" -> scrub,
     "text_sample_stratified" -> sampleStratified,
+    "text_domain_cap" -> domainCap,
+    "text_sample_weighted" -> sampleWeighted,
     "text_pack_sequences" -> packSequences,
     "text_keywords" -> keywords)
 
@@ -1517,6 +1597,8 @@ object TextAnalysis {
     "text_repetition" -> repetitionSql,
     "text_scrub" -> scrubSql,
     "text_sample_stratified" -> sampleStratifiedSql,
+    "text_domain_cap" -> domainCapSql,
+    "text_sample_weighted" -> sampleWeightedSql,
     "text_pack_sequences" -> packSequencesSql,
     "text_keywords" -> keywordsSql)
 }

@@ -35,7 +35,8 @@ object StreamGate {
     * run it to a memory sink with bounded AvailableNow replay in
     * complete mode, and hand the sink table back. Every gate differs
     * only in its transform; the replay contract lives HERE once. */
-  private def runToMemory(s: SparkSession, d: String, sinkPrefix: String)(
+  private def runToMemory(s: SparkSession, d: String, sinkPrefix: String,
+      mode: String = "complete")(
       transform: (() => DataFrame) => DataFrame): DataFrame = {
     val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -46,7 +47,7 @@ object StreamGate {
       .parquet(d)
     val q = transform(() => lane()).writeStream
       .format("memory").queryName(sink)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -211,17 +212,105 @@ object StreamGate {
       |SELECT win_start, event_type, COUNT(*) AS n_events
       |FROM m GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** GAP-BASED SESSION WINDOWS through the streaming engine, under the
+    * gate — native `session_window` (T3's third window kind next to
+    * the tumbling and hopping gates) promoted from spec-only
+    * (StreamingSpec `sessionCounts`) to the hash oracle. 30-minute
+    * inactivity gap per user, same spec as the batch gaps-and-islands
+    * twin (`rel_sessions`). Boundary semantics pinned by the oracle:
+    * Spark merges two events iff their gap windows OVERLAP, so a gap
+    * of EXACTLY 30 min starts a new session — the oracle's split
+    * condition is `>=`, not `>` (the batch twin's LAG formulation uses
+    * `>`; both are exact, they are different specs). Scale: session
+    * merge state is per-user and watermark-evicted in a production
+    * append-mode run; bounded AvailableNow replay + complete mode
+    * keeps emission total so the gate checks every session. */
+  private val sessionWindows: Q = (s, d) =>
+    runToMemory(s, d, "stream_sessions") { lane =>
+      graft.Tables.eventsTimestamps(lane())
+        .select(col("ts").cast("timestamp").as("ets"),
+          col("user_id"), col("event_id"))
+        .withWatermark("ets", "1 hour")
+        .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("first_event"), col("last_event"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  private val sessionWindowsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS sid
+      |  FROM flagged)
+      |SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM sessioned GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** STREAM-STREAM INNER JOIN under the gate — T6's join surface
+    * promoted from spec-only batch-twin checks: two independent
+    * readStream lanes over the same feed (clicks, purchases), joined
+    * on the key with an event-time RANGE condition (purchase within 30
+    * minutes after the click), both sides watermarked. Inner-join
+    * matches emit as soon as both rows arrive (append mode — a
+    * stream-stream join has no complete mode); the watermark + range
+    * condition is what BOUNDS the join state in a production run: each
+    * side keeps only rows younger than watermark + range, exactly the
+    * state-eviction contract this gate exercises through the real
+    * engine. The oracle is the plain batch self-join. */
+  private val joinEnrich: Q = (s, d) =>
+    runToMemory(s, d, "stream_join", mode = "append") { lane =>
+      def side(tpe: String, u: String, e: String, t: String) =
+        graft.Tables.eventsTimestamps(lane())
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(u), col("event_id").as(e),
+            col("ts").cast("timestamp").as(t))
+          .withWatermark(t, "1 hour")
+      side("click", "user_id", "click_id", "c_ts")
+        .join(side("purchase", "p_user", "purchase_id", "p_ts"),
+          expr("user_id = p_user AND p_ts >= c_ts AND " +
+            "p_ts < c_ts + INTERVAL 30 MINUTES"))
+    }
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  private val joinEnrichSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) < 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_event_rollup" -> eventRollup,
     "stream_dedup_rollup" -> dedupRollup,
     "stream_windowed_counts" -> windowedCounts,
     "stream_hopping_counts" -> hoppingCounts,
+    "stream_session_windows" -> sessionWindows,
+    "stream_join_enrich" -> joinEnrich,
     "stream_topic_rollup" -> topicRollup)
   val oracles: Map[String, String] = Map(
     "stream_event_rollup" -> eventRollupSql,
     "stream_dedup_rollup" -> eventRollupSql,
     "stream_windowed_counts" -> windowedCountsSql,
     "stream_hopping_counts" -> hoppingCountsSql,
+    "stream_session_windows" -> sessionWindowsSql,
+    "stream_join_enrich" -> joinEnrichSql,
     // same rollup oracle: the topic trip must be value-lossless
     "stream_topic_rollup" -> eventRollupSql)
 }

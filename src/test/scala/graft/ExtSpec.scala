@@ -838,6 +838,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("domain cap: hierarchical salted top-K equals the flat per-source window") {
+    // top-K commutes with the salt split — the global best-K of a
+    // source all survive their salt group's local K. sf0.01 so the
+    // cap actually binds (≈25 docs/source vs K=15); at sf0.001 every
+    // source is under the cap and the law would hold vacuously.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d01 = "/root/testdata/sf0.01"
+    val got = TextAnalysis.queries("text_domain_cap")(spark, d01)
+      .collect().map(_.toSeq)
+    val flat = Tables.documents(spark, d01)
+      .selectExpr("doc_id", "source",
+        "md5(concat('cap:', cast(doc_id as string))) as pri")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"pri", $"doc_id")))
+      .filter($"rk" <= 15)
+      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    assert(got.length < Tables.documents(spark, d01).count()) // cap binds
+    assert(got.toSeq == flat.toSeq)
+  }
+
   test("mrl truncation: overlap bounded by k and identical-prefix self-consistency") {
     import spark.implicits._
     val rows = SparkEntry.queries("sim_mrl_truncate")(spark, sfDir).collect()

@@ -463,4 +463,24 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"ivf-pq corpus pass must stay equi-join:\n$p")
   }
+
+  test("weighted sample: broadcast scalar + map filter, corpus never shuffles") {
+    // the max aggregate reduces to a 1-row broadcast; the keep decision
+    // is a pure map — a hash exchange here means the corpus shuffled
+    // for a per-row Bernoulli test
+    val p = plan("text_sample_weighted")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for the keep decision:\n$p")
+    assert(p.contains("BroadcastExchange"), s"scalar must broadcast:\n$p")
+  }
+
+  test("domain cap: salted local top-K guards the per-source window") {
+    // two row_number passes — the (source, doc_id%16) local cap that
+    // bounds any mega-domain's sort at 1/16th, then the per-source
+    // global cap over ≤ 16·K survivors
+    val p = plan("text_domain_cap")
+    assert(p.contains("pmod"), s"salted pre-cap missing:\n$p")
+    val rn = "row_number()".r.findAllIn(p).length
+    assert(rn >= 2, s"expected local+global row_number passes, got $rn:\n$p")
+  }
 }
