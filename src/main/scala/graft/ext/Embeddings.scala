@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column transforms for LLM data pipelines (driver north
@@ -365,12 +365,92 @@ object Embeddings {
       |SELECT cluster, rk, a_id, b_id, d2
       |FROM ranked WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin
 
+  // ------------------------------------------------- k-means TRAINING
+  /** Two Lloyd iterations from a deterministic seed (vec_id mod 8) —
+    * k-means TRAINING, not just the one-shot assignment of
+    * sim_cluster_assign. The production shape (Spark MLlib's):
+    * centroids live on the driver (k·d-bounded collect, the
+    * trainPqCodebook pattern), and each round is ONE map-only corpus
+    * pass — argmin over the k broadcast centroids via the codegen
+    * integer kernel — plus one map-side-combinable (label, dim)
+    * aggregate whose output is k·d rows. The corpus is never shuffled
+    * and never checkpointed; the final query emits BOTH rounds'
+    * assignments from a single map pass (no self-join). Everything is
+    * on the integer grid (truncated integer centroid means `sq div n`,
+    * exact BIGINT distances — DuckDB's `//` and Spark's `div` both
+    * truncate toward zero), so the gate hashes real per-vector
+    * assignments of a real training loop, bit-for-bit across engines. */
+  private val KmeansK = 8
+  private val kmeansTrain: Q = (s, d) => {
+    import s.implicits._
+    val qvecs = Tables.embeddings(s, d).select($"vec_id", expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))")
+      .as("qv"))
+    // (label → integer-grid centroid) collected to the driver: k·d
+    // rows off one map-combinable aggregate, bounded at any corpus size
+    def centroids(assigned: DataFrame): Array[(Int, Array[Long])] =
+      assigned.select($"label", posexplode($"qv"))
+        .groupBy($"label", $"pos")
+        .agg(sum($"col").as("sq"), count(lit(1)).as("n"))
+        .select($"label", $"pos", expr("sq div n").as("cm"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray }
+        .toArray.sortBy(_._1)
+    // map-only argmin over the broadcast centroids; (s2, label) struct
+    // ordering reproduces the (distance, label) tiebreak exactly
+    def assignExpr(cs: Array[(Int, Array[Long])]): Column =
+      array_min(array(cs.map { case (l, arr) =>
+        struct(
+          graft.functions.VectorExpressions.vecL2Sq($"qv", typedLit(arr)).as("s2"),
+          lit(l).as("label"))
+      }: _*)).getField("label")
+    val seed = qvecs.select($"vec_id", $"qv",
+      pmod($"vec_id", lit(KmeansK)).cast("int").as("label"))
+    val cs1 = centroids(seed)
+    val cs2 = centroids(qvecs.withColumn("label", assignExpr(cs1)))
+    qvecs.select($"vec_id",
+      assignExpr(cs1).as("label_r1"), assignExpr(cs2).as("label_r2"))
+      .orderBy($"vec_id")
+  }
+  private val kmeansTrainSql =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(i AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+       |c0 AS (
+       |  SELECT CAST(vec_id % $KmeansK AS INT) AS label, dim,
+       |    SUM(q) // COUNT(*) AS cm
+       |  FROM u GROUP BY 1, 2),
+       |a1d AS (
+       |  SELECT u.vec_id, c0.label, SUM((u.q - c0.cm) * (u.q - c0.cm)) AS s2
+       |  FROM u JOIN c0 ON u.dim = c0.dim GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, label FROM (
+       |    SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY s2, label) AS rk FROM a1d) WHERE rk = 1),
+       |c1 AS (
+       |  SELECT a1.label, u.dim, SUM(u.q) // COUNT(*) AS cm
+       |  FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |a2d AS (
+       |  SELECT u.vec_id, c1.label, SUM((u.q - c1.cm) * (u.q - c1.cm)) AS s2
+       |  FROM u JOIN c1 ON u.dim = c1.dim GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, label FROM (
+       |    SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY s2, label) AS rk FROM a2d) WHERE rk = 1)
+       |SELECT a1.vec_id, CAST(a1.label AS INT) AS label_r1,
+       |  CAST(a2.label AS INT) AS label_r2
+       |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "emb_centroids" -> centroids,
     "emb_quantize" -> quantize,
     "emb_normalize" -> normalize,
     "emb_pq_encode" -> pqEncode,
     "sim_cluster_assign" -> clusterAssign,
+    "emb_kmeans_train" -> kmeansTrain,
     "sim_semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
@@ -379,5 +459,6 @@ object Embeddings {
     "emb_normalize" -> normalizeSql,
     "emb_pq_encode" -> pqEncodeSql,
     "sim_cluster_assign" -> clusterAssignSql,
+    "emb_kmeans_train" -> kmeansTrainSql,
     "sim_semantic_dedup" -> semanticDedupSql)
 }

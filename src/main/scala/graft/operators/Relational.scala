@@ -731,6 +731,47 @@ object Relational {
       |  COUNT(*) AS n, TRUE AS within_5pct
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- mergeable HLL sketches
+  /** Distinct-count SKETCH MERGE (Apache DataSketches HLL via Spark's
+    * hll_sketch_agg / hll_union_agg): per-event-type sketches built
+    * independently — the per-shard pattern that makes distinct counts
+    * tractable at 100 TB, where exact COUNT(DISTINCT) is a full
+    * shuffle of every key but sketches partial-aggregate to lgK=12
+    * register arrays per map task and merge associatively. The gate
+    * carries the exact counts plus two verdicts as data (the
+    * rel_approx_distinct / rel_heavy_hitters recipe, since sketch
+    * internals hash differently across engines): each scope's estimate
+    * within 5% of exact (HLL at lgK=12 is ~1.6% rse — and below ~4k
+    * distincts the sketch is in exact sparse mode), and the MERGE LAW —
+    * the union of the per-type sketches estimates the global count
+    * within the same bound a directly-built global sketch satisfies. */
+  private val sketchUnion: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val perType = ev.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+    val merged = perType.agg(
+      hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_merged"))
+    val globalExact = ev.agg(countDistinct($"user_id").as("exact_global"))
+    val typeRows = perType
+      .select($"event_type".as("scope"), $"exact_users",
+        (abs(hll_sketch_estimate($"sk") - $"exact_users").cast("double") /
+          $"exact_users" <= 0.05).as("within_5pct"))
+    val allRow = merged.crossJoin(broadcast(globalExact))
+      .select(lit("ALL").as("scope"), $"exact_global".as("exact_users"),
+        (abs($"est_merged" - $"exact_global").cast("double") /
+          $"exact_global" <= 0.05).as("within_5pct"))
+    typeRows.unionByName(allRow).orderBy($"scope")
+  }
+  private val sketchUnionSql =
+    """SELECT event_type AS scope, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+      |ORDER BY scope""".stripMargin
+
   // --------------------------------------------- count-min heavy hitters
   // Count-min sketch (the streaming heavy-hitter sketch) built and
   // queried relationally: depth×width counter grid from one pass
@@ -2092,6 +2133,7 @@ object Relational {
     "rel_join_full_outer"    -> joinFullOuter,
     "rel_sessions"           -> sessions,
     "rel_approx_distinct"    -> approxDistinct,
+    "rel_sketch_union"       -> sketchUnion,
     "rel_rollup"             -> rollup,
     "rel_window_frames"      -> windowFrames,
     "rel_asof_state"         -> asofState,
@@ -2140,6 +2182,7 @@ object Relational {
     "rel_rolling_zscore"     -> rollingZscoreSql,
     "rel_triangle_count"     -> triangleCountSql,
     "rel_approx_distinct"    -> approxDistinctSql,
+    "rel_sketch_union"       -> sketchUnionSql,
     "rel_trade_volume"       -> tradeVolumeSql,
     "rel_market_share"       -> marketShareSql,
     "rel_product_profit"     -> productProfitSql,

@@ -860,6 +860,23 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq == flat.toSeq)
   }
 
+  test("hll sketches: union of per-type sketches estimates like the global sketch") {
+    // the mergeability law computed ENTIRELY in Spark (sketch bytes
+    // never cross engines): below ~4k distincts lgK=12 HLL is in exact
+    // sparse mode, so both estimates equal the exact distinct count
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val merged = ev.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))))
+      .first().getLong(0)
+    val global = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12)))).first().getLong(0)
+    val exact = ev.select($"user_id").distinct().count()
+    assert(merged == global)
+    assert(merged == exact)
+  }
+
   test("mrl truncation: overlap bounded by k and identical-prefix self-consistency") {
     import spark.implicits._
     val rows = SparkEntry.queries("sim_mrl_truncate")(spark, sfDir).collect()

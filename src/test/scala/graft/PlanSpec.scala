@@ -474,6 +474,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"scalar must broadcast:\n$p")
   }
 
+  test("kmeans training: the assignment pass is map-only over broadcast centroids") {
+    // centroids are a driver-collected k·d table; the per-round argmin
+    // must be the codegen integer kernel over literal arrays — a hash
+    // exchange in the FINAL plan means the corpus shuffled to assign
+    val p = plan("emb_kmeans_train")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the corpus:\n$p")
+    assert(p.toLowerCase.contains("longsquareddistance"),
+      s"kernel expression missing from the plan:\n$p")
+  }
+
   test("domain cap: salted local top-K guards the per-source window") {
     // two row_number passes — the (source, doc_id%16) local cap that
     // bounds any mega-domain's sort at 1/16th, then the per-source
