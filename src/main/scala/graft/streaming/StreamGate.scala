@@ -41,10 +41,19 @@ object StreamGate {
     val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // a lane FACTORY rather than one source: the dedup gate replays
-    // the feed through two independent readStream lanes
-    def lane(): DataFrame = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    // the feed through two independent readStream lanes. The streaming
+    // file source requires a DIRECTORY basePath, so the lane adapts to
+    // the layout: the testdata dirs hold a single events.parquet FILE
+    // (stream $d with a leaf-name glob), the scale replicas hold an
+    // events.parquet DIRECTORY of part files (stream it directly —
+    // the leaf-name glob over $d matched zero files there, silently
+    // streaming an EMPTY feed in the pre-round-10 scale soaks).
+    val eventsPath = new java.io.File(s"$d/events.parquet")
+    def lane(): DataFrame = {
+      val r = s.readStream.schema(schema)
+      if (eventsPath.isDirectory) r.parquet(eventsPath.getPath)
+      else r.option("pathGlobFilter", "events.parquet").parquet(d)
+    }
     val q = transform(() => lane()).writeStream
       .format("memory").queryName(sink)
       .outputMode(mode)
