@@ -454,6 +454,78 @@ object Scd2Queries {
       |FROM orders, b
       |WHERE o_orderkey BETWEEN b.lo AND b.hi""".stripMargin
 
+  // ------------------------------------------------------ branch gate
+  /** NAMED BRANCHES under the oracle gate (D8, previously spec-only
+    * in BranchSpec): the three observable ref states of the
+    * branch-validate-merge flow as data. Two memoized fixture tables
+    * run the same scenario — `pre` stops before the merge (main pinned
+    * at the branch point, `exp` one commit ahead), `post` completes
+    * the fast-forward — and the gate unions three labeled reads:
+    * main@pre (ISOLATION — the branch commit is invisible to trunk),
+    * exp@pre (the branch serves its own commit), main@post (the merge
+    * moved the trunk ref to the branch head). Branch content is a
+    * deterministic CASE algebra over orders (update the %12 slice,
+    * insert the %15 slice), so the oracle recomputes all three states
+    * in pure SQL. Branching itself is O(1) ref metadata — the timed
+    * region is three manifest-resolved reads, no data is copied. */
+  private val branchFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def branchContent(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    val base = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val bc = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_custkey") + when(col("o_orderkey") % 12 === 0, 1000L)
+          .otherwise(0L)).as("o_custkey"))
+      .unionByName(o.filter(col("o_orderkey") % 15 === 1)
+        .select(col("o_orderkey"), col("o_custkey")))
+    (base, bc)
+  }
+  private def branchTables(s: SparkSession, d: String): (VersionedTable, VersionedTable) = {
+    val root = branchFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-branch-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val (base, bc) = branchContent(s, d)
+      def scenario(path: String, merge: Boolean): Unit = {
+        val t = new VersionedTable(s, path)
+        t.overwrite(base.coalesce(1))            // v0 on main
+        t.createBranch("exp")
+        t.commitToBranch("exp", bc.coalesce(1))  // v1, exp only
+        if (merge) t.fastForward("main", "exp")
+      }
+      scenario(s"$dir/pre", merge = false)
+      scenario(s"$dir/post", merge = true)
+      dir.getPath
+    })
+    (new VersionedTable(s, s"$root/pre"), new VersionedTable(s, s"$root/post"))
+  }
+  private val branchQ: Q = (s, d) => {
+    val (pre, post) = branchTables(s, d)
+    def tag(df: DataFrame, st: String) =
+      df.select(lit(st).as("state"), col("o_orderkey"), col("o_custkey"))
+    tag(pre.read(), "main_pre")
+      .unionByName(tag(pre.readBranch("exp"), "branch"))
+      .unionByName(tag(post.read(), "main_post"))
+      .orderBy(col("state"), col("o_orderkey"))
+  }
+  private val branchSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+      |bc AS (
+      |  SELECT o_orderkey,
+      |    o_custkey + CASE WHEN o_orderkey % 12 = 0 THEN 1000 ELSE 0 END
+      |      AS o_custkey
+      |  FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 15 = 1)
+      |SELECT 'main_pre' AS state, o_orderkey, o_custkey FROM base
+      |UNION ALL SELECT 'branch', o_orderkey, o_custkey FROM bc
+      |UNION ALL SELECT 'main_post', o_orderkey, o_custkey FROM bc
+      |ORDER BY state, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "scd2_versions" -> versions,
     "scd2_current" -> current,
@@ -462,6 +534,7 @@ object Scd2Queries {
     "scd2_optimize" -> optimizeQ,
     "scd2_compaction" -> compaction,
     "scd2_join_view" -> joinView,
+    "scd2_branch" -> branchQ,
     "scd2_zorder" -> zorderQ)
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +545,6 @@ object Scd2Queries {
     "scd2_optimize" -> optimizeSql,
     "scd2_compaction" -> compactionSql,
     "scd2_join_view" -> joinViewSql,
+    "scd2_branch" -> branchSql,
     "scd2_zorder" -> zorderSql)
 }
