@@ -454,6 +454,77 @@ object Scd2Queries {
       |FROM orders, b
       |WHERE o_orderkey BETWEEN b.lo AND b.hi""".stripMargin
 
+  // --------------------------------------------------- retention gate
+  /** DATE-PARTITIONED RETENTION under the oracle gate (D10, previously
+    * spec-only in TableSpecSpec): a memoized fixture builds a
+    * day-partitioned copy of events (raw nanos → ms, UTC epoch days)
+    * and enforces a 10-day retention at nowMs = max event ms — a
+    * cutoff derived from the data, so both engines compute the
+    * identical integer bound. The gate reads the RETAINED table,
+    * rolls it up per epoch day, and carries the two layout invariants
+    * as data, recomputed each run from the v0/v1 manifests (metadata,
+    * no data I/O): every pre-cutoff-day partition is GONE from the
+    * manifest, and every surviving non-boundary partition carries its
+    * v0 files BY REFERENCE (metadata-only drop — the O(expired
+    * partitions) shape that holds at 100 TB; only the single boundary
+    * day is rewritten row-filtered). */
+  private val RetentionDays = 10L
+  private val retentionFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def retentionTable(s: SparkSession, d: String): VersionedTable = {
+    val root = retentionFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-retention-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val base = Tables.events(s, d) // µs NTZ rebuilt from either raw shape
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000").as("ms"))
+        .withColumn("d", expr("to_date(from_unixtime(ms div 1000))"))
+      val t = new VersionedTable(s, dir.getPath,
+        Partitioning.ByColumn("d"))
+      t.overwrite(base)
+      val nowMs = base.agg(max(col("ms"))).head.getLong(0)
+      graft.tables.Retention.enforceDatePartitioned(t,
+        graft.tables.RetentionSpec("ms", RetentionDays.toInt), nowMs)
+      dir.getPath
+    })
+    new VersionedTable(s, root)
+  }
+  private val retentionQ: Q = (s, d) => {
+    val t = retentionTable(s, d)
+    // layout invariants from the two manifests — driver-side metadata,
+    // bounded by partition/file counts
+    val v0 = t.manifestFiles(0).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val v1 = t.manifestFiles(1).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val boundaryDay = {
+      val nowMs = Tables.events(s, d)
+        .agg(max(expr("unix_micros(cast(ts as timestamp)) div 1000")))
+        .head.getLong(0)
+      java.time.Instant.ofEpochMilli(nowMs - RetentionDays * 86400000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    }
+    val expiredDropped = v1.keySet.forall(p => p >= boundaryDay)
+    val carried = v1.forall { case (p, files) =>
+      p == boundaryDay || v0.get(p).exists(files.subsetOf) }
+    t.read()
+      .groupBy(expr("ms div 86400000").as("day_num"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_user"))
+      .select(col("day_num"), col("n_events"), col("sum_user"),
+        lit(expiredDropped).as("expired_dropped"),
+        lit(carried).as("carried_by_reference"))
+      .orderBy(col("day_num"))
+  }
+  private val retentionSql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 1000 AS ms, user_id FROM events),
+      |c AS (SELECT MAX(ms) - 10 * 86400000 AS cutoff FROM e)
+      |SELECT ms // 86400000 AS day_num, COUNT(*) AS n_events,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+      |  TRUE AS expired_dropped, TRUE AS carried_by_reference
+      |FROM e, c WHERE ms >= cutoff
+      |GROUP BY 1 ORDER BY day_num""".stripMargin
+
   // ------------------------------------------------------ branch gate
   /** NAMED BRANCHES under the oracle gate (D8, previously spec-only
     * in BranchSpec): the three observable ref states of the
@@ -535,6 +606,7 @@ object Scd2Queries {
     "scd2_compaction" -> compaction,
     "scd2_join_view" -> joinView,
     "scd2_branch" -> branchQ,
+    "scd2_retention" -> retentionQ,
     "scd2_zorder" -> zorderQ)
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +618,6 @@ object Scd2Queries {
     "scd2_compaction" -> compactionSql,
     "scd2_join_view" -> joinViewSql,
     "scd2_branch" -> branchSql,
+    "scd2_retention" -> retentionSql,
     "scd2_zorder" -> zorderSql)
 }

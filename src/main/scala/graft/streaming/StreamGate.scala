@@ -35,25 +35,29 @@ object StreamGate {
     * run it to a memory sink with bounded AvailableNow replay in
     * complete mode, and hand the sink table back. Every gate differs
     * only in its transform; the replay contract lives HERE once. */
-  private def runToMemory(s: SparkSession, d: String, sinkPrefix: String,
-      mode: String = "complete")(
-      transform: (() => DataFrame) => DataFrame): DataFrame = {
-    val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
+  /** A lane FACTORY rather than one source: the dedup gate replays
+    * the feed through two independent readStream lanes. The streaming
+    * file source requires a DIRECTORY basePath, so the lane adapts to
+    * the layout: the testdata dirs hold a single events.parquet FILE
+    * (stream $d with a leaf-name glob), the scale replicas hold an
+    * events.parquet DIRECTORY of part files (stream it directly —
+    * the leaf-name glob over $d matched zero files there, silently
+    * streaming an EMPTY feed in the pre-round-10 scale soaks). */
+  private def eventsLane(s: SparkSession, d: String): () => DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    // a lane FACTORY rather than one source: the dedup gate replays
-    // the feed through two independent readStream lanes. The streaming
-    // file source requires a DIRECTORY basePath, so the lane adapts to
-    // the layout: the testdata dirs hold a single events.parquet FILE
-    // (stream $d with a leaf-name glob), the scale replicas hold an
-    // events.parquet DIRECTORY of part files (stream it directly —
-    // the leaf-name glob over $d matched zero files there, silently
-    // streaming an EMPTY feed in the pre-round-10 scale soaks).
     val eventsPath = new java.io.File(s"$d/events.parquet")
-    def lane(): DataFrame = {
+    () => {
       val r = s.readStream.schema(schema)
       if (eventsPath.isDirectory) r.parquet(eventsPath.getPath)
       else r.option("pathGlobFilter", "events.parquet").parquet(d)
     }
+  }
+
+  private def runToMemory(s: SparkSession, d: String, sinkPrefix: String,
+      mode: String = "complete")(
+      transform: (() => DataFrame) => DataFrame): DataFrame = {
+    val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
+    val lane = eventsLane(s, d)
     val q = transform(() => lane()).writeStream
       .format("memory").queryName(sink)
       .outputMode(mode)
@@ -305,8 +309,41 @@ object StreamGate {
       | AND epoch_us(p.ts) - epoch_us(c.ts) < 1800000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** PARTITIONED PARQUET STREAMING SINK under the gate (S5, previously
+    * spec-only in StreamingSpec): the events feed streamed through the
+    * real FILE SINK — append mode, exactly-once via the sink's file
+    * manifest log — partitioned by event_type, then the gate reads the
+    * sink DIRECTORY back as a batch table (partition column recovered
+    * from the directory layout) and rolls it up. The oracle is the
+    * plain rollup SQL: the trip through the sink — file commit
+    * protocol, partition directory encoding, double round-trip — must
+    * be value-lossless. A fresh pid-scoped sink per invocation keeps
+    * replays independent (the manifest makes re-runs of ONE query
+    * idempotent; the gate times a single bounded backfill). */
+  private val sinkPartitioned: Q = (s, d) => {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-streamsink-${ctr.incrementAndGet()}-p${ProcessHandle.current().pid()}")
+    val lane = eventsLane(s, d)
+    val q = lane().select(col("event_id"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .partitionBy("event_type")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_event_rollup" -> eventRollup,
+    "stream_sink_partitioned" -> sinkPartitioned,
     "stream_dedup_rollup" -> dedupRollup,
     "stream_windowed_counts" -> windowedCounts,
     "stream_hopping_counts" -> hoppingCounts,
@@ -315,6 +352,8 @@ object StreamGate {
     "stream_topic_rollup" -> topicRollup)
   val oracles: Map[String, String] = Map(
     "stream_event_rollup" -> eventRollupSql,
+    // same rollup oracle: the file-sink trip must be value-lossless
+    "stream_sink_partitioned" -> eventRollupSql,
     "stream_dedup_rollup" -> eventRollupSql,
     "stream_windowed_counts" -> windowedCountsSql,
     "stream_hopping_counts" -> hoppingCountsSql,
