@@ -85,7 +85,42 @@ object SqlSurface {
   /** Executes [[recursiveReachSql]] — see the non-gating rationale above. */
   def recursiveReach: Q = sqlQ(recursiveReachSql)
 
+  // DDL ROUNDTRIP under the gate (D1–D3, previously spec-only in
+  // CatalogSpec): CREATE NAMESPACE + a PARTITIONED managed table
+  // created via SQL CTAS from a deterministic orders slice, read back
+  // THROUGH THE CATALOG and aggregated — parse → analyze → catalog
+  // write → partition-directory encoding → catalog read, all
+  // value-checked by the oracle recomputing from the source table.
+  // Memoized per (session, sfDir); namespace carries a session + dir
+  // discriminator so parallel suites never clobber each other's DDL.
+  private val ddlFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val ddlSelect =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM %s WHERE o_orderkey %% 7 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  private val ddlRoundtrip: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    val tbl = ddlFixtures.computeIfAbsent((s, d), _ => {
+      val ns = s"graft_ddl_${Integer.toHexString(System.identityHashCode(s))}_" +
+        Integer.toHexString(d.hashCode)
+      val t = s"$ns.orders_slice"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t USING parquet PARTITIONED BY (o_orderstatus) AS
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+               |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
+      t
+    })
+    // the slice filter is already baked into the table; keep the same
+    // predicate in the read so the text matches the oracle's shape
+    s.sql(ddlSelect.format(tbl))
+  }
+  private val ddlRoundtripSql = ddlSelect.format("orders")
+
   val queries: Map[String, Q] = Map(
+    "sql_ddl_roundtrip" -> ddlRoundtrip,
     "sql_segment_rollup" -> sqlQ(rollupSql),
     "sql_audit_trail" -> sqlQ(auditSql),
     "sql_history_scan" -> sqlQ(historySql),
@@ -93,6 +128,7 @@ object SqlSurface {
 
   /** The oracle IS the executed SQL — byte-identical text. */
   val oracles: Map[String, String] = Map(
+    "sql_ddl_roundtrip" -> ddlRoundtripSql,
     "sql_segment_rollup" -> rollupSql,
     "sql_audit_trail" -> auditSql,
     "sql_history_scan" -> historySql,
