@@ -374,9 +374,33 @@ final class VersionedTable(spark: SparkSession, root: String,
         shiftleft(shiftright(g, b).bitwiseAND(lit(1L)), b * k + j).cast("long"))
         .reduce(_ + _)
     }.reduce(_ + _)
+    // Deterministic TOP-BITS routing: file i holds exactly the rows
+    // whose p-bit z-value prefix is i (p = ⌊log₂ nFiles⌋ — file count
+    // is the largest power of two ≤ the ask). A custom partitioner
+    // replaces the previous repartitionByRange, whose reservoir-sample
+    // SEED derives from the RDD id — JVM-history-dependent, so the
+    // layout (and the gate's pruning verdicts) varied run to run. The
+    // prefix split also upgrades the pruning bound from a sampling
+    // accident to a THEOREM: the top p bits interleave ⌈p/k⌉ bits per
+    // column, so a probe spanning ≤ 2^-⌈p/k⌉ of one column's domain
+    // fixes that column's prefix bits to ≤ 2 values and touches at
+    // most 2·2^(p-⌈p/k⌉) = F/2^(⌈p/k⌉-1) files, for ANY data. The RDD
+    // hop is confined to this rewrite job (an OPTIMIZE is already a
+    // full rewrite of the optimized slice).
+    val p = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+    val buckets = 1 << p
+    val shift = 16 * k - p
     val Z = "__zval"
-    val z = snap.withColumn(Z, zBits)
-      .repartitionByRange(n, col(Z))
+    val withZ = snap.withColumn(Z, zBits)
+    val zSchema = withZ.schema
+    val routed = withZ.rdd
+      .map(r => ((r.getLong(r.fieldIndex(Z)) >> shift).toInt, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = buckets
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val z = spark.createDataFrame(routed, zSchema)
       .sortWithinPartitions(col(Z))
       .drop(Z)
     val v = nextVersion()
