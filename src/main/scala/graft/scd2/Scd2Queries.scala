@@ -597,6 +597,101 @@ object Scd2Queries {
       |UNION ALL SELECT 'main_post', o_orderkey, o_custkey FROM bc
       |ORDER BY state, o_orderkey""".stripMargin
 
+  // ------------------------------------------------- time-travel gate
+  /** VERSION TIME TRAVEL under the oracle gate (D7, previously
+    * spec-only + shape-checked via `rel_asof_state`): reads the SAME
+    * 3-commit MOR fixture as `scd2_changefeed` at each of its three
+    * versions and rolls every snapshot up to (n_rows, sum_custkey,
+    * sum_rev). The commit algebra is deterministic CASE arithmetic on
+    * `orders` (see [[morScenario]]), so the oracle replays all three
+    * historical states in pure SQL — every equality-delete and
+    * carried-forward file in every PAST manifest is value-checked,
+    * not just the head. Fixture is memoized per (JVM, sfDir); the
+    * timed region is three manifest-resolved reads. Reference analog:
+    * Iceberg `VERSION AS OF` over the SCD2 table
+    * (`libs/scd2_spark_processor.py:135-158`'s snapshot history). */
+  private val timeTravelQ: Q = (s, d) => {
+    val t = changefeedTable(s, d)
+    def snap(v: Int) = t.readVersion(v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_custkey")).as("sum_custkey"),
+        sum(col("rev")).as("sum_rev"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_custkey"),
+        col("sum_rev"))
+    snap(0).unionByName(snap(1)).unionByName(snap(2))
+      .orderBy(col("version"))
+  }
+  private val timeTravelSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey FROM orders
+      |              WHERE o_orderkey % 3 = 0),
+      |v0 AS (SELECT o_custkey, 0 AS rev FROM base WHERE k % 4 <> 0),
+      |v1 AS (SELECT o_custkey,
+      |         CASE WHEN k % 8 = 1 THEN 1 ELSE 0 END AS rev FROM base),
+      |v2 AS (SELECT o_custkey,
+      |         CASE WHEN k % 16 = 8 THEN 2
+      |              WHEN k % 8 = 1 THEN 1 ELSE 0 END AS rev
+      |       FROM base WHERE k % 16 <> 2)
+      |SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+      |  CAST(SUM(rev) AS BIGINT) AS sum_rev FROM v0
+      |UNION ALL SELECT 1, COUNT(*), CAST(SUM(o_custkey) AS BIGINT),
+      |  CAST(SUM(rev) AS BIGINT) FROM v1
+      |UNION ALL SELECT 2, COUNT(*), CAST(SUM(o_custkey) AS BIGINT),
+      |  CAST(SUM(rev) AS BIGINT) FROM v2
+      |ORDER BY version""".stripMargin
+
+  // ------------------------------------------- schema-evolution gate
+  /** SCHEMA EVOLUTION under the oracle gate (S8's `mergeSchema`
+    * append, previously spec-only in Scd2Spec/TableSpecSpec): v0
+    * writes the %3==0 orders slice as (o_orderkey, o_custkey); v1
+    * appends the %3==1 slice carrying a NEW `qscore` column with
+    * `mergeSchema = true`. The evolved read must null-fill qscore for
+    * every v0 file (schema applied from the manifest — the files
+    * themselves are never rewritten, so the append stays O(new
+    * rows)). The gate rolls the evolved table up per slice:
+    * slice 0 must count ZERO non-null qscores and a NULL sum — the
+    * null-filling semantic as data — while slice 1 carries the exact
+    * qscore arithmetic. Oracle replays both slices in pure SQL.
+    * Reference analog: Iceberg schema evolution on the versioned
+    * table (`write.spark.accept-any-schema` family). */
+  private val evolveFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolvedTable(s: SparkSession, d: String): VersionedTable = {
+    val root = evolveFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-evolve-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val o = Tables.orders(s, d)
+      val t = new VersionedTable(s, dir.getPath)
+      t.overwrite(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey")).coalesce(1))
+      t.append(o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 5).as("qscore")).coalesce(1),
+        mergeSchema = true)
+      dir.getPath
+    })
+    new VersionedTable(s, root)
+  }
+  private val evolveQ: Q = (s, d) => {
+    evolvedTable(s, d).read()
+      .groupBy((col("o_orderkey") % 3).as("slice"))
+      .agg(count(lit(1)).as("n_rows"), count(col("qscore")).as("n_scored"),
+        sum(col("qscore")).as("sum_score"))
+      .orderBy(col("slice"))
+  }
+  private val evolveSql =
+    """WITH v AS (
+      |  SELECT o_orderkey, CAST(NULL AS BIGINT) AS qscore FROM orders
+      |  WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey % 5 FROM orders
+      |  WHERE o_orderkey % 3 = 1)
+      |SELECT o_orderkey % 3 AS slice, COUNT(*) AS n_rows,
+      |  COUNT(qscore) AS n_scored, CAST(SUM(qscore) AS BIGINT) AS sum_score
+      |FROM v GROUP BY 1 ORDER BY slice""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "scd2_versions" -> versions,
     "scd2_current" -> current,
@@ -607,7 +702,9 @@ object Scd2Queries {
     "scd2_join_view" -> joinView,
     "scd2_branch" -> branchQ,
     "scd2_retention" -> retentionQ,
-    "scd2_zorder" -> zorderQ)
+    "scd2_zorder" -> zorderQ,
+    "scd2_time_travel" -> timeTravelQ,
+    "scd2_schema_evolution" -> evolveQ)
 
   val oracles: Map[String, String] = Map(
     "scd2_versions" -> versionsSql,
@@ -619,5 +716,7 @@ object Scd2Queries {
     "scd2_join_view" -> joinViewSql,
     "scd2_branch" -> branchSql,
     "scd2_retention" -> retentionSql,
-    "scd2_zorder" -> zorderSql)
+    "scd2_zorder" -> zorderSql,
+    "scd2_time_travel" -> timeTravelSql,
+    "scd2_schema_evolution" -> evolveSql)
 }
