@@ -291,41 +291,36 @@ object TextAnalysis {
   // the first `PostingsK` doc ids as the posting-list head. The state
   // trap at 100 TB is the posting list itself: a stopword's full list
   // is corpus-sized, so a collect_list/sort formulation holds O(df)
-  // rows per term in one reducer. Here postings come from the typed
-  // [[graft.functions.TopK]] aggregator (score = −doc_id ⇒ k smallest,
-  // exact for ids < 2⁵³): every map partition pre-reduces to ≤ k rows
-  // before the term-keyed exchange, so per-term state is k regardless
-  // of df — the same bounded-buffer reduction knnBruteTopKAgg and
-  // CappedPairs use. The df ≥ threshold cut runs FIRST and the
-  // surviving term set (vocabulary-bounded, tiny) broadcast-semi-joins
-  // into the postings pass, so low-df terms never reach the
-  // aggregator. Postings render as a CSV string: deterministic
-  // ascending order, and the gate compares scalars, not arrays.
+  // rows per term in one reducer. Here the WHOLE index builds in two
+  // exchanges: (1) a (w, doc_id)-keyed count pre-aggregate — the one
+  // corpus-sized shuffle, map-side combined; (2) a term-keyed pass
+  // through the fused [[graft.functions.IndexStats]] aggregator, which
+  // carries cf (Σ occ), df (distinct-doc count) and the k smallest doc
+  // ids in ONE ≤2k-element buffer — per-term state is k regardless of
+  // df, the same bounded-buffer reduction knnBruteTopKAgg and
+  // CappedPairs use. The unfused formulation (separate stats pass +
+  // localCheckpoint + broadcast df-cut semi-join + a second
+  // corpus-sized distinct exchange + a final join) profiled as 8 jobs
+  // with 0.84 s of AQE-barrier/scheduling on 0.22 s of compute; fusing
+  // removes the second corpus pass and every barrier between. The
+  // df ≥ threshold cut moves AFTER the aggregate — harmless at scale,
+  // because low-df terms cost k-bounded state, not posting-list state.
+  // Postings render as a CSV string: deterministic ascending order,
+  // and the gate compares scalars, not arrays.
   private val invertedIndex: Q = (s, d) => {
     import s.implicits._
     val postingsK = 20
-    val td = Tables.documents(s, d)
+    val ix = new graft.functions.IndexStats(postingsK)
+    Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
-    // localCheckpoint: the stats subtree otherwise re-explodes the
-    // full corpus for the semi-join term set AND the final join — the
-    // checkpoint is vocabulary-bounded (df ≥ 50 terms), one corpus
-    // pass saved (the semanticDedup rationale)
-    val stats = td.groupBy($"w")
-      .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
-      .filter($"df" >= 50)
-      .localCheckpoint()
-    val topk = new graft.functions.TopK(postingsK)
-    val postings = td
-      .join(broadcast(stats.select($"w")), Seq("w"), "left_semi")
-      .select($"w", $"doc_id").distinct()
-      .as[(String, Long)]
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("occ"))
+      .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .mapValues(r => graft.functions.Scored(r._2, -r._2.toDouble))
-      .agg(topk.toColumn.name("top"))
-      .map { case (w, top) => (w, top.map(_.id).mkString(",")) }
-      .toDF("w", "postings")
-    stats.join(postings, "w")
-      .select($"w", $"cf", $"df", $"postings")
+      .mapValues(r => graft.functions.Posting(r._2, r._3))
+      .agg(ix.toColumn.name("ix"))
+      .map { case (w, (cf, df, postings)) => (w, cf, df, postings) }
+      .toDF("w", "cf", "df", "postings")
+      .filter($"df" >= 50)
       .orderBy($"df".desc, $"w")
       .limit(100)
   }

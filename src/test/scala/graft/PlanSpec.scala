@@ -417,14 +417,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("inverted index: df cut broadcasts, postings pre-reduce map-side") {
+  test("inverted index: one corpus exchange, fused stats pre-reduce map-side") {
     val p = plan("text_inverted_index")
-    // low-df terms are cut by a broadcast semi join BEFORE the typed
-    // aggregator; the postings aggregate itself must show a partial
-    // (map-side) phase — bounded k-row buffers, not a per-term collect
-    assert(p.contains("LeftSemi"), s"df cut must be a semi join:\n$p")
-    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk"),
-      s"postings must pre-reduce map-side via the TopK aggregator:\n$p")
+    // the fused IndexStats aggregator must show a partial (map-side)
+    // phase — bounded k-row buffers, not a per-term collect — and the
+    // old two-pass shape (df-cut semi join + second corpus exchange)
+    // must be gone: no join of any kind remains in the plan
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_indexstats"),
+      s"index stats must pre-reduce map-side via the fused aggregator:\n$p")
+    assert(!p.contains("Join"), s"fused build must be join-free:\n$p")
+    // the corpus-sized (w, doc_id) count is map-side combined before
+    // its exchange — the only corpus-sized shuffle in the plan
+    assert(p.contains("partial_count"),
+      s"(w, doc_id) pre-aggregate must partial-combine map-side:\n$p")
   }
 
   test("skyline: cumulative min is partition-parallel, never single-reducer") {
