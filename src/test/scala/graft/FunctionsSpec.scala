@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Scored, TopK}
+import graft.functions.{DotProduct, IndexStats, Posting, Scored, TopK}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types._
@@ -48,6 +48,40 @@ class FunctionsSpec extends SparkSpec {
       val agg = new TopK(5)
       val r = xs.foldLeft(agg.zero)(agg.reduce)
       agg.finish(agg.merge(r, agg.zero)) == reference(xs, 5)
+    })
+  }
+
+  // ------------------------------------------------------- IndexStats
+  // contract: input rows are the DISTINCT (term, doc) pre-aggregate,
+  // so generated postings carry unique doc ids per group
+  private val postingsGen: Gen[List[Posting]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 500L)
+      occ <- Gen.chooseNum(1L, 9L)
+    } yield Posting(id, occ)).map(_.distinctBy(_.docId))
+
+  private def ixReference(xs: List[Posting], k: Int): (Long, Long, String) =
+    (xs.map(_.occ).sum, xs.length.toLong,
+      xs.map(_.docId).sorted.take(k).mkString(","))
+
+  test("IndexStats: any split/merge order matches (cf, df, k smallest)") {
+    check(Prop.forAll(postingsGen, Gen.chooseNum(1, 8)) {
+      (xs: List[Posting], k: Int) =>
+        val agg = new IndexStats(k)
+        val (a, rest) = xs.splitAt(xs.length / 3)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        def reduceAll(part: List[Posting]) =
+          part.foldLeft(agg.zero)(agg.reduce)
+        val merged = agg.merge(agg.merge(reduceAll(a), reduceAll(b)), reduceAll(c))
+        agg.finish(merged) == ixReference(xs, k)
+    })
+  }
+
+  test("IndexStats: buffer stays under 2k ids under any growth") {
+    check(Prop.forAll(postingsGen) { xs: List[Posting] =>
+      val agg = new IndexStats(4)
+      val b = xs.foldLeft(agg.zero)(agg.reduce)
+      b.ids.length < 8 && agg.finish(agg.merge(b, agg.zero)) == ixReference(xs, 4)
     })
   }
 
