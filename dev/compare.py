@@ -14,14 +14,46 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def assert_engine_semantics(con):
+    """Pin the DuckDB behaviors every oracle SQL depends on. If the local
+    DuckDB ever changes one of these, fail HERE with a named reason
+    instead of as a mystery VALUE-MISMATCH (or worse: pass locally while
+    the driver's build diverges).
+    """
+    # 1. Integer division `//` truncates toward zero (Scala `/`,
+    #    Spark `div` semantics). Convention-proof oracles don't rely on
+    #    this, but legacy `SUM(q) // COUNT(*)` forms would silently flip
+    #    321/640 PQ centroid means if `//` ever floors.
+    assert con.execute("SELECT -7 // 2").fetchone()[0] == -3, \
+        "DuckDB `//` no longer truncates toward zero"
+    # 2. `%` follows the dividend's sign (needed by the convention-proof
+    #    nonneg-residue form ((a % n) + n) % n, which is correct under
+    #    either % convention — this just pins what we observe).
+    assert con.execute("SELECT -7 % 2").fetchone()[0] == -1, \
+        "DuckDB `%` sign convention changed"
+    # 3. SUM(BIGINT) widens to HUGEINT, which fetchdf() delivers as
+    #    float64 — value-equal but not HASH-equal to Spark's int64.
+    #    Therefore every integer aggregate an oracle EMITS must be CAST
+    #    back to BIGINT (the r7 sim_knn_pq red). The strict compare
+    #    below now catches violations, and this assert documents why.
+    t = con.sql("SELECT SUM(x) FROM (VALUES (CAST(1 AS BIGINT))) t(x)").types
+    assert str(t[0]) == "HUGEINT", f"SUM(BIGINT) type changed: {t[0]}"
+
 def norm(v):
+    """Normalize to a (type-name, value) pair so the comparison is
+    TYPE-STRICT, mirroring the driver's value-hash: int64 123 and
+    float64 123.0 must NOT compare equal (Python `==` says they do,
+    which is exactly how the r7 HUGEINT reds passed locally)."""
+    if hasattr(v, "item"):
+        v = v.item()          # numpy scalar -> python scalar
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return v
-    return v
+        if math.isnan(v): return ("float", "NaN")
+        return ("float", repr(v))
+    return (type(v).__name__, repr(v))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    assert_engine_semantics(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -132,8 +132,10 @@ object Embeddings {
   // per-label centroid (the codebook the centroids query builds — the
   // IVF quantizer made oracle-checkable). Distance is EXACT integers
   // end-to-end: per dim, d = q − cm where q is the 1e-6-grid value and
-  // cm = sq div n the TRUNCATED integer centroid mean (truncating
-  // division is bit-identical in Spark `div`, DuckDB `//`, Scala `/`);
+  // cm = floorDiv(sq, n) the FLOORED integer centroid mean (floor is
+  // the convention-proof choice — both sides derive it via an
+  // exactly-divisible rewrite, so no engine's `//`/`div` convention
+  // can flip it; see PqCodebook.cmArr);
   // dist² = Σ d² is an order-free long sum and the argmin ranks pure
   // BIGINTs — no division, no rounding, nothing to drift. The mean
   // folds in BEFORE the square (not the old Σ(q·n − sq)² form) so the
@@ -155,7 +157,11 @@ object Embeddings {
         expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))
       .groupBy($"label", $"dim")
       .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-      .withColumn("cm", expr("sq div n"))
+      // floor division via the exactly-divisible rewrite: pmod is the
+      // nonneg residue, so the `div` dividend is a multiple of n and
+      // truncation == floor — Math.floorDiv semantics, matching the
+      // oracle's convention-proof form (see PqCodebook.cmArr)
+      .withColumn("cm", expr("(sq - pmod(sq, n)) div n"))
     val diff = $"q" - $"cm"
     qv.join(broadcast(code), "dim")
       .groupBy($"vec_id", $"label")
@@ -178,7 +184,11 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
+      |  -- floored mean, convention-proof: the dividend is made exactly
+      |  -- divisible, so `//` floor-vs-trunc cannot matter (PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
@@ -208,7 +218,7 @@ object Embeddings {
   // asymmetric-distance scan (query × code lookup tables) is a
   // broadcast join away. Distances are EXACT end-to-end, per the
   // clusterAssign derivation — per subspace, Σ_dims (q − cm)² with
-  // cm the truncated integer centroid mean is an exact BIGINT and
+  // cm the floored integer centroid mean is an exact BIGINT and
   // argmin needs no rounding (and no division). Scale shape: the sub-codebook (labels × dims) broadcasts;
   // vectors stream through one posexplode + one (vec, sub, label)
   // aggregate + one argmin window over labels per subspace.
@@ -264,7 +274,11 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
+      |  -- floored mean, convention-proof: the dividend is made exactly
+      |  -- divisible, so `//` floor-vs-trunc cannot matter (PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
@@ -334,7 +348,9 @@ object Embeddings {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT true_label AS label, dim, SUM(q) // COUNT(*) AS cm
+      |  SELECT true_label AS label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM u GROUP BY 1, 2),
       |dists AS (
       |  SELECT u.vec_id, code.label,
@@ -376,10 +392,11 @@ object Embeddings {
     * aggregate whose output is k·d rows. The corpus is never shuffled
     * and never checkpointed; the final query emits BOTH rounds'
     * assignments from a single map pass (no self-join). Everything is
-    * on the integer grid (truncated integer centroid means `sq div n`,
-    * exact BIGINT distances — DuckDB's `//` and Spark's `div` both
-    * truncate toward zero), so the gate hashes real per-vector
-    * assignments of a real training loop, bit-for-bit across engines. */
+    * on the integer grid (FLOORED integer centroid means via the
+    * exactly-divisible rewrite — immune to any engine's `//`/`div`
+    * convention, see PqCodebook.cmArr; exact BIGINT distances), so the
+    * gate hashes real per-vector assignments of a real training loop,
+    * bit-for-bit across engines. */
   private val KmeansK = 8
   private val kmeansTrain: Q = (s, d) => {
     import s.implicits._
@@ -392,7 +409,8 @@ object Embeddings {
       assigned.select($"label", posexplode($"qv"))
         .groupBy($"label", $"pos")
         .agg(sum($"col").as("sq"), count(lit(1)).as("n"))
-        .select($"label", $"pos", expr("sq div n").as("cm"))
+        // floored mean via the exactly-divisible rewrite (see above)
+        .select($"label", $"pos", expr("(sq - pmod(sq, n)) div n").as("cm"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (l, rows) =>
@@ -421,7 +439,8 @@ object Embeddings {
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
        |c0 AS (
        |  SELECT CAST(vec_id % $KmeansK AS INT) AS label, dim,
-       |    SUM(q) // COUNT(*) AS cm
+       |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+       |      // COUNT(*) AS BIGINT) AS cm
        |  FROM u GROUP BY 1, 2),
        |a1d AS (
        |  SELECT u.vec_id, c0.label, SUM((u.q - c0.cm) * (u.q - c0.cm)) AS s2
@@ -431,7 +450,9 @@ object Embeddings {
        |    SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY s2, label) AS rk FROM a1d) WHERE rk = 1),
        |c1 AS (
-       |  SELECT a1.label, u.dim, SUM(u.q) // COUNT(*) AS cm
+       |  SELECT a1.label, u.dim,
+       |    CAST((SUM(u.q) - ((SUM(u.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+       |      // COUNT(*) AS BIGINT) AS cm
        |  FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
        |a2d AS (
        |  SELECT u.vec_id, c1.label, SUM((u.q - c1.cm) * (u.q - c1.cm)) AS s2

@@ -218,7 +218,7 @@ object Similarity {
   /** IVF top-k: rank cells per query by EXACT integer-grid L2 distance
     * to the per-`label` centroid (the sim_cluster_assign recipe:
     * q = floor(x·10⁶ + ½) is an exact BIGINT, dist² = Σ(q − cm)²
-    * with cm the truncated integer centroid mean — a pure BIGINT
+    * with cm the floored integer centroid mean — a pure BIGINT
     * rank, no division at all), then scan
     * only the best `nprobe` cells. The integer grid is what makes the
     * WHOLE pipeline oracle-checkable: centroid means in floating point
@@ -245,14 +245,15 @@ object Similarity {
       .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
       .groupBy($"label", $"dim")
       .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-      // TRUNCATED integer centroid mean — folding the mean in before
+      // FLOORED integer centroid mean — folding the mean in before
       // the square keeps the per-dim diff ≤ ~2.2e6 at ANY cell size
       // (the old Σ(q·n − sq)² form squared n·(q − mean) and overflowed
       // Long once a cell reached ~10⁵ vectors; caught by the 20× scale
-      // soak). Truncating division is bit-identical in Spark `div`,
-      // DuckDB `//`, and Scala `/`, and the rank is a pure BIGINT
-      // order — no floating division anywhere.
-      .withColumn("cm", expr("sq div n"))
+      // soak). Floor via the exactly-divisible pmod rewrite — the
+      // convention-proof derivation both engines share (see
+      // PqCodebook.cmArr) — and the rank is a pure BIGINT order,
+      // no floating division anywhere.
+      .withColumn("cm", expr("(sq - pmod(sq, n)) div n"))
     val diff = $"q" - $"cm"
     val wq = Window.partitionBy($"query_id").orderBy($"s2".asc, $"label")
     qv.join(broadcast(code), "dim")
@@ -291,7 +292,10 @@ object Similarity {
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
       |  WHERE vec_id < 10),
       |code AS (
-      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
+      |  -- floored mean, convention-proof (see PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
@@ -662,7 +666,10 @@ object Similarity {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
+      |  -- floored mean, convention-proof (see PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
@@ -684,7 +691,12 @@ object Similarity {
       |    CAST(floor(CAST(s2 AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
       |  FROM dists WHERE vec_id < 10),
       |adc AS (
-      |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm
+      |  -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which reaches the
+      |  -- driver's pandas frame as float64 — value-equal but not
+      |  -- HASH-equal to Spark's int64 (the r7 red signature). Every
+      |  -- integer aggregate an oracle EMITS must be cast back to BIGINT.
+      |  SELECT lut.query_id, enc.neighbor_id,
+      |    CAST(SUM(lut.sd_ppm) AS BIGINT) AS adc_ppm
       |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.label
       |  GROUP BY 1, 2),
       |ranked AS (
@@ -736,7 +748,10 @@ object Similarity {
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
       |code AS (
-      |  SELECT label, dim, SUM(q) // COUNT(*) AS cm
+      |  -- floored mean, convention-proof (see PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
       |  FROM (SELECT label, CAST(i AS INT) AS dim,
       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
@@ -768,7 +783,9 @@ object Similarity {
       |    CAST(floor(CAST(s2 AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS sd_ppm
       |  FROM dists WHERE vec_id < 10),
       |adc AS (
-      |  SELECT lut.query_id, enc.neighbor_id, SUM(lut.sd_ppm) AS adc_ppm
+      |  -- CAST: HUGEINT→float64 driver-hash hazard, see knnPqSql.
+      |  SELECT lut.query_id, enc.neighbor_id,
+      |    CAST(SUM(lut.sd_ppm) AS BIGINT) AS adc_ppm
       |  FROM enc
       |  JOIN cells ON cells.cell = enc.cell
       |  JOIN lut ON lut.query_id = cells.query_id

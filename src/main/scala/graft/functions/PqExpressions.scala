@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   *
   * Integer-grid discipline (see Embeddings.scala header): per (label,
   * dim) the codebook stores n (member count) and sq (Σ of 1e-6-grid
-  * quantized values, exact BIGINT) and derives cm = sq div n — the
-  * truncated integer centroid mean — so a sub-distance
+  * quantized values, exact BIGINT) and derives cm = floorDiv(sq, n) —
+  * the floored integer centroid mean — so a sub-distance
   * Σ_dims (q − cm)² is exact, n-independent long arithmetic,
   * identical in any engine; no division appears in a distance.
   *
@@ -37,15 +37,24 @@ case class PqCodebook(
   @transient lazy val labelArr: Array[Int] = labels.toArray
   @transient lazy val nArr: Array[Long] = ns.toArray
   @transient lazy val sqArr: Array[Long] = sqFlat.toArray
-  /** Truncated integer centroid means, label-major like [[sqFlat]] —
-    * precomputed once so the kernel hot loop does no division. */
+  /** FLOORED integer centroid means, label-major like [[sqFlat]] —
+    * precomputed once so the kernel hot loop does no division.
+    * Math.floorDiv, not `/`: floor division is the convention BOTH
+    * sides standardize on because the oracle can spell it
+    * convention-proof — `(a − ((a % n) + n) % n) // n` is exactly
+    * divisible, so it evaluates identically whether an engine's `//`
+    * floors or truncates. A raw `SUM // COUNT` in the oracle would
+    * silently flip on negative non-divisible sums if a DuckDB build
+    * ever changed its `//` convention. */
   @transient lazy val cmArr: Array[Long] = {
     val out = new Array[Long](sqFlat.length)
     var li = 0
     while (li < labels.length) {
       val n = ns(li)
       var d = 0
-      while (d < dims) { out(li * dims + d) = sqFlat(li * dims + d) / n; d += 1 }
+      while (d < dims) {
+        out(li * dims + d) = Math.floorDiv(sqFlat(li * dims + d), n); d += 1
+      }
       li += 1
     }
     out
@@ -56,16 +65,17 @@ case class PqCodebook(
 /** Shared kernel of the PQ expressions: quantize the embedding onto
   * the 1e-6 integer grid once, then walk (sub, label) computing the
   * exact-integer sub-distance s2 = Σ_dims (q − cm)², where
-  * cm = sq div n is the TRUNCATED integer centroid mean.
+  * cm = floorDiv(sq, n) is the FLOORED integer centroid mean.
   *
   * Why the mean and not the old Σ(q·n − sq)² form: that diff is
   * n·(q − mean) — its square needs n²-proportional headroom and
   * overflows Long once cells reach ~10⁵ vectors (caught by the 20×
   * scale soak). With the mean folded in first, |q − cm| ≤ ~2.2e6
   * regardless of cell size, so s2 ≤ dims·(2.2e6)² ≈ 3e14 at ANY
-  * scale. Truncating integer division is bit-identical across
-  * Scala `/`, Spark `div`, and DuckDB `//` — the oracle replicates
-  * cm exactly, and the ranking never needs a floating division.
+  * scale. Floor division is the convention-proof choice (see
+  * [[PqCodebook.cmArr]]): the oracle derives the identical cm via an
+  * exactly-divisible rewrite, independent of any engine's `//`
+  * convention, and the ranking never needs a floating division.
   */
 trait PqKernel { self: UnaryExpression =>
   def cb: PqCodebook
