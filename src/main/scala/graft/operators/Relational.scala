@@ -738,13 +738,19 @@ object Relational {
     * tractable at 100 TB, where exact COUNT(DISTINCT) is a full
     * shuffle of every key but sketches partial-aggregate to lgK=12
     * register arrays per map task and merge associatively. The gate
-    * carries the exact counts plus two verdicts as data (the
-    * rel_approx_distinct / rel_heavy_hitters recipe, since sketch
-    * internals hash differently across engines): each scope's estimate
-    * within 5% of exact (HLL at lgK=12 is ~1.6% rse — and below ~4k
-    * distincts the sketch is in exact sparse mode), and the MERGE LAW —
-    * the union of the per-type sketches estimates the global count
-    * within the same bound a directly-built global sketch satisfies. */
+    * carries the exact counts plus the MERGE LAW as a DETERMINISTIC
+    * verdict (the rel_approx_distinct / rel_heavy_hitters recipe, since
+    * sketch internals hash differently across engines): the union of
+    * the per-type sketches must estimate the global count EXACTLY as a
+    * directly-built global sketch does — HLL union is register-wise
+    * max, so same lgK + same hash ⇒ identical registers ⇒ identical
+    * estimate, a pure function of the input multiset with zero
+    * tolerance. The former per-scope `estimate within 5% of exact`
+    * verdict was a PROBABILISTIC claim baked into a deterministic
+    * oracle as TRUE (at lgK=12 the rse is ~1.6%, so 5% is only ~3σ
+    * once a scope leaves exact sparse mode ~4k distincts — a per-build
+    * coin flip at larger SFs); the tolerance check lives in
+    * RelationalSpec now, where a failure names the bound it broke. */
   private val sketchUnion: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
@@ -753,20 +759,20 @@ object Relational {
         countDistinct($"user_id").as("exact_users"))
     val merged = perType.agg(
       hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_merged"))
-    val globalExact = ev.agg(countDistinct($"user_id").as("exact_global"))
+    val globalDirect = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("est_direct"),
+      countDistinct($"user_id").as("exact_global"))
     val typeRows = perType
       .select($"event_type".as("scope"), $"exact_users",
-        (abs(hll_sketch_estimate($"sk") - $"exact_users").cast("double") /
-          $"exact_users" <= 0.05).as("within_5pct"))
-    val allRow = merged.crossJoin(broadcast(globalExact))
+        lit(true).as("merge_law"))
+    val allRow = merged.crossJoin(broadcast(globalDirect))
       .select(lit("ALL").as("scope"), $"exact_global".as("exact_users"),
-        (abs($"est_merged" - $"exact_global").cast("double") /
-          $"exact_global" <= 0.05).as("within_5pct"))
+        ($"est_merged" === $"est_direct").as("merge_law"))
     typeRows.unionByName(allRow).orderBy($"scope")
   }
   private val sketchUnionSql =
     """SELECT event_type AS scope, COUNT(DISTINCT user_id) AS exact_users,
-      |  TRUE AS within_5pct
+      |  TRUE AS merge_law
       |FROM events GROUP BY 1
       |UNION ALL
       |SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events

@@ -91,10 +91,16 @@ object SqlSurface {
   // THROUGH THE CATALOG and aggregated — parse → analyze → catalog
   // write → partition-directory encoding → catalog read, all
   // value-checked by the oracle recomputing from the source table.
-  // Memoized per (session, sfDir); namespace carries a session + dir
-  // discriminator so parallel suites never clobber each other's DDL.
-  private val ddlFixtures =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // Memoized per (session, sfDir). WEAK session keys — a strong-keyed
+  // map would pin every SparkSession (and its SessionState) for the
+  // JVM's life. The namespace carries a random UUID, not an
+  // identityHashCode: hash collisions between two live sessions would
+  // let one DROP and recreate the other's fixture table. Each created
+  // namespace registers a JVM-shutdown DROP ... CASCADE so managed
+  // CTAS tables don't accumulate in the warehouse across runs.
+  private val ddlFixtures = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
   private val ddlSelect =
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -102,15 +108,29 @@ object SqlSurface {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   private val ddlRoundtrip: Q = (s, d) => {
     Tables.registerAll(s, d)
-    val tbl = ddlFixtures.computeIfAbsent((s, d), _ => {
-      val ns = s"graft_ddl_${Integer.toHexString(System.identityHashCode(s))}_" +
-        Integer.toHexString(d.hashCode)
+    val perSession = {
+      val got = ddlFixtures.get(s)
+      if (got != null) got
+      else ddlFixtures.synchronized {
+        var m = ddlFixtures.get(s)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+          ddlFixtures.put(s, m)
+        }
+        m
+      }
+    }
+    val tbl = perSession.computeIfAbsent(d, _ => {
+      val ns = s"graft_ddl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val t = s"$ns.orders_slice"
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
-      s.sql(s"DROP TABLE IF EXISTS $t")
       s.sql(s"""CREATE TABLE $t USING parquet PARTITIONED BY (o_orderstatus) AS
                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
                |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try { if (!s.sparkContext.isStopped)
+          s.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE") }
+        catch { case _: Throwable => () }))
       t
     })
     // the slice filter is already baked into the table; keep the same

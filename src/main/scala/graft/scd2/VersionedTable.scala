@@ -349,6 +349,9 @@ final class VersionedTable(spark: SparkSession, root: String,
     * rewrite would destroy the curve locality. */
   def optimizeZOrder(cols: Seq[String], nFiles: Int = 0): Int = {
     require(cols.size >= 2, "zorder needs at least two columns")
+    // 16 bits × k columns must fit the 64-bit z-value: k = 5 would
+    // silently drop the 5th column's high bits from the interleave
+    require(cols.size <= 4, s"zorder supports at most 4 columns, got ${cols.size}")
     require(partitioning == Partitioning.Unpartitioned,
       "zorder applies to unpartitioned tables; partitioned tables route by partition value")
     val head = requireHead()
@@ -393,8 +396,16 @@ final class VersionedTable(spark: SparkSession, root: String,
     val Z = "__zval"
     val withZ = snap.withColumn(Z, zBits)
     val zSchema = withZ.schema
+    // logical shift, and 0 when the whole value is the prefix: with
+    // k = 4 the interleave occupies bit 63, so an arithmetic `>>`
+    // would sign-extend the prefix negative (crashing the partitioner),
+    // and with p = 0 a shift of 64 wraps to a no-op in Java
     val routed = withZ.rdd
-      .map(r => ((r.getLong(r.fieldIndex(Z)) >> shift).toInt, r))
+      .map { r =>
+        val z = r.getLong(r.fieldIndex(Z))
+        val prefix = if (shift >= 64) 0L else z >>> shift
+        (prefix.toInt, r)
+      }
       .partitionBy(new org.apache.spark.Partitioner {
         def numPartitions: Int = buckets
         def getPartition(key: Any): Int = key.asInstanceOf[Int]

@@ -45,10 +45,16 @@ object StreamGate {
     * streaming an EMPTY feed in the pre-round-10 scale soaks). */
   private def eventsLane(s: SparkSession, d: String): () => DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val eventsPath = new java.io.File(s"$d/events.parquet")
+    // resolve through the Hadoop FileSystem, NOT java.io.File: a
+    // java.io probe is local-only, so an HDFS/S3 `d` would silently
+    // fall into the leaf-glob lane and stream an EMPTY feed — the
+    // exact failure mode the layout adaptation exists to prevent
+    val path = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(path).isDirectory
     () => {
       val r = s.readStream.schema(schema)
-      if (eventsPath.isDirectory) r.parquet(eventsPath.getPath)
+      if (isDir) r.parquet(path.toString)
       else r.option("pathGlobFilter", "events.parquet").parquet(d)
     }
   }

@@ -210,4 +210,30 @@ class RelationalSpec extends SparkSpec {
       .limit(20).collect()
     assert(q10.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
   }
+
+  test("sketch union: merge law holds in the gate; per-scope accuracy " +
+      "within tolerance (probabilistic — lives here, not in the oracle)") {
+    import spark.implicits._
+    // the gate pins only the deterministic merge law (union estimate ==
+    // direct-build estimate); the ACCURACY claim is probabilistic —
+    // lgK=12 HLL is ~1.6% rse once a scope leaves exact sparse mode —
+    // so it is asserted here where a failure names the broken bound
+    // instead of flaking a hash gate
+    val out = run("rel_sketch_union").collect()
+    assert(out.forall(_.getBoolean(2)),
+      "HLL merge law violated: union-of-sketches estimate differs from" +
+        " the directly-built global sketch estimate")
+    val perType = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("est"),
+        countDistinct($"user_id").as("exact"))
+      .collect()
+    perType.foreach { r =>
+      val est = r.getLong(1).toDouble; val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"HLL lgK=12 estimate for ${r.getString(0)} off by more than 5%:" +
+          s" est=$est exact=$exact (rse ~1.6%, so this is a >3-sigma event" +
+          s" — suspect a sketch/library change, not noise)")
+    }
+  }
 }

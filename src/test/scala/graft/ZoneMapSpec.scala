@@ -175,4 +175,23 @@ class ZoneMapSpec extends SparkSpec {
     p.overwrite(grid2d())
     intercept[IllegalArgumentException](p.optimizeZOrder(Seq("a", "b")))
   }
+
+  test("zorder 4-column corner: bit-63 interleave routes logically; " +
+      "nFiles=1 collapses cleanly; 5 columns refused") {
+    // with k = 4 the top interleaved bit is bit 63, so an arithmetic
+    // `>>` prefix extraction would go negative and crash the
+    // partitioner; and p = 0 (one file) makes the shift 64, which
+    // wraps to a no-op in Java — both corners must route, not throw
+    val df = (for (a <- 0 until 8; b <- 0 until 8) yield
+      (a, b, a ^ b, (a + b) % 8, a * 8 + b)).toDF("a", "b", "c", "dd", "payload")
+    val t = new VersionedTable(spark, tmp())
+    t.overwrite(df)
+    val before = t.read().as[(Int, Int, Int, Int, Int)].collect().sorted.toSeq
+    t.optimizeZOrder(Seq("a", "b", "c", "dd"), nFiles = 4)
+    assert(t.read().as[(Int, Int, Int, Int, Int)].collect().sorted.toSeq == before)
+    t.optimizeZOrder(Seq("a", "b", "c", "dd"), nFiles = 1)
+    assert(t.read().as[(Int, Int, Int, Int, Int)].collect().sorted.toSeq == before)
+    intercept[IllegalArgumentException](
+      t.optimizeZOrder(Seq("a", "b", "c", "dd", "payload")))
+  }
 }
