@@ -117,10 +117,16 @@ object Similarity {
   }
 
   // -------------------------------------------------- global top pairs
-  /** Embedding-cosine near-dup surface. This corpus has NO planted
-    * near-identical vectors (max pair cosine ≈ 0.51), so the checkable
-    * query is "top-20 most similar pairs" — a rank at moderate cosine,
-    * where sign-bit LSH provably cannot prune without losing recall
+  /** EXACT ALL-PAIRS BASELINE — NOT A PIPELINE STAGE. This operator is
+    * quadratic in the corpus BY DESIGN and exists as the ground-truth
+    * baseline the pruned paths are judged against; at a real corpus
+    * scale it does not survive, and no dedup-facing caller may compose
+    * it (PlanSpec pins [[nearDupLsh]] as the production near-dup path).
+    *
+    * Why it is gated anyway: this corpus has NO planted near-identical
+    * vectors (max pair cosine ≈ 0.51), so the checkable query is
+    * "top-20 most similar pairs" — a rank at moderate cosine, where
+    * sign-bit LSH provably cannot prune without losing recall
     * (θ ≈ 60° ⇒ per-plane agreement ≈ 0.67; any band selective enough
     * to shrink buckets misses true top pairs). Exact top-k over
     * all pairs is inherently O(n²) COMPUTE; the scale lever is

@@ -234,12 +234,25 @@ final class VersionedTable(spark: SparkSession, root: String,
     }
 
   /** Distinct partition values this table's [[Partitioning]] assigns to
-    * `df`'s rows — small by construction (≤ bucket count for BucketBy). */
+    * `df`'s rows — small by construction (≤ bucket count for BucketBy,
+    * ≤ days-in-feed for ByDay). The values are collected to the driver
+    * because the manifest commit is a driver-side operation; that is
+    * sound only while the partition-value cardinality is metadata-sized,
+    * so the collect is CAPPED (`graft.partitionValues.max`, default
+    * 100k ≈ 270 years of daily partitions) and fails fast with the
+    * offending count instead of silently OOMing the driver on a
+    * pathological partitioning expression. */
   def partitionValues(df: DataFrame): Seq[String] = partitioning.expr match {
     case None => Seq("")
     case Some(e) =>
-      df.select(e.as("__p")).distinct().collect()
-        .map(r => Option(r.getString(0)).getOrElse(NullPart)).toSeq
+      val cap = spark.conf.getOption("graft.partitionValues.max")
+        .map(_.toInt).getOrElse(100000)
+      val vals = df.select(e.as("__p")).distinct().limit(cap + 1).collect()
+      require(vals.length <= cap,
+        s"partitioning yields more than $cap distinct values — a " +
+          "driver-side manifest cannot hold this; coarsen the partition " +
+          "expression or raise graft.partitionValues.max")
+      vals.map(r => Option(r.getString(0)).getOrElse(NullPart)).toSeq
   }
 
   /** `(partitionValue, relativeDataFile)` pairs of a committed version —

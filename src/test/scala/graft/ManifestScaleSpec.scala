@@ -13,6 +13,24 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 class ManifestScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partition-values collect is capped: fails fast past the bound, " +
+      "unaffected below it") {
+    // the manifest commit collects distinct partition values driver-side;
+    // a pathological per-row partition expression must fail with a named
+    // bound, not OOM the driver at scale
+    val t = new VersionedTable(spark,
+      Files.createTempDirectory("pvcap").toString,
+      graft.scd2.Partitioning.ByColumn("id"))
+    val wide = (1 to 50).map(i => (i, s"v$i")).toDF("id", "v")
+    spark.conf.set("graft.partitionValues.max", "10")
+    try {
+      val e = intercept[IllegalArgumentException](t.partitionValues(wide))
+      assert(e.getMessage.contains("graft.partitionValues.max"))
+      spark.conf.set("graft.partitionValues.max", "64")
+      assert(t.partitionValues(wide).size == 50)
+    } finally spark.conf.unset("graft.partitionValues.max")
+  }
+
   test("optimistic concurrency: rename onto an existing manifest fails") {
     // commit() assumes the FS contract that rename does NOT clobber an
     // existing destination — that's what makes the last writer of a

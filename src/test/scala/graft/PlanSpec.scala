@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ crept back:\n$p")
   }
 
+  test("near-dup production path is the pruned LSH composition, not the " +
+      "exact all-pairs baseline") {
+    import spark.implicits._
+    // sim_neardup_top_pairs is the EXACT BASELINE (quadratic by design,
+    // ground truth only); the dedup-facing surface is nearDupLsh, and
+    // its candidate generation must plan as a bucket EQUI-join — a
+    // cross/nested-loop here means the pruning silently degenerated to
+    // all-pairs and would not survive a real corpus
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val lsh = graft.ext.Similarity.nearDupLsh(emb, minCos = 0.9)
+    val p = lsh.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearDupLsh candidate join degenerated to all-pairs:\n$p")
+    assert(lsh.queryExecution.optimizedPlan.toString.contains("Join"), p)
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     assert(plan("rel_join_semi").contains("LeftSemi"))
     assert(plan("rel_join_anti").contains("LeftAnti"))
