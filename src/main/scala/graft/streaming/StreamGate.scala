@@ -59,17 +59,42 @@ object StreamGate {
     }
   }
 
+  /** Pin `spark.sql.shuffle.partitions` small for the duration of one
+    * bounded stream drain, restoring it after. A stateful operator
+    * materializes one state-store instance PER shuffle partition (a
+    * stream-stream join: four) and every micro-batch commits each
+    * store to the checkpoint FS — at the session's CPU-sized default
+    * (32) that is ~128 store commits per batch of pure fixed overhead,
+    * the dominant term of the gate wall time. The gates' state key
+    * spaces (event types, user ids) saturate far fewer partitions;
+    * state partitioning is fixed at first run per checkpoint, and
+    * every gate uses a fresh checkpoint, so this is safe. Production
+    * sizing note: at real scale state partitions are sized to the
+    * CLUSTER (and this override is off — `graft.stream.statePartitions`
+    * would be set to the executor-count-proportional value). */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val target = s.conf.getOption("graft.stream.statePartitions")
+      .getOrElse("4")
+    val pinned = math.min(prev.toInt, target.toInt).toString
+    s.conf.set(key, pinned)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def runToMemory(s: SparkSession, d: String, sinkPrefix: String,
       mode: String = "complete")(
       transform: (() => DataFrame) => DataFrame): DataFrame = {
     val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
     val lane = eventsLane(s, d)
-    val q = transform(() => lane()).writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = transform(() => lane()).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -181,21 +206,23 @@ object StreamGate {
       name
     })
     val sink = s"stream_topic_${ctr.incrementAndGet()}"
-    val q = s.readStream
-      .format(classOf[graft.sources.MemTopicProvider].getName)
-      .option("topic", topic)
-      .load()
-      .select(split(col("value"), ",").getItem(0).as("event_type"),
-        split(col("value"), ",").getItem(1).cast("double").as("v"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("v").cast("decimal(18,4)")).as("sum_value"))
-      .writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = s.readStream
+        .format(classOf[graft.sources.MemTopicProvider].getName)
+        .option("topic", topic)
+        .load()
+        .select(split(col("value"), ",").getItem(0).as("event_type"),
+          split(col("value"), ",").getItem(1).cast("double").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v").cast("decimal(18,4)")).as("sum_value"))
+        .writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
       .select(col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
