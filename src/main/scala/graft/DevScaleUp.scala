@@ -7,8 +7,20 @@ import org.apache.spark.sql.functions._
   * for scaling soaks (VERDICT r6 ask #8 — empirical wall-vs-SF
   * exponents, the evidence behind the "survives 100×" plan claims).
   *
-  * Usage: sbt "runMain graft.DevScaleUp [srcDir] [dstDir] [factor]"
-  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 ×10)
+  * Usage: sbt "runMain graft.DevScaleUp [srcDir] [dstDir] [factor] [mode]"
+  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 ×10, mode=verbatim)
+  *
+  * mode=perturb additionally applies a PER-REPLICA SIGNED PERMUTATION
+  * of embedding dimensions (replica 0 identity). A signed permutation
+  * is an orthogonal transform, so WITHIN-replica dot products, norms,
+  * and cosines are preserved EXACTLY — each replica's near-dup pair
+  * density is identical to the base corpus — while CROSS-replica
+  * cosines of formerly-identical vectors become ~N(0, 1/√dims) and
+  * essentially never cross a near-dup threshold. This is the honest
+  * scale-up for the pair-emitting family: the verbatim replica gives
+  * every vector N identical twins, so the sim_neardup_lsh OUTPUT
+  * itself grows quadratically and the soak exponent measures the
+  * replica artifact, not the algorithm (the r7 α=1.06 flag).
   *
   * Construction — N key-shifted replicas, NOT a row-duplicated blowup:
   * - Every BIGINT entity key shifts by replica·(max(key)+1), with ONE
@@ -33,6 +45,8 @@ object DevScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val n = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "verbatim"
+    require(mode == "verbatim" || mode == "perturb", s"unknown mode $mode")
     val spark = GraftSession.build("graft-scaleup")
     import spark.implicits._
 
@@ -80,8 +94,34 @@ object DevScaleUp {
     write(reps(read("documents"))
       .select(sh("doc_id", docB), docText.as("text"), $"lang", $"source", $"_r")
       .withColumn("n_chars", length($"text")), "documents")
-    write(reps(read("embeddings")).select(sh("vec_id", vecB), $"embedding",
-      $"label", $"_r"), "embeddings")
+    val embedded = reps(read("embeddings"))
+    val embCol = if (mode == "perturb") {
+      val elemType = read("embeddings").schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val dims = 64
+      // replica 0 identity; others a seeded signed permutation
+      // (orthogonal ⇒ within-replica geometry exactly preserved)
+      val perms = (0 until n).map { r =>
+        if (r == 0) (1 to dims).toSeq
+        else new scala.util.Random(1000003L * r).shuffle((1 to dims).toVector)
+      }
+      val signs = (0 until n).map { r =>
+        if (r == 0) Seq.fill(dims)(1.0d)
+        else { val rr = new scala.util.Random(7000003L * r)
+          Seq.fill(dims)(if (rr.nextBoolean()) 1.0d else -1.0d) }
+      }
+      // a when-chain of plain element_at/sign expressions per replica
+      // (no nested-array literals — flat, codegen-friendly)
+      def permuted(r: Int) = array((0 until dims).map { d =>
+        (element_at(col("embedding"), perms(r)(d)) * lit(signs(r)(d)))
+          .cast(elemType)
+      }: _*)
+      (1 until n).foldLeft(when(col("_r") === 0, col("embedding"))) {
+        (acc, r) => acc.when(col("_r") === r, permuted(r))
+      }.as("embedding")
+    } else $"embedding"
+    write(embedded.select(sh("vec_id", vecB), embCol, $"label", $"_r"),
+      "embeddings")
     spark.stop()
   }
 }

@@ -194,19 +194,24 @@ object Similarity {
                    * nulls every plane dot, collapsing all vectors into
                    * bucket 0 (correct results, no pruning). */
                  dim: Int = 64): DataFrame = {
-    val planesCol = typedLit(hyperplanesInt(bands * planesPerBand, dim))
     // quantize the RAW vector once; every band's sign bits fold over
     // the same exact integer grid (engine-exact, see [[gridVec]]) —
     // then normalize for the 1-fold-per-pair verify
     val unit = withUnitVector(emb.select(col("vec_id"), col("embedding"))
       .withColumn("_grid", gridVec(col("embedding"))), "embedding")
-    def bucket(b: Int): Column = (0 until planesPerBand).map { p =>
-      val idx = b * planesPerBand + p
-      when(dot(element_at(planesCol, idx + 1), col("_grid")) > 0, lit(1 << p))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
-    val bucketed = unit.select(col("vec_id") +: col("embedding") +:
-      (0 until bands).map(b => bucket(b).as(s"bk$b")): _*).localCheckpoint()
+    // ALL band buckets from ONE plane-count-invariant codegen kernel
+    // (LshBandBuckets) — a when-chain of per-plane dots grows the
+    // generated method past HotSpot's JIT limit once planesPerBand is
+    // sized for a real corpus (see the expression's scaladoc); the
+    // checkpoint sits BETWEEN the kernel and the per-band column split
+    // so the kernel runs once per row, not once per bk reference
+    val planesFlat = hyperplanesInt(bands * planesPerBand, dim).flatten.toArray
+    val withBks = unit.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExpressions
+        .lshBandBuckets(col("_grid"), planesFlat, bands, planesPerBand)
+        .as("_bks")).localCheckpoint()
+    val bucketed = withBks.select(col("vec_id") +: col("embedding") +:
+      (0 until bands).map(b => element_at(col("_bks"), b + 1).as(s"bk$b")): _*)
     (0 until bands).map { b =>
       val noEarlier = (0 until b).map(k => col(s"a.bk$k") =!= col(s"b.bk$k"))
         .foldLeft(lit(true))(_ && _)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -169,6 +169,124 @@ case class LongSquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-bit LSH band buckets of a vector in ONE compact loop:
+  * out[b] = Σ_p (plane[b·ppb+p] · v > 0 ? 1≪p : 0), planes flattened
+  * row-major into a single `double[]` reference object.
+  *
+  * Why an `Expression` and not a when-chain of [[DotProduct]]s: the
+  * chain inlines one unrolled dot loop PER PLANE into the projection's
+  * generated method, so method bytecode grows linearly with the plane
+  * count — and past ~36 planes it silently crosses HotSpot's
+  * DontCompileHugeMethods limit (8 KB bytecode): the method never
+  * JITs, the projection runs bytecode-interpreted, and the bucketing
+  * stage slows ~27× with NO Spark-side warning (measured on the 20×
+  * soak replica: 0.19 s → 5.2 s when the production sizing crossed 4
+  * bands × 10 planes). Production LSH sizes planes with log₂(corpus)
+  * — 4×16 bits and up — so the kernel must be plane-count-invariant:
+  * here the planes live in ONE reference array and the generated code
+  * is a fixed-size triple loop, identical bytecode at any plane count.
+  *
+  * Arithmetic is the exact same in-order double fold as
+  * [[DotProduct]] over the 10⁶-integer-grid vector, so bucket bits are
+  * bit-identical to the when-chain formulation (and to the DuckDB
+  * oracle's `list_dot_product` on the inlined plane literals).
+  * Null/ragged: a vector whose length differs from the planes' dim
+  * surfaces as null, never a truncated bucket. */
+case class LshBandBuckets(child: Expression, planes: Array[Double],
+    bands: Int, planesPerBand: Int) extends UnaryExpression {
+  require(bands > 0 && planesPerBand > 0 && planesPerBand < 31,
+    s"invalid band geometry $bands x $planesPerBand")
+  require(planes.length % (bands * planesPerBand) == 0,
+    s"planes length ${planes.length} not divisible by ${bands * planesPerBand}")
+
+  private val dim = planes.length / (bands * planesPerBand)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // the 10⁶ integer grid arrives as array<bigint> (Spark's floor
+      // returns LONG); array<double> covers pre-cast callers
+      case ArrayType(DoubleType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_buckets requires array<double|bigint> input, got $other")
+    }
+
+  private def elemIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val isLong = elemIsLong
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bk = 0
+      var p = 0
+      while (p < planesPerBand) {
+        val off = (b * planesPerBand + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val e = if (isLong) x.getLong(i).toDouble else x.getDouble(i)
+          s += planes(off + i) * e
+          i += 1
+        }
+        if (s > 0) bk |= 1 << p
+        p += 1
+      }
+      out(b) = bk
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val getElem =
+      if (elemIsLong) (v: String, i: String) => s"(double) $v.getLong($i)"
+      else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val bk = ctx.freshName("bk")
+      val off = ctx.freshName("off")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    int $bk = 0;
+         |    for (int $p = 0; $p < $planesPerBand; $p++) {
+         |      int $off = ($b * $planesPerBand + $p) * $dim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $s += $planesRef[$off + $i] * ${getElem(v, i)};
+         |      }
+         |      if ($s > 0) $bk |= 1 << $p;
+         |    }
+         |    $out[$b] = $bk;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
   /** Column API: Σ aᵢ·bᵢ as a codegen'd primitive loop. */
@@ -177,4 +295,9 @@ object VectorExpressions {
   /** Column API: Σ (aᵢ−bᵢ)² over long arrays, exact integer result. */
   def vecL2Sq(a: Column, b: Column): Column =
     column(LongSquaredDistance(expression(a), expression(b)))
+  /** Column API: all LSH band buckets in one plane-count-invariant
+    * codegen loop (`planes` row-major, bands·planesPerBand·dim flat). */
+  def lshBandBuckets(v: Column, planes: Array[Double],
+      bands: Int, planesPerBand: Int): Column =
+    column(LshBandBuckets(expression(v), planes, bands, planesPerBand))
 }

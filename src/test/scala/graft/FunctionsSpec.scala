@@ -119,6 +119,54 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  // --------------------------------------------------- LshBandBuckets
+  test("LshBandBuckets: eval ≡ codegen ≡ the when-chain of per-plane dots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bands = 4
+    val ppb = 3
+    val dim = 64
+    val planes = graft.ext.Similarity.hyperplanesInt(bands * ppb, dim)
+    val flat = planes.flatten.toArray
+    // deterministic pseudo-grid vectors (long elements, like gridVec)
+    val rows = (0 until 20).map { r =>
+      (0 until dim).map(i => ((r * 31L + i * 17L) % 2000L) - 1000L)
+    }
+    val df = rows.map(Tuple1(_)).toDF("g")
+    val fromKernel = df.select(graft.functions.VectorExpressions
+        .lshBandBuckets(col("g"), flat, bands, ppb).as("bks"))
+      .collect().map(_.getSeq[Int](0))
+    // reference: the original when-chain semantics, computed in Scala
+    val expected = rows.map { v =>
+      (0 until bands).map { b =>
+        (0 until ppb).map { p =>
+          val pl = planes(b * ppb + p)
+          val s = (0 until dim).foldLeft(0.0)((acc, i) => acc + pl(i) * v(i))
+          if (s > 0) 1 << p else 0
+        }.sum
+      }
+    }
+    assert(fromKernel.map(_.toList).toList == expected.map(_.toList).toList)
+    // interpreted path agrees with codegen
+    val interp = graft.functions.LshBandBuckets(
+      Literal(new GenericArrayData(rows.head.toArray), ArrayType(LongType)),
+      flat, bands, ppb).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toIntArray().toList == expected.head.toList)
+  }
+
+  test("LshBandBuckets: ragged vector and null both yield null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val flat = graft.ext.Similarity.hyperplanesInt(4, 8).flatten.toArray
+    val df = Seq(Some(Seq(1L, 2L, 3L)), None)
+      .toDF("g") // wrong dim (3 ≠ 8) and null
+    val out = df.select(graft.functions.VectorExpressions
+        .lshBandBuckets(col("g"), flat, 2, 2).as("bks")).collect()
+    assert(out(0).isNullAt(0)) // ragged → null, never a truncated bucket
+    assert(out(1).isNullAt(0))
+  }
+
   // ------------------------------------------------------ CappedPairs
   private val docPosGen: Gen[(Long, Long)] = for {
     d <- Gen.chooseNum(0L, 6L)   // few docs → real collisions per group
