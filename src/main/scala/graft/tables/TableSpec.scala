@@ -60,6 +60,93 @@ final case class TableSpec(
   /** Empty DataFrame with this spec's schema (table bootstrap). */
   def emptyFrame(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  // ---- Pinot-style physical-config JSON emission -------------------
+  // The reference generator's OUTPUT shape
+  // (`generate_pinot_configs.py:33-141`): a schema JSON (columns split
+  // by role, primary key for upsert tables) and a table-config JSON
+  // (segments/retention, upsert resolution, stream ingestion, routing).
+  // The semantics already live in this spec — DDL + properties are the
+  // engine-native form — this emitter closes the byte-level interface
+  // for an operator migrating off the reference's Pinot deployment.
+  // JSON is hand-built with deterministic field order (stable diffs,
+  // no extra dependency), matching the generator's key names exactly.
+
+  private def esc(s: String): String = graft.GraftSession.jsonEscape(s)
+
+  private def pinotType(t: DataType): String = t match {
+    case IntegerType => "INT"
+    case LongType => "LONG"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType | StringType => "STRING"
+    case other => throw new IllegalArgumentException(
+      s"no Pinot type mapping for $other (column of table $name)")
+  }
+
+  /** Pinot schema JSON (`generate_pinot_configs.py:33-71`): columns
+    * split by role; upsert tables carry `primaryKeyColumns`. */
+  def pinotSchemaJson: String = {
+    def field(c: ColumnSpec) =
+      s"""{"name":${esc(c.name)},"dataType":${esc(pinotType(c.dataType))}}"""
+    def dtField(c: ColumnSpec) =
+      s"""{"name":${esc(c.name)},"dataType":${esc(pinotType(c.dataType))},""" +
+        s""""format":"1:MILLISECONDS:EPOCH","granularity":"1:MILLISECONDS"}"""
+    val dims = columns.filter(_.role == ColumnRole.Dimension).map(field)
+    val mets = columns.filter(_.role == ColumnRole.Metric).map(field)
+    val dts = columns.filter(_.role == ColumnRole.Datetime).map(dtField)
+    val pk = primaryKey.map(k =>
+      s""""primaryKeyColumns":[${esc(k)}],""").getOrElse("")
+    s"""{"schemaName":${esc(name)},$pk""" +
+      s""""dimensionFieldSpecs":[${dims.mkString(",")}],""" +
+      s""""metricFieldSpecs":[${mets.mkString(",")}],""" +
+      s""""dateTimeFieldSpecs":[${dts.mkString(",")}]}"""
+  }
+
+  /** Pinot table-config JSON (`generate_pinot_configs.py:74-141`):
+    * segments/retention block keyed on the first datetime column,
+    * upsert block when the spec resolves by key, one Kafka stream
+    * config map, and strict-replica-group routing for upsert tables —
+    * the generator's exact key names and defaults. */
+  def pinotTableJson(broker: String, topic: String,
+      tableType: String = "REALTIME", replication: Int = 1,
+      flushThresholdRows: Int = 100000): String = {
+    val timeCol = columns.find(_.role == ColumnRole.Datetime).map(_.name)
+      .orElse(retention.map(_.timeColumn))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $name has no datetime column for segmentsConfig"))
+    val ret = retention.map(r =>
+      s""""retentionTimeUnit":"DAYS","retentionTimeValue":${esc(r.days.toString)},""")
+      .getOrElse("")
+    val upsert =
+      if (primaryKey.isDefined && comparisonColumn.isDefined)
+        s""""upsertConfig":{"mode":"FULL","comparisonColumn":${esc(comparisonColumn.get)}},"""
+      else ""
+    val routing =
+      if (primaryKey.isDefined && comparisonColumn.isDefined)
+        s""","routing":{"instanceSelectorType":"strictReplicaGroup"}"""
+      else ""
+    val stream =
+      s"""{"streamType":"kafka",""" +
+        s""""stream.kafka.consumer.type":"lowlevel",""" +
+        s""""stream.kafka.topic.name":${esc(topic)},""" +
+        s""""stream.kafka.broker.list":${esc(broker)},""" +
+        s""""stream.kafka.consumer.factory.class.name":"org.apache.pinot.plugin.stream.kafka20.KafkaConsumerFactory",""" +
+        s""""stream.kafka.decoder.class.name":"org.apache.pinot.plugin.stream.kafka.KafkaJSONMessageDecoder",""" +
+        s""""realtime.segment.flush.threshold.rows":${esc(flushThresholdRows.toString)},""" +
+        s""""stream.kafka.consumer.prop.auto.offset.reset":"smallest"}"""
+    s"""{"tableName":${esc(name)},"tableType":${esc(tableType)},""" +
+      s""""segmentsConfig":{"timeColumnName":${esc(timeCol)},$ret""" +
+      s""""segmentPushType":"APPEND","schemaName":${esc(name)},""" +
+      s""""replication":${esc(replication.toString)},"replicasPerPartition":${esc(replication.toString)}},""" +
+      s""""tenants":{},""" +
+      s""""tableIndexConfig":{"loadMode":"MMAP","nullHandlingEnabled":true},""" +
+      upsert +
+      s""""ingestionConfig":{"streamIngestionConfig":{"streamConfigMaps":[$stream]}},""" +
+      s""""metadata":{}$routing}"""
+  }
 }
 
 object TableSpec {

@@ -21,6 +21,40 @@ class TableSpecSpec extends SparkSpec {
     assert(!ddl.contains("PARTITIONED BY"))
   }
 
+  test("pinot physical-config JSON: valid JSON, generator's exact shape") {
+    import spark.implicits._
+    val spec = TableSpec.salesCurrent
+    val schemaJson = spec.pinotSchemaJson
+    val tableJson = spec.pinotTableJson(
+      broker = "kafka:9092", topic = "sales_current_topic")
+    // both documents must PARSE as JSON (Spark's reader corrupt-record
+    // column stays absent), not merely look like it
+    val parsedSchema = spark.read
+      .option("mode", "FAILFAST").json(Seq(schemaJson).toDS)
+    val parsedTable = spark.read
+      .option("mode", "FAILFAST").json(Seq(tableJson).toDS)
+    // schema doc: role split + upsert primary key
+    val s = parsedSchema.collect()(0)
+    assert(parsedSchema.schema.fieldNames.contains("primaryKeyColumns"))
+    assert(s.getAs[scala.collection.Seq[String]]("primaryKeyColumns")
+      .toList == List("id"))
+    assert(s.getAs[String]("schemaName") == "sales_current")
+    assert(schemaJson.contains(""""name":"price","dataType":"DOUBLE""""))
+    assert(schemaJson.contains(
+      """"name":"last_updated_ts","dataType":"LONG","format":"1:MILLISECONDS:EPOCH""""))
+    // table doc: segments/retention, upsert resolution, stream map, routing
+    val t = parsedTable.collect()(0)
+    assert(t.getAs[String]("tableName") == "sales_current")
+    assert(tableJson.contains(""""retentionTimeUnit":"DAYS","retentionTimeValue":"30""""))
+    assert(tableJson.contains(""""comparisonColumn":"last_updated_ts""""))
+    assert(tableJson.contains(""""stream.kafka.topic.name":"sales_current_topic""""))
+    assert(tableJson.contains(""""instanceSelectorType":"strictReplicaGroup""""))
+    // a non-upsert spec emits NEITHER the upsert block nor the routing
+    val hist = TableSpec.salesHistory.pinotTableJson("kafka:9092", "audit")
+    assert(!hist.contains("upsertConfig") && !hist.contains("routing"))
+    spark.read.option("mode", "FAILFAST").json(Seq(hist).toDS).collect()
+  }
+
   test("scd2 spec declares partitioning like the reference DDL") {
     val ddl = TableSpec.salesScd2.ddl()
     assert(ddl.contains("PARTITIONED BY (effective_start_date)"))
