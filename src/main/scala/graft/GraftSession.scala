@@ -55,6 +55,10 @@ object GraftSession {
       .orElse(cores.toIntOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
+    // dev knob for the bounded stream drains' state-partition pinning
+    // (StreamGate.withStatePartitions reads this conf; see its scaladoc)
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").foreach(v =>
+      spark.conf.set("graft.stream.statePartitions", v))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
