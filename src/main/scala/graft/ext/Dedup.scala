@@ -60,7 +60,17 @@ object Dedup {
   /** Exploded blocking rows (doc_id, n, shash): the per-doc set size
     * `n` rides along from the array map, and only the 8-byte xxhash64
     * of each shingle leaves the stage — blocking joins and
-    * intersection counts never shuffle the ~80-char string. */
+    * intersection counts never shuffle the ~80-char string.
+    *
+    * REJECTED r12 experiment (do not retry without new evidence):
+    * hashing the three words directly inside the gram transform
+    * (multi-arg xxhash64, skipping concat_ws — the rewrite that took
+    * ~22% off sourceOverlap's task CPU) measured 4× WORSE wall here
+    * (dedup_ngram_jaccard 1.19 s → 4.83 s, whole family regressed
+    * alike) despite nominally less work; the interpreted
+    * higher-order-function cost structure differs between the two
+    * shapes in a way plan inspection did not predict. A/B'd both ways
+    * twice; this formulation is the measured-fast one. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame = {
     val arr = shingleArrays(s, d)
     arr.select(col("doc_id"), size(col("arr")).as("n"),
