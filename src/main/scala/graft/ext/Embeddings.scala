@@ -318,6 +318,14 @@ object Embeddings {
   // pairs materialize on one partition's worth of keys — the blocking
   // guarantee), a zip_with fold per pair, and a per-cluster top-3
   // window over ≤ cluster² rows.
+  /** Sub-bucket bit count for the auto-sized semantic-dedup blocking:
+    * refine k cluster blocks with sign-bit sub-buckets until a block
+    * holds ≈ 64 vectors. MUST return 0 at the sf0.01 gate corpus
+    * (n=500, k=10) — that is the fixed point where block ≡ cluster and
+    * the DuckDB oracle's formulation matches exactly (ExtSpec-pinned). */
+  private[graft] def semanticSubBits(n: Long, k: Long): Int =
+    math.max(0, math.ceil(math.log(n / (k * 64.0)) / math.log(2)).toInt)
+
   private val semanticDedup: Q = (s, d) => {
     import s.implicits._
     val qvecs = Tables.embeddings(s, d).select($"vec_id", expr(
@@ -338,10 +346,7 @@ object Embeddings {
     // the oracle's post-aggregate formulation matches by construction.
     val sized = Tables.embeddings(s, d)
       .agg(count(lit(1)).as("n"), count_distinct($"label").as("k")).head()
-    val n = sized.getLong(0)
-    val k = sized.getLong(1)
-    val subBits = math.max(0,
-      math.ceil(math.log(n / (k * 64.0)) / math.log(2)).toInt)
+    val subBits = semanticSubBits(sized.getLong(0), sized.getLong(1))
     val subCol =
       if (subBits == 0) lit(0)
       else element_at(graft.functions.VectorExpressions.lshBandBuckets(

@@ -567,6 +567,24 @@ class ExtSpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("auto-sized blocking reduces to the oracle fixed point at the gate corpus") {
+    // the sf0.001/sf0.01 embeddings tables are 500 vectors × 10 labels;
+    // BOTH auto-sizing formulas must reduce to the parameterization the
+    // DuckDB oracles inline as literals (4×3 hyperplanes; block ≡
+    // cluster) — a formula change that moves this fixed point would
+    // silently hash-red the driver gates
+    assert(graft.ext.Similarity.nearDupAutoPlanes(500) == 3)
+    assert(graft.ext.Embeddings.semanticSubBits(500, 10) == 0)
+    // and must GROW with the corpus (constant-occupancy scaling): the
+    // values the 10×/20× soaks measured sub-linear with
+    assert(graft.ext.Similarity.nearDupAutoPlanes(2000) == 5)
+    assert(graft.ext.Similarity.nearDupAutoPlanes(20000) == 9)
+    assert(graft.ext.Similarity.nearDupAutoPlanes(40000) == 10)
+    assert(graft.ext.Embeddings.semanticSubBits(2000, 10) == 2)
+    assert(graft.ext.Embeddings.semanticSubBits(40000, 200) == 2)
+    assert(graft.ext.Embeddings.semanticSubBits(40000, 10) == 6)
+  }
+
   test("semantic dedup: cluster blocking laws hold and distances are true") {
     import spark.implicits._
     val sd = graft.ext.Embeddings.queries("sim_semantic_dedup")(spark, sfDir)
