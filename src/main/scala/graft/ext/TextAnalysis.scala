@@ -1165,9 +1165,26 @@ object TextAnalysis {
   private val bpeRulesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
 
+  /** Cheap content fingerprint of the dir's documents table (file
+    * names + lengths + mtimes, order-independent): a process that
+    * regenerates a dataset dir IN PLACE (DevScaleUp rewriting a /tmp
+    * replica at a different factor) gets fresh rules instead of a
+    * silently stale tokenizer from the memo. */
+  private def docsFingerprint(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles() match {
+        case null => 0L
+        case fs => fs.foldLeft(0L)((acc, c) => acc ^ walk(c))
+      }
+      else f.getName.hashCode.toLong * 1000003L ^
+        f.length() * 31L ^ f.lastModified()
+    walk(new java.io.File(d, "documents.parquet"))
+  }
+
   private def bpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     bpeRulesMemo.computeIfAbsent(
-      new java.io.File(d).getCanonicalPath, _ => trainBpeRules(s, d))
+      new java.io.File(d).getCanonicalPath + "#" + docsFingerprint(d),
+      _ => trainBpeRules(s, d))
 
   private def trainBpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     import s.implicits._

@@ -192,12 +192,23 @@ case class LongSquaredDistance(left: Expression, right: Expression)
   * oracle's `list_dot_product` on the inlined plane literals).
   * Null/ragged: a vector whose length differs from the planes' dim
   * surfaces as null, never a truncated bucket. */
-case class LshBandBuckets(child: Expression, planes: Array[Double],
+case class LshBandBuckets(child: Expression,
+    planes: scala.collection.immutable.ArraySeq[Double],
     bands: Int, planesPerBand: Int) extends UnaryExpression {
   require(bands > 0 && planesPerBand > 0 && planesPerBand < 31,
     s"invalid band geometry $bands x $planesPerBand")
   require(planes.length % (bands * planesPerBand) == 0,
     s"planes length ${planes.length} not divisible by ${bands * planesPerBand}")
+
+  // `planes` is an immutable IndexedSeq so case-class equals/hashCode
+  // are STRUCTURAL — an Array param would fall back to reference
+  // identity and silently defeat Catalyst canonicalization /
+  // common-subexpression reuse between semantically equal instances.
+  // The hot loops read this unwrapped array (built once per instance).
+  @transient private lazy val planesArr: Array[Double] = planes match {
+    case d: scala.collection.immutable.ArraySeq.ofDouble => d.unsafeArray
+    case other => other.toArray // boxed-element ArraySeq: copy once
+  }
 
   private val dim = planes.length / (bands * planesPerBand)
 
@@ -233,7 +244,7 @@ case class LshBandBuckets(child: Expression, planes: Array[Double],
         var i = 0
         while (i < dim) {
           val e = if (isLong) x.getLong(i).toDouble else x.getDouble(i)
-          s += planes(off + i) * e
+          s += planesArr(off + i) * e
           i += 1
         }
         if (s > 0) bk |= 1 << p
@@ -246,7 +257,7 @@ case class LshBandBuckets(child: Expression, planes: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val planesRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
     val getElem =
       if (elemIsLong) (v: String, i: String) => s"(double) $v.getLong($i)"
       else (v: String, i: String) => s"$v.getDouble($i)"
@@ -299,5 +310,7 @@ object VectorExpressions {
     * codegen loop (`planes` row-major, bands·planesPerBand·dim flat). */
   def lshBandBuckets(v: Column, planes: Array[Double],
       bands: Int, planesPerBand: Int): Column =
-    column(LshBandBuckets(expression(v), planes, bands, planesPerBand))
+    column(LshBandBuckets(expression(v),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(planes),
+      bands, planesPerBand))
 }

@@ -101,6 +101,23 @@ object SqlSurface {
   private val ddlFixtures = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  // ONE static shutdown hook draining weak (session, namespace) pairs —
+  // a per-fixture hook would strongly capture the session (defeating
+  // the WeakHashMap's weak keys above) and accumulate one thread per
+  // fixture for the JVM's life. Collected or stopped sessions are
+  // skipped: their managed tables live under a per-PID tmp warehouse
+  // (GraftSession) that the OS reclaims.
+  private val ddlCleanup = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[(java.lang.ref.WeakReference[SparkSession], String)]())
+  private lazy val ddlCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ddlCleanup.forEach { case (ref, ns) =>
+        val s = ref.get()
+        if (s != null && !s.sparkContext.isStopped)
+          try s.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+          catch { case _: Throwable => () }
+      }))
   private val ddlSelect =
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -127,10 +144,8 @@ object SqlSurface {
       s.sql(s"""CREATE TABLE $t USING parquet PARTITIONED BY (o_orderstatus) AS
                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
                |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try { if (!s.sparkContext.isStopped)
-          s.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE") }
-        catch { case _: Throwable => () }))
+      ddlCleanupHook
+      ddlCleanup.add((new java.lang.ref.WeakReference(s), ns))
       t
     })
     // the slice filter is already baked into the table; keep the same

@@ -97,7 +97,12 @@ final case class TableSpec(
     val dims = columns.filter(_.role == ColumnRole.Dimension).map(field)
     val mets = columns.filter(_.role == ColumnRole.Metric).map(field)
     val dts = columns.filter(_.role == ColumnRole.Datetime).map(dtField)
-    val pk = primaryKey.map(k =>
+    // primaryKeyColumns is an upsert-mode artifact: the generator only
+    // emits it when mode=='upsert' (generate_pinot_configs.py:43-45),
+    // and upsert mode requires a comparison column — gate on BOTH so a
+    // pk-without-comparisonColumn spec yields a non-upsert schema that
+    // matches its non-upsert table config.
+    val pk = primaryKey.filter(_ => comparisonColumn.isDefined).map(k =>
       s""""primaryKeyColumns":[${esc(k)}],""").getOrElse("")
     s"""{"schemaName":${esc(name)},$pk""" +
       s""""dimensionFieldSpecs":[${dims.mkString(",")}],""" +
@@ -137,9 +142,17 @@ final case class TableSpec(
         s""""stream.kafka.decoder.class.name":"org.apache.pinot.plugin.stream.kafka.KafkaJSONMessageDecoder",""" +
         s""""realtime.segment.flush.threshold.rows":${esc(flushThresholdRows.toString)},""" +
         s""""stream.kafka.consumer.prop.auto.offset.reset":"smallest"}"""
+    // timeType is the unit token of the datetime column's format
+    // ("1:MILLISECONDS:EPOCH" → "MILLISECONDS"), matching the YAML's
+    // time_column.type (pinot_tables.yaml:26-29); the generator emits
+    // it alongside timeColumnName plus a fixed segment-assignment
+    // strategy (generate_pinot_configs.py:90-99).
     s"""{"tableName":${esc(name)},"tableType":${esc(tableType)},""" +
-      s""""segmentsConfig":{"timeColumnName":${esc(timeCol)},$ret""" +
-      s""""segmentPushType":"APPEND","schemaName":${esc(name)},""" +
+      s""""segmentsConfig":{"timeColumnName":${esc(timeCol)},""" +
+      s""""timeType":"MILLISECONDS",$ret""" +
+      s""""segmentPushType":"APPEND",""" +
+      s""""segmentAssignmentStrategy":"BalanceNumSegmentAssignmentStrategy",""" +
+      s""""schemaName":${esc(name)},""" +
       s""""replication":${esc(replication.toString)},"replicasPerPartition":${esc(replication.toString)}},""" +
       s""""tenants":{},""" +
       s""""tableIndexConfig":{"loadMode":"MMAP","nullHandlingEnabled":true},""" +

@@ -150,9 +150,25 @@ class FunctionsSpec extends SparkSpec {
     // interpreted path agrees with codegen
     val interp = graft.functions.LshBandBuckets(
       Literal(new GenericArrayData(rows.head.toArray), ArrayType(LongType)),
-      flat, bands, ppb).eval(null)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flat),
+      bands, ppb).eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(interp.toIntArray().toList == expected.head.toList)
+  }
+
+  test("LshBandBuckets: structural equality (Catalyst canonicalization)") {
+    // two instances built from DISTINCT but equal plane arrays must be
+    // equal — case-class equality on the immutable ArraySeq is
+    // structural, so CSE/canonicalization can merge them (an Array
+    // param compared by reference identity and never matched)
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, ArrayType(LongType), nullable = true)
+    val mk = () => graft.functions.LshBandBuckets(child,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array(1.0, -2.0, 3.0, -4.0)), 2, 2)
+    val (e1, e2) = (mk(), mk())
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
   }
 
   test("LshBandBuckets: ragged vector and null both yield null") {

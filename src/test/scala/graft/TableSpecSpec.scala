@@ -45,6 +45,9 @@ class TableSpecSpec extends SparkSpec {
     // table doc: segments/retention, upsert resolution, stream map, routing
     val t = parsedTable.collect()(0)
     assert(t.getAs[String]("tableName") == "sales_current")
+    assert(tableJson.contains(""""timeType":"MILLISECONDS""""))
+    assert(tableJson.contains(
+      """"segmentAssignmentStrategy":"BalanceNumSegmentAssignmentStrategy""""))
     assert(tableJson.contains(""""retentionTimeUnit":"DAYS","retentionTimeValue":"30""""))
     assert(tableJson.contains(""""comparisonColumn":"last_updated_ts""""))
     assert(tableJson.contains(""""stream.kafka.topic.name":"sales_current_topic""""))
@@ -53,6 +56,11 @@ class TableSpecSpec extends SparkSpec {
     val hist = TableSpec.salesHistory.pinotTableJson("kafka:9092", "audit")
     assert(!hist.contains("upsertConfig") && !hist.contains("routing"))
     spark.read.option("mode", "FAILFAST").json(Seq(hist).toDS).collect()
+    // pk without a comparison column is NOT upsert mode: the schema doc
+    // must omit primaryKeyColumns (generator ties it to mode=='upsert')
+    val pkOnly = spec.copy(comparisonColumn = None)
+    assert(!pkOnly.pinotSchemaJson.contains("primaryKeyColumns"))
+    assert(!pkOnly.pinotTableJson("kafka:9092", "t").contains("upsertConfig"))
   }
 
   test("scd2 spec declares partitioning like the reference DDL") {
