@@ -1,7 +1,7 @@
 package graft.scd2
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -191,6 +191,124 @@ object Scd2Queries {
       |  WHERE o_orderkey % 8 = 1 OR o_orderkey % 16 = 8 OR o_orderkey % 16 = 2)
       |SELECT * FROM ins UNION ALL SELECT * FROM del
       |ORDER BY change, o_orderkey""".stripMargin
+
+  // 2-PHASE MERGE under the hash gate (J1/J2 DIRECTLY): a scripted
+  // c→u→d scenario through the PRODUCTION path — processBatch →
+  // applyBatch on a bucketed VersionedTable, bootstrap commit then a
+  // merge commit — whose post-merge table the oracle recomputes in
+  // pure SQL. Until now the delete-merge/close-old core
+  // (`scd2_spark_processor.py:438-483`) was pinned by Scd2Spec goldens
+  // and gated only transitively through table state; this gate
+  // value-checks every row the two MERGEs produce. Scenario over the
+  // deterministic 1/3 orders universe (k = o_orderkey, k % 3 = 0):
+  //   batch 1 @t0: op 'c' for every k            (bootstrap, all current)
+  //   batch 2 @t1: k%4==1 → 'u' changed price    (close old, new version)
+  //                k%4==2 → 'u' IDENTICAL attrs  (§7.4.4 quirk: the
+  //                         reference never consults the stored hash,
+  //                         so a cross-batch no-op still opens a
+  //                         spurious version — pinned, not papered over)
+  //                k%4==3 → 'd'                  (close in place, flag
+  //                         deleted, hash unchanged)
+  //                k%4==0 → 'd' for id -k-1      (strictly negative =
+  //                         unseen key, k=0 exists: silent no-op,
+  //                         WHEN MATCHED only, §7.4.6)
+  // record_hash parity matters here: both engines md5 the pipe-joined
+  // PRE-CAST string forms (price hashed as its string, cast to double
+  // after — §7.4.2), so the oracle recomputes the exact hashes.
+  private def mergeOpsEnvelope(keys: DataFrame, op: String, idExpr: Column,
+      priceExpr: Column, ts: String, lsnOff: Long): DataFrame = {
+    val name = concat(lit("P"), idExpr.cast("string"))
+    val cat = concat(lit("C"), (idExpr % 5).cast("string"))
+    val qty = idExpr % 7
+    keys.select(
+      lit(op).as("op"),
+      lit(ts).cast("timestamp").as("event_timestamp"),
+      (col("k") + lit(lsnOff)).as("lsn"),
+      idExpr.as("after_id"), name.as("after_product_name"),
+      cat.as("after_category"), priceExpr.cast("string").as("after_price"),
+      qty.as("after_quantity"), idExpr.as("after_sale_date"),
+      (idExpr * 2).as("after_created_at"),
+      idExpr.as("before_id"), name.as("before_product_name"),
+      cat.as("before_category"), priceExpr.cast("string").as("before_price"),
+      qty.as("before_quantity"), idExpr.as("before_sale_date"),
+      (idExpr * 2).as("before_created_at"))
+  }
+  private val mergeOpsFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeOpsTable(s: SparkSession, d: String): VersionedTable = {
+    val root = mergeOpsFixtures.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-mergeops-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getPath), true)
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .filter(col("k") % 3 === 0)
+      val k = col("k")
+      val p1 = k % 97
+      val p2 = k % 97 + 1
+      val t0 = "2024-01-01 00:00:00"
+      val t1 = "2024-01-02 00:00:00"
+      val batch1 = mergeOpsEnvelope(keys, "c", k, p1, t0, 0L)
+      val batch2 = mergeOpsEnvelope(keys.filter(k % 4 === 1), "u", k, p2, t1, 1000000000L)
+        .unionByName(mergeOpsEnvelope(keys.filter(k % 4 === 2), "u", k, p1, t1, 1000000000L))
+        .unionByName(mergeOpsEnvelope(keys.filter(k % 4 === 3), "d", k, p1, t1, 1000000000L))
+        .unionByName(mergeOpsEnvelope(keys.filter(k % 4 === 0), "d", -k - 1, p1, t1, 1000000000L))
+      // production shape: id-bucketed table, single-file delta commits
+      val t = new VersionedTable(s, dir.getPath, Partitioning.BucketBy("id", 4))
+      Scd2Processor.applyBatch(t, Scd2Processor.processBatch(batch1.coalesce(1)))
+      Scd2Processor.applyBatch(t, Scd2Processor.processBatch(batch2.coalesce(1)))
+      dir.getPath
+    })
+    new VersionedTable(s, root, Partitioning.BucketBy("id", 4))
+  }
+  private val mergeOps: Q = (s, d) => {
+    mergeOpsTable(s, d).read()
+      .select(col("id"), col("product_name"), col("category"), col("price"),
+        col("quantity"), col("sale_date"), col("created_at"),
+        unix_micros(col("effective_start_ts")).as("start_us"),
+        unix_micros(col("effective_end_ts")).as("end_us"),
+        col("is_current"), col("record_hash"), col("is_deleted"))
+      .orderBy(col("id"), col("start_us"))
+  }
+  private val mergeOpsSql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k,
+      |    'P' || CAST(o_orderkey AS VARCHAR) AS product_name,
+      |    'C' || CAST(o_orderkey % 5 AS VARCHAR) AS category,
+      |    CAST(o_orderkey % 97 AS VARCHAR) AS p1,
+      |    CAST(o_orderkey % 97 + 1 AS VARCHAR) AS p2,
+      |    o_orderkey % 7 AS quantity, o_orderkey AS sale_date,
+      |    o_orderkey * 2 AS created_at
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |h AS (
+      |  SELECT *,
+      |    md5(concat_ws('|', product_name, category, p1,
+      |                  CAST(quantity AS VARCHAR))) AS h1,
+      |    md5(concat_ws('|', product_name, category, p2,
+      |                  CAST(quantity AS VARCHAR))) AS h2
+      |  FROM a),
+      |v1 AS (
+      |  SELECT k AS id, product_name, category,
+      |    CAST(k % 97 AS DOUBLE) AS price, quantity, sale_date, created_at,
+      |    CAST(1704067200000000 AS BIGINT) AS start_us,
+      |    CASE WHEN k % 4 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(1704153600000000 AS BIGINT) END AS end_us,
+      |    (k % 4 = 0) AS is_current, h1 AS record_hash,
+      |    (k % 4 = 3) AS is_deleted
+      |  FROM h),
+      |v2 AS (
+      |  SELECT k AS id, product_name, category,
+      |    CAST(CASE WHEN k % 4 = 1 THEN k % 97 + 1 ELSE k % 97 END AS DOUBLE) AS price,
+      |    quantity, sale_date, created_at,
+      |    CAST(1704153600000000 AS BIGINT) AS start_us,
+      |    CAST(NULL AS BIGINT) AS end_us,
+      |    TRUE AS is_current,
+      |    CASE WHEN k % 4 = 1 THEN h2 ELSE h1 END AS record_hash,
+      |    FALSE AS is_deleted
+      |  FROM h WHERE k % 4 IN (1, 2))
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |ORDER BY id, start_us""".stripMargin
 
   // INCREMENTAL JOIN VIEW under the hash gate: two versioned sources
   // take independent MOR commits — the fact side replays the
@@ -697,6 +815,7 @@ object Scd2Queries {
     "scd2_current" -> current,
     "scd2_version_stats" -> versionStats,
     "scd2_changefeed" -> changefeed,
+    "scd2_merge_ops" -> mergeOps,
     "scd2_optimize" -> optimizeQ,
     "scd2_compaction" -> compaction,
     "scd2_join_view" -> joinView,
@@ -711,6 +830,7 @@ object Scd2Queries {
     "scd2_current" -> currentSql,
     "scd2_version_stats" -> versionStatsSql,
     "scd2_changefeed" -> changefeedSql,
+    "scd2_merge_ops" -> mergeOpsSql,
     "scd2_optimize" -> optimizeSql,
     "scd2_compaction" -> compactionSql,
     "scd2_join_view" -> joinViewSql,

@@ -198,8 +198,15 @@ object StreamGate {
     val topic = topicFixtures.computeIfAbsent((s, d), _ => {
       val name = s"gate_events_${ctr.incrementAndGet()}_p${ProcessHandle.current().pid()}"
       graft.sources.MemTopic.create(name, partitions = 4)
+      // toLocalIterator, not collect: the fixture copies the events
+      // table into the driver-JVM topic log, and at soak replicas a
+      // full collect is the one place the harness materializes a
+      // corpus driver-side. Streaming one partition at a time keeps
+      // driver memory O(partition); produce must stay ON the driver —
+      // MemTopic is a driver-JVM singleton, so task-side produce would
+      // silently write to empty executor-local logs on a real cluster.
       graft.Tables.events(s, d).select("event_id", "event_type", "value")
-        .collect().foreach { r =>
+        .toLocalIterator().forEachRemaining { r =>
           graft.sources.MemTopic.produce(name, (r.getLong(0) % 4).toInt,
             r.getLong(0).toString, s"${r.getString(1)},${r.getDouble(2)}")
         }
