@@ -44,6 +44,9 @@ object DevProfile {
     jobWall.sortBy(_._1).foreach { case (id, ms) =>
       println(f"job $id%3d  wall ${ms / 1000.0}%7.3f s")
     }
+    stageTask.toSeq.sortBy(_._1).foreach { case (id, (ms, n)) =>
+      println(f"stage $id%3d  task ${ms / 1000.0}%7.3f s  ($n tasks)")
+    }
     val taskMs = stageTask.values.map(_._1).sum
     val jobMs = jobWall.map(_._2).sum
     println(f"sum job wall   ${jobMs / 1000.0}%7.3f s")

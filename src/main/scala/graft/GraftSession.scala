@@ -25,6 +25,10 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // custom whole-operator plans (SURVEY §2.11 tier (c)): planner
+      // strategy for the sorted-group streaming execs in graft.plans
+      .withExtensions(_.injectPlannerStrategy(_ =>
+        graft.plans.SortedGroupPlans.GraftStrategy))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -61,6 +65,41 @@ object GraftSession {
       spark.conf.set("graft.stream.statePartitions", v))
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  // One pinned child per parent session, weak-keyed so neither outlives
+  // the parent; child sessions share the SparkContext (same executors,
+  // same relation cache key-space) but carry their own SQLConf.
+  private val noAqeChildren =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** Child session with AQE pinned OFF, for queries whose plan is a
+    * FIXED exchange cascade over uniformly-hashed keys (substring-span
+    * dedup, shingle jaccard): skew is impossible by construction and
+    * parallelism is already explicit, so adaptive re-planning buys
+    * nothing and costs one materialization barrier per exchange plus a
+    * driver re-plan between the resulting jobs (DevProfile: 0.39 s of
+    * barriers + 0.46 s of inter-job driver gaps on a 2.4 s query).
+    * A child session scopes the setting to the query that owns it —
+    * no conf mutation races against the parent, and the conf is live
+    * whenever the lazily-built DataFrame finally executes (a try/finally
+    * around construction would restore it too early). Everything else
+    * (shuffle partitions included) is copied from the parent at first
+    * use; AQE stays ON in the parent for data-dependent plans. */
+  def noAqe(s: SparkSession): SparkSession = noAqeChildren.synchronized {
+    val cached = noAqeChildren.get(s)
+    if (cached != null) cached
+    else {
+      val c = s.newSession()
+      // runtime-set parent confs (newSession re-reads only SparkConf)
+      c.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      s.conf.getOption("graft.stream.statePartitions")
+        .foreach(c.conf.set("graft.stream.statePartitions", _))
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      noAqeChildren.put(s, c)
+      c
+    }
   }
 
   /** Minimal JSON string escaper shared by the Verify/Bench emitters —

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -146,7 +146,7 @@ object Dedup {
   private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
     // Hot-key discovery by hash aggregate + BROADCAST, not a window
     // and not an always-planned split: hot shingles are few by
-    // construction (≤ rows/maxBlockDf keys can exceed the cap), so the
+    // construction (≤ rows/cap keys can exceed the cap), so the
     // rare/hot split is a map-side anti/semi join against a broadcast
     // set. Two r7 experiments measured WORSE than this probe shape at
     // sf0.1: a COUNT window over the blocking exchange re-ran its
@@ -155,18 +155,42 @@ object Dedup {
     // branch even when it was empty — AQE's empty-relation propagation
     // only fires at stage boundaries, AFTER the work has run. The
     // driver probe prices the split at exactly one narrow aggregate.
-    val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxBlockDf).select(col("shash"))
-      .localCheckpoint()
+    //
+    // r9: the cap is AUTO-SIZED from the df histogram (the same
+    // stats-driven sizing as Similarity.nearDupAutoPlanes): the probe
+    // aggregate's df distribution is folded to a ≤4096-row histogram
+    // (clamped df → count — a bounded driver collect like the k·d
+    // centroid ones), and [[jaccardAutoCap]] picks the largest cap in
+    // [64, maxBlockDf] whose WORST-CASE candidate volume Σ min(df,C)²
+    // stays ≤ 32 · shingle-rows. A clean corpus (like the gate's)
+    // resolves to maxBlockDf itself — the correctness fixed point is
+    // unchanged — while a duplication-heavy corpus tightens the cap so
+    // blocking work stays a bounded multiple of corpus size instead of
+    // inflating df²-fold under a fixed parameter. The recall condition
+    // above is unaffected in kind (a pair needs ONE sub-cap shared
+    // shingle; fixtures were exact down to cap=10 at sf0.1), and
+    // scores stay exact regardless — the cap prunes generation only.
+    val hist = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .groupBy(least(col("df"), lit(4096L)).as("dfc"))
+      .agg(count(lit(1)).as("cnt"), sum(col("df")).as("occ"))
+      .collect()
+    val shingleRows = hist.map(_.getLong(2)).sum
+    val cap = jaccardAutoCap(
+      hist.map(r => (r.getLong(0), r.getLong(1))).toSeq, shingleRows, maxBlockDf)
     // Adaptive shortcut (AQE-style stats-driven planning, exact by
-    // definition): if NO shingle exceeds the cap, "blocked" and
-    // uncapped are the same function — skip the split machinery and
-    // run the plain fused pass. A healthy cap on a clean corpus hits
-    // this path; a stopword-ridden crawl takes the split.
-    if (hotKeys.isEmpty) {
+    // definition): if NO shingle exceeds the cap — read straight off
+    // the collected histogram — "blocked" and uncapped are the same
+    // function; skip the split machinery and run the plain fused pass.
+    // A healthy cap on a clean corpus hits this path; a stopword-
+    // ridden crawl takes the split (and only then pays the second
+    // df-aggregate pass for the hot-key set).
+    if (!hist.exists(r => r.getLong(0) > cap)) {
       return jaccardPairs(sh).filter(col("jaccard") >= 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }
+    val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("shash"))
+      .localCheckpoint()
     val rare = sh.join(broadcast(hotKeys), Seq("shash"), "left_anti")
     val hot = sh.join(broadcast(hotKeys), Seq("shash"), "left_semi")
     val interRare = rare.as("a").hint("shuffle_hash").join(rare.as("b"),
@@ -206,6 +230,46 @@ object Dedup {
   /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
   def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
     jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf)
+
+  /** Volume-targeted df-cap (see jaccardPairsBlocked): largest
+    * C ∈ [min(64, ceiling), min(ceiling, 4095)] whose worst-case
+    * candidate volume Σ min(df, C)² · cnt is ≤ 32 · shingleRows,
+    * evaluated on the clamped df histogram `(df, #shingles)`. Monotone
+    * in C, so the scan takes the last passing candidate; an empty or
+    * all-light histogram returns the ceiling (the uncapped fixed
+    * point). 4095 (not 4096) keeps the histogram's clamp value
+    * strictly above any returned cap, so clamped-at-4096 dfs are
+    * always detected as hot. Driver-side pure function, spec-pinned.
+    */
+  private[graft] def jaccardAutoCap(
+      hist: Seq[(Long, Long)], shingleRows: Long, ceiling: Int): Int = {
+    val hi = math.min(ceiling, 4095)
+    val lo = math.min(64, hi)
+    val target = 32L * shingleRows
+    // saturating Σ min(df, c)²·cnt — cnt can be corpus-sized at 100 TB
+    def volume(c: Long): Long = {
+      var acc = 0L
+      val it = hist.iterator
+      while (it.hasNext && acc >= 0) {
+        val (df, cnt) = it.next()
+        val m = math.min(df, c)
+        val term = m * m
+        acc = if (cnt != 0 && term > Long.MaxValue / cnt) -1 else {
+          val v = term * cnt
+          if (acc > Long.MaxValue - v) -1 else acc + v
+        }
+      }
+      if (acc < 0) Long.MaxValue else acc
+    }
+    if (volume(hi) <= target) hi
+    else {
+      // candidates: the observed df values inside (lo, hi) — volume is
+      // piecewise-monotone, so the best cap is at one of them
+      val cands = hist.map(_._1).filter(v => v > lo && v < hi).distinct.sorted
+      val best = cands.takeWhile(c => volume(c) <= target).lastOption
+      best.map(_.toInt).getOrElse(lo)
+    }
+  }
   private val ngramJaccardSql =
     s"""WITH $shingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -865,7 +929,6 @@ object Dedup {
     */
   private def substringSpanTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val K = 20
     val MinSpan = 30
     val DfCap = 64
@@ -883,33 +946,49 @@ object Dedup {
       .select($"doc_id", $"text",
         explode(expr(s"sequence(1, length(text) - ${K - 1})")).as("i"))
       .select($"doc_id", $"i", xxhash64(expr(s"substr(text, i, $K)")).as("h"))
-    // ONE shuffle for probe + pair generation: the df-cap lives inside
-    // [[graft.functions.CappedPairs]]'s aggregation buffer (saturates
-    // at cap+1 rows — no unbounded group can exist at any corpus
-    // size), and `finish` emits the a<b cross-doc pairs directly. The
-    // r7 shape paid a df-probe aggregate PLUS a two-leg sort-merge
-    // self-join plus a distinct exchange (three corpus-sized exchanges,
-    // three runs of the gram map pipeline); this is one gram pass and
-    // one gram-sized exchange. Per-pair rows are unique by
-    // construction ((doc, i) determines h). The 20× soak lesson
-    // stands: nothing is checkpointed, no hash relation is built over
-    // duplicate-mass-driven fan-out.
-    val cappedPairs = udaf(new graft.functions.CappedPairs(DfCap))
-    val m = grams.groupBy($"h")
-      .agg(cappedPairs($"doc_id", $"i").as("pairs"))
-      .select(explode($"pairs").as("p"))
-      .select($"p.a_id", $"p.b_id", $"p.ai", $"p.bi")
-    val runs = m
-      .withColumn("diag", $"ai" - $"bi")
-      .withColumn("grp", $"ai" - row_number().over(
-        Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"ai")))
-    runs.groupBy($"a_id", $"b_id", $"diag", $"grp")
-      .agg((count(lit(1)) + lit(K - 1)).as("span_chars"),
-        min($"bi").as("b_start"))
-      .filter($"span_chars" >= MinSpan)
+    // ONE shuffle for probe + pair generation, via the custom
+    // sorted-group operator [[graft.plans.CappedPairsPlan]]: the df-cap
+    // lives inside the operator's O(cap) group state (a group saturates
+    // at cap+1 occurrences and can never emit — no unbounded state can
+    // exist at any corpus size), and the a<b cross-doc pairs stream out
+    // directly. Shape history, each step A/B'd on this box (DevSpanExp
+    // / DevProfile, 4 cores, sf0.1, steady): the r7 df-probe +
+    // two-leg sort-merge self-join paid three corpus-sized exchanges;
+    // r8's single udaf(Aggregator) folded them into one exchange
+    // (1.9 s pipeline); r9's native TypedImperativeAggregate twin
+    // removed the per-row boxing and buffer-encoder round-trips
+    // (1.17 s); this operator removes what even the native aggregate
+    // must pay — the map-side partial-aggregation pass (a per-partition
+    // object hash map over mostly-unique gram keys, ~2.9 s of task CPU,
+    // that sort-falls-back past 128 keys and serializes ~one buffer per
+    // input row into the exchange) — by declaring ClusteredDistribution
+    // + SortOrder on h and walking each sorted group once. Probe +
+    // broadcast-semi-join prefilter A/B'd WORSE (2.1 s: half this
+    // corpus's gram mass is genuinely duplicated); raising the
+    // ObjectHashAggregate sort-fallback threshold A/B'd worse too
+    // (1.2 → 1.6 s). Per-pair rows are unique by construction
+    // ((doc, i) determines h). The 20× soak lesson stands: nothing is
+    // checkpointed, no hash relation is built over duplicate-mass-
+    // driven fan-out.
+    import org.apache.spark.sql.GraftPlanBridge
+    val m = GraftPlanBridge.ofRows(s, graft.plans.CappedPairsPlan(
+      GraftPlanBridge.analyzed(
+        grams.select($"h", $"doc_id", $"i".cast("long").as("i"))),
+      DfCap))
+    // run-stitching as the same operator family: one (a_id, b_id)
+    // exchange + (a, b, ai−bi, ai) sort, then a streaming O(1)-state
+    // walk emitting one row per maximal run — replaces the r8
+    // sort+row_number window plus a re-aggregate over the same keys
+    // (~1.8 s of task CPU at sf0.1).
+    GraftPlanBridge.ofRows(s, graft.plans.DiagonalRunsPlan(
+      GraftPlanBridge.analyzed(m), K, MinSpan))
   }
 
-  private val substringSpans: Q = (s, d) => {
+  private val substringSpans: Q = (s0, d) => {
+    // fixed two-exchange cascade on uniform hash keys: AQE's per-
+    // exchange materialization barriers are pure floor here (see
+    // GraftSession.noAqe scaladoc; DevProfile r9 evidence)
+    val s = GraftSession.noAqe(s0)
     import s.implicits._
     substringSpanTable(s, d)
       .groupBy($"a_id", $"b_id")
@@ -955,7 +1034,8 @@ object Dedup {
     * span rows back to `documents` on doc_id — one key-partitioned
     * join, text touched only map-side.
     */
-  private val spanRemoval: Q = (s, d) => {
+  private val spanRemoval: Q = (s0, d) => {
+    val s = GraftSession.noAqe(s0) // same fixed-cascade rationale as substringSpans
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pick = substringSpanTable(s, d)

@@ -585,6 +585,23 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Embeddings.semanticSubBits(40000, 10) == 6)
   }
 
+  test("jaccard auto-cap: clean corpus keeps the ceiling, dup mass tightens it") {
+    import graft.ext.Dedup.jaccardAutoCap
+    // clean corpus (all dfs light): volume at the ceiling is tiny →
+    // the cap IS the ceiling — the gate's uncapped fixed point
+    assert(jaccardAutoCap(Seq((2L, 100L)), 200L, 1000) == 1000)
+    assert(jaccardAutoCap(Seq.empty, 0L, 1000) == 1000)
+    // duplication-heavy: df=500 mass blows the 32×rows budget at any
+    // cap ≥ the observed values → falls to the 64 floor
+    assert(jaccardAutoCap(Seq((2L, 1000L), (500L, 50L)), 27000L, 1000) == 64)
+    // mid: budget admits df=100 but not the df=3000 tail → cap lands
+    // exactly on the largest admissible observed df
+    assert(jaccardAutoCap(
+      Seq((10L, 1000L), (100L, 20L), (3000L, 5L)), 27000L, 1000) == 100)
+    // a tight ceiling (the spec-hook path) clamps floor and ceiling
+    assert(jaccardAutoCap(Seq((500L, 50L)), 25000L, 4) == 4)
+  }
+
   test("semantic dedup: cluster blocking laws hold and distances are true") {
     import spark.implicits._
     val sd = graft.ext.Embeddings.queries("sim_semantic_dedup")(spark, sfDir)

@@ -252,6 +252,43 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("CappedPairsAgg (native) ≡ CappedPairs (typed) through a real shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    // groups covering every semantic edge: singleton (no emit),
+    // cross-doc pair, same-doc-only (no a<b pair), exactly-at-cap,
+    // saturated past cap (no emit), int-typed positions
+    val cap = 3
+    val rows = Seq(
+      (1L, 10L, 1L),                                  // singleton
+      (2L, 10L, 1L), (2L, 20L, 7L),                   // one cross-doc pair
+      (3L, 10L, 1L), (3L, 10L, 2L),                   // same doc twice
+      (4L, 10L, 1L), (4L, 20L, 2L), (4L, 30L, 3L),    // at cap: 3 pairs
+      (5L, 10L, 1L), (5L, 20L, 2L), (5L, 30L, 3L), (5L, 40L, 4L)) // > cap
+    val df = rows.toDF("h", "doc_id", "i").repartition(7) // force merges
+    def collectPairs(c: org.apache.spark.sql.Column) =
+      df.groupBy($"h").agg(c.as("pairs"))
+        .select($"h", explode($"pairs").as("p"))
+        .select($"h", $"p.a_id", $"p.b_id", $"p.ai", $"p.bi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val typedUdaf = udaf(new graft.functions.CappedPairs(cap))
+    val typed = collectPairs(typedUdaf($"doc_id", $"i"))
+    val native = collectPairs(asCol(graft.functions.CappedPairsAgg(
+      asExpr($"doc_id"), asExpr($"i"), cap).toAggregateExpression()))
+    assert(native == typed)
+    assert(native.map(_._1) == Set(2L, 4L)) // only h=2 and h=4 emit
+    assert(native.count(_._1 == 4L) == 3)
+    // and the whole-operator plan (CappedPairsPlan → exec) agrees too
+    import org.apache.spark.sql.GraftPlanBridge
+    val viaPlan = GraftPlanBridge.ofRows(spark, graft.plans.CappedPairsPlan(
+        GraftPlanBridge.analyzed(df.select($"h", $"doc_id", $"i")), cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaPlan == native.map(t => (t._2, t._3, t._4, t._5)))
+  }
+
   test("LongSquaredDistance: eval ≡ codegen ≡ reference; ragged → null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
