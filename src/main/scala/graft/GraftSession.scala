@@ -54,10 +54,27 @@ object GraftSession {
     // `cores` may be a non-numeric master spec like "*"; shuffle
     // partitions must still be a number — fall back to the actual
     // parallelism instead of crashing the first shuffle.
+    //
+    // Memory-sized partitioning (the BASELINE.md 50×-soak finding,
+    // encoded): a full per-partition materialization must fit the
+    // heap share of one task slot. The envelope measured on the 50×
+    // soak is 1.5 GB/core — BELOW it (e.g. 32 slots on the default
+    // 8 GB test heap = 250 MB/slot) the core-count default OOMs on
+    // partition-sized materializations, so the shuffle-partition
+    // default is MULTIPLIED by ceil(1.5 GB / heap-per-slot), making
+    // each partition proportionally smaller. AQE's runtime coalescing
+    // folds the extra partitions back together on small data, so the
+    // factor only changes behavior where it matters. An explicit
+    // SPARK_GRAFT_SHUFFLE_PARTS always wins (a real cluster sizes
+    // this to data volume); at the committed 4-core/8 GB bench
+    // convention heap-per-slot is 2 GB and the factor is 1.
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val heapPerSlot = Runtime.getRuntime.maxMemory / slots
+    val memFactor = math.min(16L,
+      math.max(1L, (1_500_000_000L + heapPerSlot - 1) / heapPerSlot)).toInt
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
       .flatMap(_.toIntOption)
-      .orElse(cores.toIntOption)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+      .getOrElse(cores.toIntOption.getOrElse(slots) * memFactor)
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
     // dev knob for the bounded stream drains' state-partition pinning
     // (StreamGate.withStatePartitions reads this conf; see its scaladoc)

@@ -1667,6 +1667,22 @@ object Relational {
     // measured 2× slower). Open-ended iteration (CC-style, O(diameter)
     // rounds) would also checkpoint per round like
     // Dedup.connectedComponents.
+    //
+    // REJECTED r9 reworks (DevPageRankExp, interleaved same-JVM A/B,
+    // bench hygiene between reps — this shape won every rep, steady
+    // ~2.7 s): (B) repartition(src)+persist to make iteration joins
+    // exchange-free — InMemoryRelation's columnar encode of the edge
+    // list costs more than the three exchanges it saves under Bench's
+    // per-run hygiene (3.8 s); a localCheckpoint variant LOSES the
+    // hash(src) partitioning entirely (its LogicalRDD re-exchanged
+    // every round); (C) unpersisted repartition relying on exchange
+    // reuse — the reuse does not fire across the iteration fold, so
+    // the dedupe re-ran per consumer (4.7 s); (F) per-node
+    // contributions + node-sized deg join with pinned shuffle_hash —
+    // loses to AQE's runtime handling of the node-sized sides (3.1 s).
+    // The per-iteration barrier floor is structural for a 3-round
+    // fixed-point loop; the scale story (one key-partitioned exchange
+    // per round, no O(nodes) broadcast) is carried by this shape.
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
