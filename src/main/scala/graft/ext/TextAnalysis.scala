@@ -148,24 +148,34 @@ object TextAnalysis {
   // keyed window + one re-aggregate; linear in corpus size.
   private val winnow: Q = (s, d) => {
     import s.implicits._
-    // length guard: Spark sequence(1, n) goes descending for n < 1
-    // (emitting bogus i=0 grams); the oracle's generate_series is empty.
-    val grams = Tables.spread(Tables.documents(s, d))
-      .filter(length($"text") >= 5)
-      .select($"doc_id", $"text",
-        explode(expr("sequence(1, length(text) - 4)")).as("i"))
-      .select($"doc_id", $"i",
-        substring(md5(expr("substr(text, i, 5)")), 1, 8).as("g"))
-    val w = Window.partitionBy($"doc_id").orderBy($"i")
-      .rowsBetween(Window.currentRow, 3)
-    grams
-      .withColumn("wmin", min($"g").over(w))
-      .withColumn("max_i", max($"i").over(Window.partitionBy($"doc_id")))
-      .filter($"i" <= $"max_i" - 3)
-      .groupBy($"doc_id")
-      .agg(countDistinct($"wmin").as("n_fingerprints"),
-        min($"wmin").as("min_fp"),
-        md5(concat_ws(",", array_sort(collect_set($"wmin")))).as("fingerprint_set_hash"))
+    // PER-ROW ARRAY KERNEL (r9 — the text_repetition precedent): the
+    // r8 shape exploded grams into a corpus-chars-sized STRING exchange
+    // and paid a per-doc sort, TWO window passes (one unbounded — full
+    // partition buffering) and a collect_set re-aggregate; the 50× soak
+    // measured it α 1.45 (spill-driven superlinearity on the 2.8 GB
+    // gram shuffle). Winnowing is per-document by definition, so the
+    // whole fingerprint computes map-side: gram array → rolling min of
+    // each 4-window via least() of shifted elements (string order ≡
+    // the window MIN) → distinct/min/sorted-set hash as array ops.
+    // Zero exchanges besides the final dim-sized sort; linear at any
+    // corpus size, per-row state bounded by the document itself —
+    // exactly like carrying the text. Length guard: docs shorter than
+    // 8 chars have no complete 4-gram window and are absent from the
+    // oracle output too (its `i <= max_i - 3` filter empties them).
+    Tables.spread(Tables.documents(s, d))
+      .filter(length($"text") >= 8)
+      .select($"doc_id", expr(
+        "transform(sequence(1, length(text) - 4), " +
+          "i -> substr(md5(substr(text, i, 5)), 1, 8))").as("gs"))
+      .select($"doc_id", expr(
+        "transform(sequence(1, size(gs) - 3), i -> least(" +
+          "element_at(gs, i), element_at(gs, i + 1), " +
+          "element_at(gs, i + 2), element_at(gs, i + 3)))").as("wmins"))
+      .select($"doc_id",
+        size(array_distinct($"wmins")).cast("long").as("n_fingerprints"),
+        array_min($"wmins").as("min_fp"),
+        md5(concat_ws(",", array_sort(array_distinct($"wmins"))))
+          .as("fingerprint_set_hash"))
       .orderBy($"doc_id")
   }
   private val winnowSql =

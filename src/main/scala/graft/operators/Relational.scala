@@ -226,16 +226,34 @@ object Relational {
     * keeps the pair count non-degenerate at every SF. */
   private val intervalOverlap: Q = (s, d) => {
     import s.implicits._
-    val su = Tables.events(s, d)
+    import org.apache.spark.sql.expressions.Window
+    // COUNT-BASED pair arithmetic, not pair enumeration (r9 — the 50×
+    // soak caught the day-binned self-join at α≈3: per-day density
+    // grows with the corpus while the calendar doesn't, so join groups
+    // and pair volume grow quadratically even though the OUTPUT is
+    // only per-day counts). The overlap count is a function of the
+    // per-day signup counts alone: a pair's overlap starts on the
+    // LATER of the two day-0s, so with c[D] signups on day D,
+    //   n_pairs(D) = C(c[D], 2)  +  c[D] · Σ c[D−6 .. D−1]
+    // (same-day unordered pairs + this-day × 6-preceding-days) — an
+    // exact combinatorial identity, same rows as the enumeration (the
+    // oracle still enumerates; gate-scale DuckDB is fine with that).
+    // Scale shape: one map-combinable daily aggregate reduces the
+    // corpus to calendar-sized rows; the rolling window runs over DAYS
+    // (a dim-sized single partition, like the nation dim), so the
+    // query is one scan + O(days) — α≈1 by construction.
+    val daily = Tables.events(s, d)
       .filter($"event_type" === "signup" && $"user_id" % 97 === 0)
-      .select($"event_id", $"ts".cast("date").as("d0"))
-    val binned = su.select($"event_id", $"d0",
-      explode(expr("sequence(d0, d0 + interval 6 day)")).as("day"))
-    binned.as("a").join(binned.as("b"),
-        $"a.day" === $"b.day" && $"a.event_id" < $"b.event_id")
-      .filter($"a.day" === greatest($"a.d0", $"b.d0")) // home bin ⇔ overlap
-      .groupBy($"a.day".cast("string").as("ostart"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(expr("unix_date(cast(ts as date))").as("dd"))
+      .groupBy($"dd").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"dd").rangeBetween(-6, -1)
+    daily
+      .withColumn("prev6", coalesce(sum($"c").over(w), lit(0L)))
+      // `div`, not `/`: stays on BIGINT (the oracle column is COUNT(*))
+      .select($"dd", expr("c * (c - 1) div 2 + c * prev6").as("n_pairs"))
+      .filter($"n_pairs" > 0)
+      .select(expr("cast(date_from_unix_date(dd) as string)").as("ostart"),
+        $"n_pairs")
       .orderBy($"ostart")
   }
   private val intervalOverlapSql =

@@ -474,15 +474,16 @@ class PlanSpec extends SparkSpec {
       s"skyline order must come from a parallel range sort:\n$p")
   }
 
-  test("interval overlap joins on the day bin, never a nested loop") {
+  test("interval overlap is count-arithmetic: no pair join at all") {
+    // r9: the day-binned pair-enumeration self-join was quadratic in
+    // per-day density (the 50× soak's worst real exponent, α 2.78);
+    // the count-based identity n_pairs(D) = C(c_D,2) + c_D·Σc_{D−6..D−1}
+    // needs ONE daily aggregate and a calendar-sized window — the plan
+    // must contain no join of any kind and exactly one Window
     val p = plan("rel_interval_overlap")
-    // the keyless overlap predicate must NOT surface as a BNLJ — the
-    // bin blocking turns it into an equi-join on the exploded day
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"overlap join must be bin-blocked, not nested-loop:\n$p")
-    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
-      .findFirstIn(p).isDefined, s"expected an equi-join on the bin:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"overlap must be count-arithmetic, not a pair join:\n$p")
+    assert(p.contains("Window"), s"expected the 6-day rolling window:\n$p")
   }
 
   test("ivf-pq: query-side tables broadcast, corpus pass stays equi-join") {
