@@ -304,11 +304,14 @@ object TextAnalysis {
   // rows per term in one reducer. Here the WHOLE index builds in two
   // exchanges: (1) a (w, doc_id)-keyed count pre-aggregate — the one
   // corpus-sized shuffle, map-side combined; (2) a term-keyed pass
-  // through the fused [[graft.functions.IndexStats]] aggregator, which
+  // through the fused [[graft.functions.IndexStatsNativeAgg]], which
   // carries cf (Σ occ), df (distinct-doc count) and the k smallest doc
   // ids in ONE ≤2k-element buffer — per-term state is k regardless of
   // df, the same bounded-buffer reduction knnBruteTopKAgg and
-  // CappedPairs use. The unfused formulation (separate stats pass +
+  // CappedPairs use. (The typed-Aggregator ancestor of the native agg
+  // paid kryo partials plus groupByKey/mapValues/map serde hops —
+  // the same serde tax the span family's r9 native twin removed.)
+  // The unfused formulation (separate stats pass +
   // localCheckpoint + broadcast df-cut semi-join + a second
   // corpus-sized distinct exchange + a final join) profiled as 8 jobs
   // with 0.84 s of AQE-barrier/scheduling on 0.22 s of compute; fusing
@@ -319,17 +322,16 @@ object TextAnalysis {
   // and the gate compares scalars, not arrays.
   private val invertedIndex: Q = (s, d) => {
     import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
     val postingsK = 20
-    val ix = new graft.functions.IndexStats(postingsK)
+    val ix = asCol(graft.functions.IndexStatsNativeAgg(
+      asExpr($"doc_id"), asExpr($"occ"), postingsK).toAggregateExpression())
     Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
       .groupBy($"w", $"doc_id").agg(count(lit(1)).as("occ"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => graft.functions.Posting(r._2, r._3))
-      .agg(ix.toColumn.name("ix"))
-      .map { case (w, (cf, df, postings)) => (w, cf, df, postings) }
-      .toDF("w", "cf", "df", "postings")
+      .groupBy($"w").agg(ix.as("ix"))
+      .select($"w", $"ix.cf".as("cf"), $"ix.df".as("df"),
+        $"ix.postings".as("postings"))
       .filter($"df" >= 50)
       .orderBy($"df".desc, $"w")
       .limit(100)

@@ -85,6 +85,32 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("IndexStatsNativeAgg ≡ IndexStats (typed) through a real shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    // per-term group sizes straddle every trim edge: below k, exactly k,
+    // between k and 2k, and far past 2k (forces partial-buffer merge
+    // saturation through the 13-partition shuffle)
+    val k = 4
+    val rows = (for {
+      (w, n) <- Seq(("a", 2), ("b", 4), ("c", 7), ("d", 40))
+      i <- 0 until n
+    } yield (w, (997L * i + 13) % 601, i.toLong % 9 + 1)) // unique ids per w
+    val df = rows.toDF("w", "doc_id", "occ").repartition(13)
+    val native = df.groupBy($"w")
+      .agg(asCol(graft.functions.IndexStatsNativeAgg(
+        asExpr($"doc_id"), asExpr($"occ"), k).toAggregateExpression()).as("ix"))
+      .select($"w", $"ix.cf", $"ix.df", $"ix.postings")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val expected = rows.groupBy(_._1).map { case (w, g) =>
+      val ref = ixReference(g.map(t => Posting(t._2, t._3)).toList, k)
+      (w, ref._1, ref._2, ref._3)
+    }.toSet
+    assert(native == expected)
+  }
+
   // ------------------------------------------------------- DotProduct
   test("DotProduct: interpreted eval equals the codegen'd query result") {
     import spark.implicits._
