@@ -1460,7 +1460,23 @@ object TextAnalysis {
     * array maps (no explode); corpus stats collapse to ONE broadcast
     * row; top-50 is TakeOrderedAndProject. Magnitude audit: idf_ppm ≤
     * 2N·10⁶ and sat_ppm ≤ 2.2·10⁶, so each term product ≤ 4.4·10¹²·N —
-    * BIGINT-safe through petabyte corpora. */
+    * BIGINT-safe through petabyte corpora.
+    *
+    * Both consumers (the stats aggregate and the scoring join) read
+    * `base` — unpersisted, each would re-tokenize the WHOLE corpus, so
+    * the 5-long projection is cached: per doc it is 40 bytes
+    * (gigabytes cluster-wide at 100 TB, spillable MEMORY_AND_DISK)
+    * against a second full text decode + tokenize pass. Measured at
+    * sf0.1 (4-core, DevProfile ×3): task CPU 0.56 → 0.36 s.
+    * Rejected (r9, measured): a single-pass codegen byte-scan kernel
+    * computing dl + all tfs off the raw text (`TermStats`, the
+    * LshBandBuckets discipline) was 60 % MORE task CPU (0.56 → 0.89 s)
+    * — `split` + interpreted HOF `filter` wins because UTF8String
+    * token slices share the input buffer and term equality compares
+    * word-at-a-time (`ByteArrayMethods.arrayEquals`), while any
+    * byte-at-a-time scanner pays per-byte branches over the full
+    * corpus. Plan-level inspection cannot see this; only the A/B can
+    * (see graft-measure-dont-guess). */
   private val bm25Terms = Seq("join", "hash", "scan")
   private val bm25: Q = (s, d) => {
     import s.implicits._
@@ -1470,6 +1486,7 @@ object TextAnalysis {
         bm25Terms.zipWithIndex.map { case (t, i) =>
           expr(s"cast(size(filter(ws, w -> w = '$t')) as long)").as(s"tf$i")
         }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statCols = count(lit(1)).as("nn") +: sum($"dl").as("dd") +:
       bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
