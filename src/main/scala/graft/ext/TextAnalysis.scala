@@ -902,14 +902,30 @@ object TextAnalysis {
           "i -> struct(xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1))) as bh, " +
           "            xxhash64(element_at(ws,i)) as w1h))")).as("b"))
       .select($"doc_id", $"b.bh".as("bh"), $"b.w1h".as("w1h"))
-    val lm = bg.groupBy($"bh")
-      .agg(count(lit(1)).as("c"), max($"w1h").as("w1h"))
-      .withColumn("cw", sum($"c").over(Window.partitionBy($"w1h")))
+    // Both the LM build and the document scoring consume the bigram
+    // stream; unpersisted, each would re-run the corpus tokenize +
+    // hash pass (the two heaviest stages of the old plan — this is
+    // also exactly why the DuckDB oracle is fast here: it materializes
+    // the bg CTE once). Materialize the PRE-REDUCED per-(doc, bigram)
+    // aggregate instead of raw occurrences: fixed 32-byte rows, ≤ one
+    // per distinct (doc, bigram) pair, MEMORY_AND_DISK so a 100 TB run
+    // spills rather than OOMs — and downstream gets cheaper too (the
+    // LM aggregate reads pre-reduced counts; the scoring join carries
+    // m instead of repeated occurrence rows). Measured at sf0.1
+    // (4-core, back-to-back subset A/B ×3): 0.89–1.04 s → 0.74–0.88 s
+    // wall (~20 %) — smaller than bm25's 2× because the one remaining
+    // corpus pass still carries the tokenize + hash + explode cost.
+    val occ = bg.groupBy($"doc_id", $"bh")
+      .agg(count(lit(1)).as("m"), max($"w1h").as("w1h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = occ.groupBy($"bh")
+      .agg(sum($"m").as("c"), max($"w1h").as("w1h2"))
+      .withColumn("cw", sum($"c").over(Window.partitionBy($"w1h2")))
       .select($"bh", expr("c * 1000000 div cw").as("p6"))
-    bg.select($"doc_id", $"bh")
+    occ.select($"doc_id", $"bh", $"m")
       .join(lm, "bh")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"p6").as("sum_p6"))
+      .agg(sum($"m").as("n_bigrams"), sum($"m" * $"p6").as("sum_p6"))
       .select($"doc_id", $"n_bigrams", $"sum_p6",
         expr("sum_p6 div n_bigrams").as("avg_p6"))
       .orderBy($"doc_id")
