@@ -45,6 +45,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // heap-proportional driver collect ceiling (r9 100×-soak
+      // finding): the stream gates' complete-mode memory sink collects
+      // the full result table, and the fixed 1 GB default aborted a
+      // collect the heap comfortably holds (1.1 GB of session rows on
+      // an 8 GB JVM, with state already off-heap in RocksDB). Half the
+      // heap keeps the guardrail real — a runaway collect still dies —
+      // while scaling it with the box like everything else here.
+      .config("spark.driver.maxResultSize",
+        s"${math.max(1L, Runtime.getRuntime.maxMemory / (2L << 20))}m")
       // managed-table warehouse (bucketed tables) in tmp, per-process:
       // never pollutes the repo cwd, never collides across JVMs
       .config("spark.sql.warehouse.dir",

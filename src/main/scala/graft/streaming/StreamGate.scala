@@ -26,6 +26,24 @@ import org.apache.spark.sql.streaming.Trigger
   * complete mode re-emits a dim-sized table per epoch.
   */
 object StreamGate {
+  /** ~16 MB of compressed feed per state partition — midpoint of the
+    * measured envelope (26 MB/partition completed the 50× soak, 53
+    * MB/partition OOM'd at 100×), with margin for the session-window
+    * gate's per-task merge buffers. Floor 4 = the committed bench
+    * convention (the sf0.1 feed is 2 MB, so it resolves to the floor). */
+  private val SizedStateBytes = 16L << 20
+
+  /** Data-sized state-partition target (spec-pinned arithmetic). */
+  private[graft] def sizedStateTarget(feedBytes: Long): Long =
+    math.max(4L, (feedBytes + SizedStateBytes - 1) / SizedStateBytes)
+
+  /** Feed size past which a gate drain switches its state store to
+    * RocksDB (off-heap): 64 MB compressed — comfortably above the
+    * 2 MB sf0.1 bench feed (the committed in-heap numbers stand) and
+    * below the 105 MB 50× point, so every soak replica exercises the
+    * production big-state backend. */
+  private[graft] val RocksDbStateBytes = 64L << 20
+
   type Q = (SparkSession, String) => DataFrame
 
   private val ctr = new AtomicInteger()
@@ -68,18 +86,76 @@ object StreamGate {
     * the dominant term of the gate wall time. The gates' state key
     * spaces (event types, user ids) saturate far fewer partitions;
     * state partitioning is fixed at first run per checkpoint, and
-    * every gate uses a fresh checkpoint, so this is safe. Production
-    * sizing note: at real scale state partitions are sized to the
-    * CLUSTER (and this override is off — `graft.stream.statePartitions`
-    * would be set to the executor-count-proportional value). */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    * every gate uses a fresh checkpoint, so this is safe.
+    *
+    * The pin is DATA-SIZED, not constant (the r9 100×-soak finding):
+    * with a flat 4, one AvailableNow batch funnels feed/4 rows through
+    * each stateful task — the session-window gate's per-task
+    * merge/sort buffers OOM'd the 8 GB soak heap at a 212 MB feed
+    * (the 105 MB 50× feed passed). One compressed-feed-size FS probe
+    * scales the pin at ~16 MB/partition: the sf0.1 gate feed (2 MB)
+    * still resolves to the committed floor of 4 (bench convention
+    * unchanged — the A/B table in PLANS.md stands), soak replicas get
+    * proportionally more state tasks. An explicit
+    * `graft.stream.statePartitions` always wins — at real scale state
+    * partitions are sized to the CLUSTER, not the feed probe. */
+  private def withStatePartitions[T](s: SparkSession, feedBytes: Long = 0L)(
+      body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val prevProvider = s.conf.getOption(providerKey)
     val target = s.conf.getOption("graft.stream.statePartitions")
-      .getOrElse("4")
-    val pinned = math.min(prev.toInt, target.toInt).toString
+      .map(_.toLong).getOrElse(StreamGate.sizedStateTarget(feedBytes))
+    val pinned = math.min(prev.toLong, target).toString
     s.conf.set(key, pinned)
-    try body finally s.conf.set(key, prev)
+    // Data-sized state BACKEND (the second half of the r9 100×-soak
+    // finding): the default HDFS-backed provider keeps every state
+    // row — plus committed map versions — ON HEAP, so a complete-mode
+    // session aggregate holds the whole corpus's sessions resident;
+    // partition count cannot save a single-JVM run (concurrent tasks
+    // hold the same total), and the 212 MB 100× feed OOM'd the 8 GB
+    // heap. Past the threshold the drain runs on RocksDB (native
+    // memory + local disk, the documented big-state production
+    // backend); below it the committed in-heap convention stands.
+    if (feedBytes > StreamGate.RocksDbStateBytes)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      s.conf.set(key, prev)
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Compressed on-disk size of the gate feed (file or directory) via
+    * the Hadoop FS — one metadata call, no Spark job, works on any
+    * filesystem the session can read. */
+  private def feedBytes(s: SparkSession, d: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /** Sinks from COMPLETED drains, dropped lazily at the next drain
+    * start (the r9 100×-soak finding, part three): a memory sink holds
+    * its full complete-mode result on the driver heap and lives in the
+    * session catalog until someone drops it — across a bench's 3 runs
+    * × 8 gates at a 212 MB feed that accreted gigabytes of dead sink
+    * tables and OOM'd the JVM after the state store was already
+    * off-heap. The CURRENT sink must survive its own gate's read (the
+    * caller counts/dumps it after this returns), so each drain retires
+    * the ones registered before it. */
+  private val staleSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def dropStaleSinks(s: SparkSession): Unit = {
+    var name = staleSinks.poll()
+    while (name != null) {
+      try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+      name = staleSinks.poll()
+    }
   }
 
   private def runToMemory(s: SparkSession, d: String, sinkPrefix: String,
@@ -87,7 +163,9 @@ object StreamGate {
       transform: (() => DataFrame) => DataFrame): DataFrame = {
     val sink = s"${sinkPrefix}_${ctr.incrementAndGet()}"
     val lane = eventsLane(s, d)
-    withStatePartitions(s) {
+    dropStaleSinks(s)
+    staleSinks.add(sink)
+    withStatePartitions(s, feedBytes(s, d)) {
       val q = transform(() => lane()).writeStream
         .format("memory").queryName(sink)
         .outputMode(mode)
@@ -213,7 +291,11 @@ object StreamGate {
       name
     })
     val sink = s"stream_topic_${ctr.incrementAndGet()}"
-    withStatePartitions(s) {
+    dropStaleSinks(s)
+    staleSinks.add(sink)
+    // the topic rollup's state is |event_type|-sized (tiny at any SF),
+    // but the sized pin is harmless here and keeps one convention
+    withStatePartitions(s, feedBytes(s, d)) {
       val q = s.readStream
         .format(classOf[graft.sources.MemTopicProvider].getName)
         .option("topic", topic)

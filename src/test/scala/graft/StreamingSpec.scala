@@ -17,6 +17,22 @@ class StreamingSpec extends SparkSpec {
     Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
   }
 
+  test("stream-gate state partitions scale with the feed, floored at the bench convention") {
+    import graft.streaming.StreamGate.sizedStateTarget
+    // sf0.1 feed (2 MB) resolves to the committed floor of 4 — the
+    // bench convention and the PLANS.md parts-A/B table stand
+    assert(sizedStateTarget(2L << 20) == 4L)
+    assert(sizedStateTarget(0L) == 4L)
+    // the measured envelope: 105 MB (50× soak, passed at 4) now gets 7;
+    // 212 MB (100× soak, OOM'd at 4) gets 14 — per-partition feed stays
+    // ~16 MB compressed at any scale
+    assert(sizedStateTarget(105L << 20) == 7L)
+    assert(sizedStateTarget(212L << 20) == 14L)
+    // monotone, and never drops below the floor
+    assert(sizedStateTarget(1L) == 4L)
+    assert(sizedStateTarget(1L << 40) == (1L << 40) / (16L << 20))
+  }
+
   test("bronze sink: partitioned parquet with exactly-once file commits") {
     val in = tmp(); val out = tmp() + "/bronze"; val ck = tmp() + "/ck"
     val ops = randomStream(seed = 5, nKeys = 8, nOps = 60)
