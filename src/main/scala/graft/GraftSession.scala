@@ -81,10 +81,32 @@ object GraftSession {
     val heapPerSlot = Runtime.getRuntime.maxMemory / slots
     val memFactor = math.min(16L,
       math.max(1L, (1_500_000_000L + heapPerSlot - 1) / heapPerSlot)).toInt
+    // Data term (the r9 100×-soak finding): the heap factor alone
+    // holds to the 50× replica (~1.0 GB input, 192 partitions), but at
+    // 100× (2.1 GB) the graph family's per-partition join builds
+    // exhausted the execution pool (UNABLE_TO_ACQUIRE_MEMORY) — a real
+    // cluster sizes shuffle width to DATA, so the session does too
+    // when it can see the dataset dir (Bench/soak set
+    // SPARK_GRAFT_SF_DIR). One local-FS size probe; ceil(bytes/512 MB)
+    // keeps every soaked point at its proven width (sf0.1 and the
+    // 10×/20× replicas → ×1, exactly the committed conventions; 50×
+    // → ×2; 100× → ×5, above the 768-partition point where the 100×
+    // graph family was measured green). Explicit
+    // SPARK_GRAFT_SHUFFLE_PARTS still wins everywhere.
+    val dataFactor = sys.env.get("SPARK_GRAFT_SF_DIR").map { dir =>
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+        else f.length
+      val bytes = sizeOf(new java.io.File(dir))
+      math.min(16L, math.max(1L, (bytes + (512L << 20) - 1) / (512L << 20))).toInt
+    }.getOrElse(1)
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
       .flatMap(_.toIntOption)
-      .getOrElse(cores.toIntOption.getOrElse(slots) * memFactor)
+      .getOrElse(cores.toIntOption.getOrElse(slots) * memFactor * dataFactor)
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
+    // published so data-sized choices elsewhere (Lineage.cut's
+    // checkpoint storage level) key off the same probe
+    spark.conf.set("graft.dataFactor", dataFactor.toString)
     // dev knob for the bounded stream drains' state-partition pinning
     // (StreamGate.withStatePartitions reads this conf; see its scaladoc)
     sys.env.get("SPARK_GRAFT_STATE_PARTS").foreach(v =>
@@ -122,6 +144,8 @@ object GraftSession {
         s.conf.get("spark.sql.shuffle.partitions"))
       s.conf.getOption("graft.stream.statePartitions")
         .foreach(c.conf.set("graft.stream.statePartitions", _))
+      s.conf.getOption("graft.dataFactor")
+        .foreach(c.conf.set("graft.dataFactor", _))
       c.conf.set("spark.sql.adaptive.enabled", "false")
       noAqeChildren.put(s, c)
       c

@@ -330,7 +330,7 @@ object Dedup {
     // verify joins would otherwise re-evaluate the md5 signature map
     // up to 4× (measured 4.1 s vs 1.3 s at sf0.1). localCheckpoint,
     // not cache(): reclaimed once the plan is unreachable.
-    val sig = minhashSigSets(s, d).localCheckpoint()
+    val sig = graft.Lineage.cut(minhashSigSets(s, d))
     // ONE banded self-join, not one join per band: each signature
     // explodes into (band, key0, key1) rows and candidates meet in a
     // single equi-join on the band triple — same shuffled volume
@@ -464,12 +464,12 @@ object Dedup {
           val word = if (j < 4) "sim_a" else "sim_b"
           expr(s"($word div ${1L << (8 * (j % 4))}) % 256").as(s"b$j")
         }: _*)
-      .localCheckpoint()
+    val simsCut = graft.Lineage.cut(sims)
     (0 until SIM_BANDS).map { j =>
       val noEarlier = (0 until j)
         .map(k => col(s"a.b$k") =!= col(s"b.b$k"))
         .foldLeft(lit(true))(_ && _)
-      sims.as("a").join(sims.as("b"),
+      simsCut.as("a").join(simsCut.as("b"),
           col(s"a.b$j") === col(s"b.b$j") &&
             col("a.doc_id") < col("b.doc_id") && noEarlier)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -540,11 +540,11 @@ object Dedup {
     *
     * `pairs` needs columns (a_id, b_id); returns (doc_id, label). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    val edges = graft.Lineage.cut(
+      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+    var labels = graft.Lineage.cut(edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -555,11 +555,10 @@ object Dedup {
       // aggregate (exactly one self row per doc_id → max(prev) IS the
       // previous label), so convergence is a filter over the already-
       // materialized checkpoint — no per-round join-with-previous job
-      val next = labels.withColumn("prev", col("label"))
+      val next = graft.Lineage.cut(labels.withColumn("prev", col("label"))
         .unionByName(viaNeighbor)
         .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
-        .localCheckpoint()
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev")))
       // round 1 always changes something when any edge exists (the
       // larger endpoint adopts the smaller label) → probe from round 2
       converged = i > 0 && next.filter(col("label") =!= col("prev")).isEmpty
@@ -575,8 +574,9 @@ object Dedup {
   // component minimum, the deterministic convention every engine-side
   // dedup uses.
   private val clusters: Q = (s, d) => {
-    val pairs = jaccardPairs(shingleHashes(s, d)).filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val pairs = graft.Lineage.cut(
+      jaccardPairs(shingleHashes(s, d)).filter(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id")))
     val lab = connectedComponents(pairs)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "label")
@@ -775,8 +775,8 @@ object Dedup {
     import s.implicits._
     // one materialization feeds all three consumers (bloom build,
     // corpus-index join side, batch side) instead of three md5 passes
-    val fps = Tables.documents(s, d)
-      .select($"doc_id", prefixFp($"text").as("fp")).localCheckpoint()
+    val fps = graft.Lineage.cut(Tables.documents(s, d)
+      .select($"doc_id", prefixFp($"text").as("fp")))
     bloomIncremental(fps.filter($"doc_id" % 5 =!= 0).select($"fp"),
       fps.filter($"doc_id" % 5 === 0))
       .orderBy($"doc_id")

@@ -355,8 +355,9 @@ object Embeddings {
     // materialize the assigned+quantized vectors once: both pair-join
     // legs read va, and the assignment pipeline (codebook aggregate +
     // posexplode join + argmin window) would otherwise run twice
-    val va = assignments(s, d).select($"vec_id", $"assigned_label".as("cluster"))
-      .join(qvecs, "vec_id").withColumn("sub", subCol).localCheckpoint()
+    val va = graft.Lineage.cut(
+      assignments(s, d).select($"vec_id", $"assigned_label".as("cluster"))
+        .join(qvecs, "vec_id").withColumn("sub", subCol))
     val a = va.select($"cluster", $"sub", $"vec_id".as("a_id"), $"qv".as("qa"))
     val b = va.select($"cluster", $"sub", $"vec_id".as("b_id"), $"qv".as("qb"))
     // per-block top-3 via a window, with the pair kernel codegen'd

@@ -206,10 +206,11 @@ object Similarity {
     // checkpoint sits BETWEEN the kernel and the per-band column split
     // so the kernel runs once per row, not once per bk reference
     val planesFlat = hyperplanesInt(bands * planesPerBand, dim).flatten.toArray
-    val withBks = unit.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorExpressions
-        .lshBandBuckets(col("_grid"), planesFlat, bands, planesPerBand)
-        .as("_bks")).localCheckpoint()
+    val withBks = graft.Lineage.cut(
+      unit.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions
+          .lshBandBuckets(col("_grid"), planesFlat, bands, planesPerBand)
+          .as("_bks")))
     val bucketed = withBks.select(col("vec_id") +: col("embedding") +:
       (0 until bands).map(b => element_at(col("_bks"), b + 1).as(s"bk$b")): _*)
     (0 until bands).map { b =>

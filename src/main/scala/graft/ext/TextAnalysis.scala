@@ -1576,9 +1576,9 @@ object TextAnalysis {
           "case when i < size(ws) then element_at(ws,i+1) end as w2))")).as("b"))
       .select($"b.w1", $"b.w2")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val uni = counts.groupBy($"w1").agg(sum($"c").as("cw"))
-    val bg = counts.filter($"w2".isNotNull)
+    val countsCut = graft.Lineage.cut(counts)
+    val uni = countsCut.groupBy($"w1").agg(sum($"c").as("cw"))
+    val bg = countsCut.filter($"w2".isNotNull)
       .select($"w1", $"w2", $"c".as("cab"))
     val tot = bg.agg(sum($"cab").as("t"))
     bg.filter($"cab" >= 5)

@@ -1701,8 +1701,8 @@ object Relational {
     // The per-iteration barrier floor is structural for a 3-round
     // fixed-point loop; the scale story (one key-partitioned exchange
     // per round, no O(nodes) broadcast) is carried by this shape.
-    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
+    val edges = graft.Lineage.cut(
+      e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"))))
     val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
     val init = deg.select($"node", lit(1000000L).as("score"))
     val scores = (1 to 3).foldLeft(init) { (sc, _) =>
@@ -1929,8 +1929,8 @@ object Relational {
         $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
       .distinct()
-    val edges = e0.unionAll(e0.select($"p2".as("p1"), $"p1".as("p2")))
-      .localCheckpoint()
+    val edges = graft.Lineage.cut(
+      e0.unionAll(e0.select($"p2".as("p1"), $"p1".as("p2"))))
     val srcRow = edges.agg(min($"p1")).head
     if (srcRow.isNullAt(0)) { // no edges → empty BFS, not an NPE
       Seq.empty[(Long, Int)].toDF("node", "hops")
@@ -1939,12 +1939,12 @@ object Relational {
       var frontier = Seq(src).toDF("node").withColumn("hops", lit(0))
       var visited = frontier
       for (h <- 1 to 3) {
-        val next = edges.join(frontier.select($"node"), $"p1" === $"node")
+        val next = graft.Lineage.cut(edges
+          .join(frontier.select($"node"), $"p1" === $"node")
           .select($"p2".as("node")).distinct()
           .join(visited.select($"node"), Seq("node"), "left_anti")
-          .withColumn("hops", lit(h))
-          .localCheckpoint() // truncate per-round lineage (pagerank pattern)
-        visited = visited.unionByName(next).localCheckpoint()
+          .withColumn("hops", lit(h))) // truncate per-round lineage (pagerank pattern)
+        visited = graft.Lineage.cut(visited.unionByName(next))
         frontier = next
       }
       visited.orderBy($"hops", $"node")
@@ -1974,20 +1974,19 @@ object Relational {
     // twice — materialize each ONCE; without the checkpoints the
     // edge-building self-join+distinct re-executed per consumer
     // (measured 7.7 s of task time for ~2 s of unique work)
-    val e = li.as("a").hint("merge")
+    val e = graft.Lineage.cut(li.as("a").hint("merge")
       .join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey" &&
         $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
-      .distinct().localCheckpoint()
+      .distinct())
     val deg = e.select($"p1".as("node")).unionAll(e.select($"p2".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("dg"))
     val lower = ($"d1" < $"d2") || ($"d1" === $"d2" && $"p1" < $"p2")
-    val o = e
+    val o = graft.Lineage.cut(e
       .join(deg.select($"node".as("p1"), $"dg".as("d1")).hint("merge"), "p1")
       .join(deg.select($"node".as("p2"), $"dg".as("d2")).hint("merge"), "p2")
       .select(when(lower, $"p1").otherwise($"p2").as("src"),
-        when(lower, $"p2").otherwise($"p1").as("dst"))
-      .localCheckpoint()
+        when(lower, $"p2").otherwise($"p1").as("dst")))
     // wedge COUNT by the degree identity Σ C(outdeg(src), 2) — dst is
     // unique per src (e is distinct, orientation injective), so the
     // x.dst < y.dst self-join emits exactly C(c,2) rows per src; the
