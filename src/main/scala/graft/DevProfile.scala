@@ -20,9 +20,13 @@ object DevProfile {
     // warm: tables resolved + codegen compiled outside the profiled run
     SparkEntry.queries(name)(spark, sfDir).count()
 
+    // per-stage (task ms, n tasks, gc ms, spill bytes, shuffle r+w bytes)
+    // — gc and spill are the columns that separate "more work" from
+    // "same work under memory pressure" when attributing soak exponents
+    case class St(taskMs: Long, n: Int, gcMs: Long, spill: Long, shuf: Long)
     val jobs = mutable.Map[Int, Long]()           // jobId -> start nanos-ish ms
     val jobWall = mutable.ArrayBuffer[(Int, Long)]()
-    val stageTask = mutable.Map[Int, (Long, Int)]() // stageId -> (task ms, n)
+    val stageTask = mutable.Map[Int, St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs(j.jobId) = j.time
@@ -30,8 +34,10 @@ object DevProfile {
         jobWall += ((j.jobId, j.time - jobs.getOrElse(j.jobId, j.time)))
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
-        stageTask(info.stageId) =
-          (info.taskMetrics.executorRunTime, info.numTasks)
+        val m = info.taskMetrics
+        stageTask(info.stageId) = St(m.executorRunTime, info.numTasks,
+          m.jvmGCTime, m.memoryBytesSpilled + m.diskBytesSpilled,
+          m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
       }
     })
     val t0 = System.nanoTime()
@@ -44,14 +50,19 @@ object DevProfile {
     jobWall.sortBy(_._1).foreach { case (id, ms) =>
       println(f"job $id%3d  wall ${ms / 1000.0}%7.3f s")
     }
-    stageTask.toSeq.sortBy(_._1).foreach { case (id, (ms, n)) =>
-      println(f"stage $id%3d  task ${ms / 1000.0}%7.3f s  ($n tasks)")
+    stageTask.toSeq.sortBy(_._1).foreach { case (id, st) =>
+      println(f"stage $id%3d  task ${st.taskMs / 1000.0}%7.3f s  " +
+        f"gc ${st.gcMs / 1000.0}%6.3f s  spill ${st.spill / 1e6}%8.1f MB  " +
+        f"shuf ${st.shuf / 1e6}%8.1f MB  (${st.n} tasks)")
     }
-    val taskMs = stageTask.values.map(_._1).sum
+    val taskMs = stageTask.values.map(_.taskMs).sum
     val jobMs = jobWall.map(_._2).sum
     println(f"sum job wall   ${jobMs / 1000.0}%7.3f s")
     println(f"sum task time  ${taskMs / 1000.0}%7.3f s " +
       f"(ideal ${taskMs / 1000.0 / slots}%.3f s on $slots slots)")
+    println(f"sum gc time    ${stageTask.values.map(_.gcMs).sum / 1000.0}%7.3f s")
+    println(f"sum spill      ${stageTask.values.map(_.spill).sum / 1e6}%7.1f MB")
+    println(f"sum shuffle    ${stageTask.values.map(_.shuf).sum / 1e6}%7.1f MB")
     println(f"barrier+sched  ${(jobMs - taskMs / slots) / 1000.0}%7.3f s")
     spark.stop()
   }

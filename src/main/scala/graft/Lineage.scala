@@ -40,4 +40,24 @@ object Lineage {
       df.localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
     else df.localCheckpoint()
   }
+
+  /** Materialize-once for a subtree consumed by SEVERAL branches of ONE
+    * returned (lazy) query — bm25's base projection, lm_score's occ
+    * aggregate. `persist()` would pin a CacheManager entry (plan +
+    * blocks) until an explicit `unpersist` that a lazily-returned
+    * DataFrame has no place to issue — the r9-advisory session-lifetime
+    * accretion under Verify/repeated programmatic use. A LAZY
+    * localCheckpoint gives the same single materialization on first
+    * action, but the blocks belong to the checkpointed RDD alone: when
+    * the caller drops the DataFrame the ContextCleaner reclaims them —
+    * no registry, no sweep. Storage level follows `cut`'s data-sizing:
+    * spillable in-heap rows at the bench convention, DISK_ONLY past the
+    * 512 MB probe point so corpus-proportional intermediates can never
+    * pin heap. */
+  def share(df: DataFrame): DataFrame = {
+    val factor = df.sparkSession.conf.getOption("graft.dataFactor")
+      .flatMap(_.toIntOption).getOrElse(1)
+    df.localCheckpoint(eager = false, storageLevel =
+      if (factor > 1) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK)
+  }
 }

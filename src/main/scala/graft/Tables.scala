@@ -44,6 +44,23 @@ object Tables {
     registeredDir.entrySet.removeIf(e => e.getValue == dir)
   }
 
+  /** Cheap content fingerprint of one table dir (file names + lengths
+    * + mtimes, order-independent): the memo-key ingredient for any
+    * driver-side cache derived from table CONTENT (BPE rules, the
+    * sourceOverlap dim) — a process that regenerates a dataset dir IN
+    * PLACE (DevScaleUp rewriting a /tmp replica at a different factor)
+    * must get fresh derived state, not a silently stale memo hit. */
+  def tableFingerprint(sfDir: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles() match {
+        case null => 0L
+        case fs => fs.foldLeft(0L)((acc, c) => acc ^ walk(c))
+      }
+      else f.getName.hashCode.toLong * 1000003L ^
+        f.length() * 31L ^ f.lastModified()
+    walk(new java.io.File(sfDir, s"$table.parquet"))
+  }
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     relCache.computeIfAbsent((spark, sfDir, table), _ => {
       sweepStopped()

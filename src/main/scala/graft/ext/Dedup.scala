@@ -106,7 +106,12 @@ object Dedup {
   // pair aggregate (max of a functionally-dependent column is free in
   // the hash agg) — the r6 shape paid a sizes groupBy exchange plus
   // two broadcast joins per query for the identical numbers.
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** The fused blocking join + pair aggregate shared by every exact
+    * shingle-overlap score: (a_id, b_id, inter, na, nb) for all pairs
+    * sharing ≥ 1 blocking shingle. Jaccard and containment are pure
+    * projections of these five integers (see [[jaccardPairs]] /
+    * `containment`). */
+  private def pairStats(sh: DataFrame): DataFrame = {
     val a = sh.as("a"); val b = sh.as("b")
     // shuffled-hash, not sort-merge: the blocking key (shash) is a
     // salted-uniform 64-bit hash, so per-partition build sides are
@@ -120,10 +125,13 @@ object Dedup {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+  }
+
+  private def jaccardPairs(sh: DataFrame): DataFrame =
+    pairStats(sh)
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-  }
 
   /** Exact pass with a document-frequency cap on BLOCKING shingles —
     * the hot-shingle guard for real corpora. A shingle appearing in
@@ -143,7 +151,29 @@ object Dedup {
     * content survives; fixtures verified exact-equal to the uncapped
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
-  private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame = {
+  private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame =
+    cappedPairStats(sh, maxBlockDf)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Df-capped twin of [[pairStats]] — same (a_id, b_id, inter, na, nb)
+    * output, candidate GENERATION restricted to sub-cap shingles with
+    * exact scores via split intersections (r10: shared by the blocked
+    * jaccard AND `dedup_containment`, the r9 verdict's lead item — the
+    * uncapped containment self-join was the board's worst measured
+    * exponent, α₅₀→₁₀₀ = 1.75, because a hot shingle's join group is
+    * df² pairs regardless of which score is projected afterwards).
+    * The split-intersection identity inter = inter_rare + inter_hot is
+    * score-agnostic: na/nb ride the rare rows' aggregate as
+    * functionally-dependent maxes, so Jaccard's union denominator and
+    * containment's min denominator both come out exact. Recall
+    * condition (both consumers): a pair is emitted iff it shares ≥ 1
+    * shingle with df ≤ cap — see the recall notes on the public
+    * entry points. */
+  private def cappedPairStats(sh: DataFrame, maxBlockDf: Int): DataFrame = {
     // Hot-key discovery by hash aggregate + BROADCAST, not a window
     // and not an always-planned split: hot shingles are few by
     // construction (≤ rows/cap keys can exceed the cap), so the
@@ -185,8 +215,7 @@ object Dedup {
     // ridden crawl takes the split (and only then pays the second
     // df-aggregate pass for the hot-key set).
     if (!hist.exists(r => r.getLong(0) > cap)) {
-      return jaccardPairs(sh).filter(col("jaccard") >= 0.8)
-        .orderBy(col("a_id"), col("b_id"))
+      return pairStats(sh)
     }
     val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("shash"))
@@ -209,11 +238,6 @@ object Dedup {
       .select(col("ca").as("a_id"), col("cb").as("b_id"),
         (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"),
         col("na"), col("nb"))
-      .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   // no checkpoint anywhere: the self-join's two sides are the same
@@ -230,6 +254,17 @@ object Dedup {
   /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
   def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
     jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf)
+
+  /** Spec hook: the capped containment pass at an arbitrary (tight)
+    * cap — pins the split-intersection identity for the MIN
+    * denominator (r10: containment shares [[cappedPairStats]]). */
+  def containmentForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
+    cappedPairStats(shingleHashes(s, d), maxBlockDf)
+      .select(col("a_id"), col("b_id"),
+        greatest(col("inter").cast("double") / col("na"),
+          col("inter").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** Volume-targeted df-cap (see jaccardPairsBlocked): largest
     * C ∈ [min(64, ceiling), min(ceiling, 4095)] whose worst-case
@@ -652,25 +687,24 @@ object Dedup {
   // ASYMMETRIC near-dup: containment C(A,B) = |A∩B| / min(|A|,|B|)
   // catches a document swallowed by another (boilerplate wrappers,
   // long quotations, page-of-pages) that symmetric Jaccard misses —
-  // |A∩B|/|A∪B| stays small when one side is much larger. Same
-  // blocking shape as the Jaccard pass: one shuffled-hash self-join on
-  // the 8-byte shingle hash, division is double-of-exact-ints.
-  private val containment: Q = (s, d) => {
-    // same fused shape as [[jaccardPairs]]: set sizes ride the explode
-    // rows, the denominator comes out of the pair aggregate itself
-    val sh = shingleHashes(s, d)
-    val a = sh.as("a"); val b = sh.as("b")
-    a.hint("shuffle_hash").join(b,
-        col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
-      .select(col("a_id"), col("b_id"),
-        greatest(col("inter").cast("double") / col("na"),
-          col("inter").cast("double") / col("nb")).as("containment"))
-      .filter(col("containment") >= 0.9)
-      .orderBy(col("a_id"), col("b_id"))
-  }
+  // |A∩B|/|A∪B| stays small when one side is much larger.
+  //
+  // r10: routed through [[cappedPairStats]] (the r9 verdict's lead
+  // item): the r9 pass was the UNCAPPED shuffled-hash self-join and
+  // measured the board's worst real exponent (α₅₀→₁₀₀ = 1.75 on the
+  // 100× soak) — a stopword trigram's join group is df² pairs whatever
+  // score is projected afterwards. The split-intersection identity
+  // carries to the min denominator unchanged (inter exact, na/nb
+  // exact), so scores are exact; the cap prunes candidate GENERATION
+  // only. Recall condition, same in kind as the blocked jaccard: a
+  // pair is found iff it shares ≥ 1 shingle with df ≤ cap. A 0.9-
+  // contained document shares ~all of its OWN shingles with its
+  // container — including its rarest one — so only a document made
+  // ENTIRELY of super-hot boilerplate can hide, and such a document is
+  // exactly what the cap is pricing out of the join. On a clean corpus
+  // (the gate's) the histogram resolves to the uncapped fixed point
+  // and this IS the r9 plan, bit-identical.
+  private val containment: Q = (s, d) => containmentForTest(s, d, maxBlockDf = 1000)
   private val containmentSql =
     s"""WITH $shingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -802,7 +836,16 @@ object Dedup {
   private val sourceDimMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  private val sourceOverlap: Q = (s, d) => {
+  private val sourceOverlap: Q = (s0, d) => {
+    // AQE pinned off via the per-parent CHILD session (the race-free
+    // shape the span family uses — r9 verdict hygiene item: the old
+    // in-finally toggle mutated the SHARED session's conf around the
+    // collect): the cascade is two fixed exchanges on uniform 64-bit
+    // hash keys (skew impossible by construction, parallelism already
+    // explicit), so runtime re-planning buys nothing and each adaptive
+    // exchange materialization costs a per-job floor (~0.07 s × 3 jobs
+    // measured).
+    val s = GraftSession.noAqe(s0)
     import s.implicits._
     // hash the three words DIRECTLY (multi-arg xxhash64, seed-chained
     // per field) instead of materializing shingle strings first: the
@@ -817,9 +860,14 @@ object Dedup {
     // One cheap single-column scan, map-combined to ≤ S rows; memoized
     // per dataset dir (a dim lookup — same pattern as the BPE rules
     // memo) because the AQE shuffle cascade of even this tiny distinct
-    // costs ~7 jobs of per-job floor on every run.
+    // costs ~7 jobs of per-job floor on every run. Memo key carries the
+    // same content fingerprint as the BPE memo (r9 advisory): an
+    // in-place regeneration of the dir (DevScaleUp rewriting a /tmp
+    // replica) must refresh the dim — a stale source list would make
+    // array_position return 0 and silently corrupt the bitmask.
     val srcs = sourceDimMemo.computeIfAbsent(
-      new java.io.File(d).getCanonicalPath,
+      new java.io.File(d).getCanonicalPath + "#" +
+        Tables.tableFingerprint(d, "documents"),
       _ => Tables.documents(s, d).select($"source").distinct()
         .orderBy($"source").as[String].collect())
     require(srcs.length <= 62,
@@ -832,8 +880,15 @@ object Dedup {
     // off the query's task CPU vs the collect_set shape. bit_or is
     // idempotent, so duplicate (source, shingle) rows across docs
     // dedup exactly like collect_set did.
+    // fail fast on an unknown source (belt to the fingerprint key's
+    // suspenders, r9 advisory): array_position = 0 would otherwise
+    // reach shiftleft(1, -1), set bit 63, and silently corrupt the
+    // overlap matrix
+    val pos = array_position(lit(srcs), $"source")
     val maskBit = call_function("shiftleft", lit(1L),
-      (array_position(lit(srcs), $"source") - 1).cast("int"))
+      (when(pos >= 1, pos).otherwise(raise_error(concat(
+        lit("sourceOverlap: source missing from memoized dim: "), $"source")))
+        - 1).cast("int"))
     val masks = spread(Tables.documents(s, d).select($"source", $"text"))
       .select(maskBit.as("mb"), split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
@@ -862,17 +917,9 @@ object Dedup {
     // construction (bounded like the k·d centroid collects), so the
     // size lookup + jaccard + sort run in Scala — r9's relational tail
     // (checkpoint, two broadcast builds, final sort) cost 4 extra jobs
-    // of floor for 4k rows of work. AQE is pinned OFF for the collect:
-    // the cascade is two fixed exchanges whose keys are uniform
-    // 64-bit hashes (skew impossible by construction) and whose
-    // parallelism is already explicit, so runtime re-planning buys
-    // nothing and each adaptive exchange materialization costs a
-    // per-job floor (~0.07 s × 3 jobs measured). Queries run
-    // sequentially under Verify/Bench; the conf is restored in-finally.
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    val codes =
-      try { s.conf.set("spark.sql.adaptive.enabled", "false"); masks.collect() }
-      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // of floor for 4k rows of work. AQE is already off on the child
+    // session `s` (see the noAqe note at the top).
+    val codes = masks.collect()
     val decoded = codes.map(r => (r.getInt(0), r.getLong(1)))
     val sz = decoded.collect { case (p, n) if (p & 255) == 255 => (p >> 8, n) }.toMap
     val rows = decoded.collect { case (p, n) if (p & 255) != 255 =>
@@ -1113,7 +1160,16 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     // identical result set by the recall condition on jaccardPairsBlocked:
-    // the df cap only prunes candidate GENERATION, scores stay exact
+    // the df cap only prunes candidate GENERATION, scores stay exact.
+    // Caveat (r9 advisory, applies to `dedup_containment` too now that
+    // it shares cappedPairStats): the oracle does NOT auto-tighten its
+    // cap, so this identity is guaranteed only where the histogram
+    // resolves to the uncapped fixed point — true on every gated
+    // fixture (sf0.001–0.1) and on the key-shifted replicas (per-
+    // replica dfs are preserved by construction, so the cap resolves
+    // identically at every factor). If a duplication-heavy corpus is
+    // ever GATED, pin the oracle with the same jaccardAutoCap
+    // arithmetic (a pure spec-pinned driver function) first.
     "dedup_ngram_jaccard_blocked" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

@@ -915,9 +915,12 @@ object TextAnalysis {
     // (4-core, back-to-back subset A/B ×3): 0.89–1.04 s → 0.74–0.88 s
     // wall (~20 %) — smaller than bm25's 2× because the one remaining
     // corpus pass still carries the tokenize + hash + explode cost.
-    val occ = bg.groupBy($"doc_id", $"bh")
-      .agg(count(lit(1)).as("m"), max($"w1h").as("w1h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lineage.share, not persist(): same materialize-once, but blocks
+    // are ContextCleaner-reclaimed when the plan is dropped — persist()
+    // pinned a CacheManager entry for the session lifetime (r9
+    // advisory; a lazily-returned query has nowhere to unpersist).
+    val occ = graft.Lineage.share(bg.groupBy($"doc_id", $"bh")
+      .agg(count(lit(1)).as("m"), max($"w1h").as("w1h")))
     val lm = occ.groupBy($"bh")
       .agg(sum($"m").as("c"), max($"w1h").as("w1h2"))
       .withColumn("cw", sum($"c").over(Window.partitionBy($"w1h2")))
@@ -1193,25 +1196,12 @@ object TextAnalysis {
   private val bpeRulesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
 
-  /** Cheap content fingerprint of the dir's documents table (file
-    * names + lengths + mtimes, order-independent): a process that
-    * regenerates a dataset dir IN PLACE (DevScaleUp rewriting a /tmp
-    * replica at a different factor) gets fresh rules instead of a
-    * silently stale tokenizer from the memo. */
-  private def docsFingerprint(d: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles() match {
-        case null => 0L
-        case fs => fs.foldLeft(0L)((acc, c) => acc ^ walk(c))
-      }
-      else f.getName.hashCode.toLong * 1000003L ^
-        f.length() * 31L ^ f.lastModified()
-    walk(new java.io.File(d, "documents.parquet"))
-  }
-
+  // content-fingerprinted key (see Tables.tableFingerprint): an
+  // in-place dir regeneration gets fresh rules, not a stale tokenizer
   private def bpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     bpeRulesMemo.computeIfAbsent(
-      new java.io.File(d).getCanonicalPath + "#" + docsFingerprint(d),
+      new java.io.File(d).getCanonicalPath + "#" +
+        graft.Tables.tableFingerprint(d, "documents"),
       _ => trainBpeRules(s, d))
 
   private def trainBpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
@@ -1496,13 +1486,14 @@ object TextAnalysis {
   private val bm25Terms = Seq("join", "hash", "scan")
   private val bm25: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.spread(Tables.documents(s, d))
+    // Lineage.share, not persist() — see lm_score's occ note (r9
+    // advisory: persist pinned CacheManager entries for the session)
+    val base = graft.Lineage.share(Tables.spread(Tables.documents(s, d))
       .select($"doc_id", toks($"text").as("ws"))
       .select(($"doc_id" +: size($"ws").cast("long").as("dl") +:
         bm25Terms.zipWithIndex.map { case (t, i) =>
           expr(s"cast(size(filter(ws, w -> w = '$t')) as long)").as(s"tf$i")
-        }): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }): _*))
     val statCols = count(lit(1)).as("nn") +: sum($"dl").as("dd") +:
       bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))

@@ -36,7 +36,11 @@ case class MaskPairs(child: Expression, maxBits: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val m = v.asInstanceOf[Long]
+    // mask to the low maxBits FIRST (r9 advisory): a stray bit ≥
+    // maxBits would otherwise inflate bitCount's size arithmetic while
+    // the emit loops (bounded by maxBits) never fill the tail — the
+    // trailing 0 codes would decode downstream as spurious (0,0) rows
+    val m = v.asInstanceOf[Long] & ((1L << maxBits) - 1)
     val nb = java.lang.Long.bitCount(m)
     val out = new Array[Int](nb + nb * (nb - 1) / 2)
     var idx = 0
@@ -57,17 +61,19 @@ case class MaskPairs(child: Expression, maxBits: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, m => {
-      val (out, idx, nb, a, b) = (ctx.freshName("out"), ctx.freshName("idx"),
-        ctx.freshName("nb"), ctx.freshName("a"), ctx.freshName("b"))
+      val (mm, out, idx, nb, a, b) = (ctx.freshName("mm"), ctx.freshName("out"),
+        ctx.freshName("idx"), ctx.freshName("nb"), ctx.freshName("a"),
+        ctx.freshName("b"))
       s"""
-         |int $nb = java.lang.Long.bitCount($m);
+         |long $mm = $m & ((1L << $maxBits) - 1); // see nullSafeEval: size must equal emitted count
+         |int $nb = java.lang.Long.bitCount($mm);
          |int[] $out = new int[$nb + $nb * ($nb - 1) / 2];
          |int $idx = 0;
          |for (int $a = 0; $a < $maxBits; $a++) {
-         |  if ((($m >>> $a) & 1L) == 1L) {
+         |  if ((($mm >>> $a) & 1L) == 1L) {
          |    $out[$idx++] = ($a << 8) | 255;
          |    for (int $b = $a + 1; $b < $maxBits; $b++) {
-         |      if ((($m >>> $b) & 1L) == 1L) $out[$idx++] = ($a << 8) | $b;
+         |      if ((($mm >>> $b) & 1L) == 1L) $out[$idx++] = ($a << 8) | $b;
          |    }
          |  }
          |}

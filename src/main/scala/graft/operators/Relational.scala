@@ -1541,13 +1541,30 @@ object Relational {
   // while the engine-side plan shards each key over `salt` sub-keys —
   // the mitigation for power-law keys whose single task would otherwise
   // own a hot key at 100 TB. Aggregated output keeps the gate small.
+  // r10: the AUTO-sized variant (r9 verdict item 4 — the fixed 8-way
+  // salt was the last fixed-parameter operator and stopped matching the
+  // skew at the 100× replica, α 1.05): the probe measures the hottest
+  // key and o_custkey is near-uniform, so the width resolves to 1 —
+  // the plain join, with the 8× small-side replication no longer paid.
+  // The width formula is spec-pinned (SkewSpec) and the non-trivial
+  // widths stay law-tested against the plain join on a skewed fixture.
+  // probed width memo — the "catalog table-stats" cache (same
+  // fingerprint-keyed pattern as Dedup.sourceDimMemo): the width is a
+  // property of the table snapshot, so repeated runs pay the probe once
+  private val saltWidthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
   private val saltedJoin: Q = (s, d) => {
     import s.implicits._
     val big = Tables.orders(s, d)
       .select($"o_custkey".as("custkey"), $"o_totalprice")
     val small = Tables.customer(s, d)
       .select($"c_custkey".as("custkey"), $"c_mktsegment")
-    Skew.saltedJoin(big, small, "custkey", salt = 8)
+    val width = saltWidthMemo.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath + "#" +
+        Tables.tableFingerprint(d, "orders") + "#" +
+        s.conf.get("spark.sql.shuffle.partitions"),
+      _ => Skew.probeSaltWidth(big, "custkey"))
+    Skew.saltedJoin(big, small, "custkey", width)
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         sum(dec($"o_totalprice")).cast("double").as("total"))

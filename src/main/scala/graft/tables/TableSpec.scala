@@ -16,7 +16,21 @@ import java.sql.Timestamp
   * (StructType, CREATE TABLE DDL, properties) instead of Pinot JSON.
   */
 final case class ColumnSpec(name: String, dataType: DataType,
-                            role: ColumnRole = ColumnRole.Dimension)
+                            role: ColumnRole = ColumnRole.Dimension,
+                            /** Pinot datetime format string (the YAML's
+                              * time_col format, `pinot_tables.yaml:26-29`);
+                              * meaningful for Datetime-role columns. The
+                              * unit token feeds BOTH the schema field's
+                              * format/granularity and the table config's
+                              * timeType (r9 advisory: timeType was a
+                              * hardcoded literal — correct for every
+                              * current spec, silently wrong for a future
+                              * non-millis time column). */
+                            timeFormat: String = "1:MILLISECONDS:EPOCH") {
+  /** Unit token of the datetime format ("1:MILLISECONDS:EPOCH" →
+    * "MILLISECONDS") — Pinot's `timeType`. */
+  def timeUnit: String = timeFormat.split(":")(1)
+}
 
 sealed trait ColumnRole
 object ColumnRole {
@@ -93,7 +107,8 @@ final case class TableSpec(
       s"""{"name":${esc(c.name)},"dataType":${esc(pinotType(c.dataType))}}"""
     def dtField(c: ColumnSpec) =
       s"""{"name":${esc(c.name)},"dataType":${esc(pinotType(c.dataType))},""" +
-        s""""format":"1:MILLISECONDS:EPOCH","granularity":"1:MILLISECONDS"}"""
+        s""""format":${esc(c.timeFormat)},""" +
+        s""""granularity":${esc(c.timeFormat.split(":").take(2).mkString(":"))}}"""
     val dims = columns.filter(_.role == ColumnRole.Dimension).map(field)
     val mets = columns.filter(_.role == ColumnRole.Metric).map(field)
     val dts = columns.filter(_.role == ColumnRole.Datetime).map(dtField)
@@ -142,14 +157,19 @@ final case class TableSpec(
         s""""stream.kafka.decoder.class.name":"org.apache.pinot.plugin.stream.kafka.KafkaJSONMessageDecoder",""" +
         s""""realtime.segment.flush.threshold.rows":${esc(flushThresholdRows.toString)},""" +
         s""""stream.kafka.consumer.prop.auto.offset.reset":"smallest"}"""
-    // timeType is the unit token of the datetime column's format
+    // timeType is DERIVED from the datetime column's format string
     // ("1:MILLISECONDS:EPOCH" → "MILLISECONDS"), matching the YAML's
-    // time_column.type (pinot_tables.yaml:26-29); the generator emits
-    // it alongside timeColumnName plus a fixed segment-assignment
-    // strategy (generate_pinot_configs.py:90-99).
+    // time_column.type (pinot_tables.yaml:26-29) — r9 advisory: the
+    // literal was correct for every current spec but silently wrong
+    // for a future non-millis column. The generator emits it alongside
+    // timeColumnName plus a fixed segment-assignment strategy
+    // (generate_pinot_configs.py:90-99). A retention-only time column
+    // (no ColumnSpec) keeps the generator's MILLISECONDS default.
+    val timeType = columns.find(_.role == ColumnRole.Datetime)
+      .map(_.timeUnit).getOrElse("MILLISECONDS")
     s"""{"tableName":${esc(name)},"tableType":${esc(tableType)},""" +
       s""""segmentsConfig":{"timeColumnName":${esc(timeCol)},""" +
-      s""""timeType":"MILLISECONDS",$ret""" +
+      s""""timeType":${esc(timeType)},$ret""" +
       s""""segmentPushType":"APPEND",""" +
       s""""segmentAssignmentStrategy":"BalanceNumSegmentAssignmentStrategy",""" +
       s""""schemaName":${esc(name)},""" +

@@ -35,6 +35,19 @@ class ExtSpec extends SparkSpec {
     assert(tight.toSeq == uncapped.toSeq)
   }
 
+  test("df-capped containment equals the uncapped pass (min-denominator split)") {
+    // r10: containment shares cappedPairStats — the split intersection
+    // inter = inter_rare + inter_hot must stay exact under the MIN
+    // denominator too. Default cap resolves to the uncapped fixed point
+    // on this fixture; a tight cap forces the rare/hot split machinery.
+    val uncapped = Dedup.queries("dedup_containment")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(uncapped.nonEmpty)
+    val tight = Dedup.containmentForTest(spark, sfDir, maxBlockDf = 4)
+      .collect().map(_.toSeq)
+    assert(tight.toSeq == uncapped.toSeq)
+  }
+
   test("minhash LSH finds the same j>=0.8 pairs as the exact pass") {
     // 4 bands × 2 rows at j≈0.9+: per-pair miss probability < 1e-3; the
     // fixed corpus makes this deterministic — assert exact agreement.
@@ -427,6 +440,28 @@ class ExtSpec extends SparkSpec {
     val salted = summarize(
       graft.operators.Skew.saltedJoin(big, small, "user_id", salt = 7))
     assert(salted == plain)
+    // r10: the auto-sized variant obeys the same law (probe + width
+    // formula must not perturb the join result at ANY resolved width)
+    val auto = summarize(
+      graft.operators.Skew.saltedJoinAuto(big, small, "user_id"))
+    assert(auto == plain)
+  }
+
+  test("saltWidth: data-sized salt formula (spec-pinned driver function)") {
+    import graft.operators.Skew.saltWidth
+    // uniform data: hottest key ≈ average ⇒ no salting
+    assert(saltWidth(maxKeyRows = 100, totalRows = 100000, shuffleParts = 32) == 1)
+    // one key owning half the data on 32 partitions: spread it wide
+    assert(saltWidth(50000, 100000, 32) == 16)
+    // hottest key IS the data: clamp to the shuffle width
+    assert(saltWidth(100000, 100000, 32) == 32)
+    // degenerate inputs never explode
+    assert(saltWidth(0, 0, 32) == 1)
+    assert(saltWidth(7, 7, 1) == 1)
+    // monotone in skew: more hot rows never narrows the salt
+    val widths = Seq(1000L, 5000L, 20000L, 90000L)
+      .map(mx => saltWidth(mx, 100000, 32))
+    assert(widths == widths.sorted)
   }
 
   test("text quality: flags are consistent with their inputs") {

@@ -202,7 +202,11 @@ class FunctionsSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val S = 20
-    val masksList = Seq(0L, 1L, 1L << 19, (1L << 20) - 1, 0b1010110L, 1L << 5 | 1L << 17)
+    // the last two carry bits ≥ S: the expression must mask them BEFORE
+    // sizing the output (r9 advisory — unmasked bitCount left trailing
+    // 0 codes that decode as spurious (0,0) pairs downstream)
+    val masksList = Seq(0L, 1L, 1L << 19, (1L << 20) - 1, 0b1010110L,
+      1L << 5 | 1L << 17, 1L << 21 | 0b101L, -1L)
     // reference enumeration in Scala
     def ref(m: Long): Seq[Int] = {
       val bits = (0 until S).filter(a => ((m >>> a) & 1L) == 1L)

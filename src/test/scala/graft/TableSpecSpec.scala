@@ -61,6 +61,18 @@ class TableSpecSpec extends SparkSpec {
     val pkOnly = spec.copy(comparisonColumn = None)
     assert(!pkOnly.pinotSchemaJson.contains("primaryKeyColumns"))
     assert(!pkOnly.pinotTableJson("kafka:9092", "t").contains("upsertConfig"))
+    // timeType derives from the datetime column's format (r9 advisory:
+    // no hardcoded MILLISECONDS) — a seconds-grain column flows through
+    // schema format, granularity, AND the table config's timeType
+    val secSpec = spec.copy(columns = spec.columns.map(c =>
+      if (c.role == graft.tables.ColumnRole.Datetime)
+        c.copy(timeFormat = "1:SECONDS:EPOCH") else c))
+    assert(secSpec.pinotSchemaJson.contains(
+      """"format":"1:SECONDS:EPOCH","granularity":"1:SECONDS""""))
+    val secTable = secSpec.pinotTableJson("kafka:9092", "t")
+    assert(secTable.contains(""""timeType":"SECONDS""""))
+    spark.read.option("mode", "FAILFAST")
+      .json(Seq(secSpec.pinotSchemaJson).toDS).collect()
   }
 
   test("scd2 spec declares partitioning like the reference DDL") {
