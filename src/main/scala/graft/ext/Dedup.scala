@@ -151,8 +151,8 @@ object Dedup {
     * content survives; fixtures verified exact-equal to the uncapped
     * pass at every tested SF (worst-case required cap was df=10 at
     * sf0.1 vs the 1000 default). */
-  private def jaccardPairsBlocked(sh: DataFrame, maxBlockDf: Int): DataFrame =
-    cappedPairStats(sh, maxBlockDf)
+  private def jaccardPairsBlocked(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
+    cappedPairStats(s, d, maxBlockDf)
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
@@ -173,7 +173,8 @@ object Dedup {
     * condition (both consumers): a pair is emitted iff it shares ≥ 1
     * shingle with df ≤ cap — see the recall notes on the public
     * entry points. */
-  private def cappedPairStats(sh: DataFrame, maxBlockDf: Int): DataFrame = {
+  private def cappedPairStats(s: SparkSession, d: String, maxBlockDf: Int): DataFrame = {
+    val sh = shingleHashes(s, d)
     // Hot-key discovery by hash aggregate + BROADCAST, not a window
     // and not an always-planned split: hot shingles are few by
     // construction (≤ rows/cap keys can exceed the cap), so the
@@ -200,13 +201,8 @@ object Dedup {
     // above is unaffected in kind (a pair needs ONE sub-cap shared
     // shingle; fixtures were exact down to cap=10 at sf0.1), and
     // scores stay exact regardless — the cap prunes generation only.
-    val hist = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .groupBy(least(col("df"), lit(4096L)).as("dfc"))
-      .agg(count(lit(1)).as("cnt"), sum(col("df")).as("occ"))
-      .collect()
-    val shingleRows = hist.map(_.getLong(2)).sum
-    val cap = jaccardAutoCap(
-      hist.map(r => (r.getLong(0), r.getLong(1))).toSeq, shingleRows, maxBlockDf)
+    val (hist, shingleRows) = shingleDfHistogram(s, d)
+    val cap = jaccardAutoCap(hist, shingleRows, maxBlockDf)
     // Adaptive shortcut (AQE-style stats-driven planning, exact by
     // definition): if NO shingle exceeds the cap — read straight off
     // the collected histogram — "blocked" and uncapped are the same
@@ -214,7 +210,7 @@ object Dedup {
     // A healthy cap on a clean corpus hits this path; a stopword-
     // ridden crawl takes the split (and only then pays the second
     // df-aggregate pass for the hot-key set).
-    if (!hist.exists(r => r.getLong(0) > cap)) {
+    if (!hist.exists(_._1 > cap)) {
       return pairStats(sh)
     }
     val hotKeys = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
@@ -242,24 +238,68 @@ object Dedup {
 
   // no checkpoint anywhere: the self-join's two sides are the same
   // subtree (reused exchange) and the explode is cheaper than
-  // materializing it
-  private val ngramJaccard: Q = (s, d) =>
+  // materializing it.
+  //
+  // noAqe (r10): the cascade is FIXED — one exchange on the uniform
+  // 64-bit shingle hash, one on the (a_id, b_id) pair key — so skew is
+  // impossible by construction and adaptive re-planning buys nothing…
+  // while its parallelismFirst COALESCING actively breaks the scale
+  // envelope: it folded the data-sized 960-partition pair exchange
+  // back to core-count width at the 100× soak, so per-task aggregate
+  // state grew linearly with the corpus and the pair hash-aggregate
+  // sort-fell-back — 24.4 GB of spill in the join stage, task CPU
+  // 2.9× for 2.0× rows (DevProfile r10; DevShingleCounts proved the
+  // candidate volume itself exactly linear). With AQE off the
+  // exchanges keep GraftSession's data-sized width, per-task state is
+  // constant in the corpus, and the spill disappears — the identical
+  // finding (and fix) as the span family's custom operators.
+  private val ngramJaccard: Q = (s0, d) => {
+    val s = GraftSession.noAqe(s0)
     jaccardPairs(shingleHashes(s, d))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
+  }
 
-  private val ngramJaccardBlocked: Q = (s, d) =>
-    jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf = 1000)
+  private val ngramJaccardBlocked: Q = (s0, d) => {
+    val s = GraftSession.noAqe(s0) // same fixed-cascade rationale as ngramJaccard
+    jaccardPairsBlocked(s, d, maxBlockDf = 1000)
+  }
+
+  /** Memoized clamped df histogram of the corpus's blocking shingles
+    * (`(df, #shingles-at-df)` pairs plus total shingle rows) — the
+    * input to [[jaccardAutoCap]]'s plan decision. A table-snapshot
+    * property, so it is cached fingerprint-keyed like the other
+    * catalog-stats memos (sourceDimMemo, the salted join's width): the
+    * r10 100× profile showed the probe's full corpus re-tokenize was
+    * ~30 % of capped-query task CPU, paid identically on every run.
+    * Staleness is impossible (fingerprint) and the value only PICKS A
+    * PLAN — any histogram yields exact results, only the df² exposure
+    * differs. */
+  private val dfHistMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)], Long)]()
+  private def shingleDfHistogram(s: SparkSession, d: String): (Seq[(Long, Long)], Long) =
+    dfHistMemo.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath + "#" +
+        Tables.tableFingerprint(d, "documents"),
+      _ => {
+        val hist = shingleHashes(s, d)
+          .groupBy(col("shash")).agg(count(lit(1)).as("df"))
+          .groupBy(least(col("df"), lit(4096L)).as("dfc"))
+          .agg(count(lit(1)).as("cnt"), sum(col("df")).as("occ"))
+          .collect()
+        (hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          hist.map(_.getLong(2)).sum)
+      })
 
   /** Spec hook: the blocked pass at an arbitrary (tight) cap. */
   def jaccardPairsBlockedForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
-    jaccardPairsBlocked(shingleHashes(s, d), maxBlockDf)
+    jaccardPairsBlocked(s, d, maxBlockDf)
 
   /** Spec hook: the capped containment pass at an arbitrary (tight)
     * cap — pins the split-intersection identity for the MIN
     * denominator (r10: containment shares [[cappedPairStats]]). */
   def containmentForTest(s: SparkSession, d: String, maxBlockDf: Int): DataFrame =
-    cappedPairStats(shingleHashes(s, d), maxBlockDf)
+    cappedPairStats(s, d, maxBlockDf)
       .select(col("a_id"), col("b_id"),
         greatest(col("inter").cast("double") / col("na"),
           col("inter").cast("double") / col("nb")).as("containment"))
@@ -608,7 +648,11 @@ object Dedup {
   // scale; all three emit identical pairs on these fixtures). Keeper =
   // component minimum, the deterministic convention every engine-side
   // dedup uses.
-  private val clusters: Q = (s, d) => {
+  private val clusters: Q = (s0, d) => {
+    // noAqe for the pair kernel AND the CC loop: every exchange keys on
+    // doc_id/shash (uniform), and the loop's per-round Lineage.cut
+    // already pins parallelism — see ngramJaccard's spill rationale
+    val s = GraftSession.noAqe(s0)
     val pairs = graft.Lineage.cut(
       jaccardPairs(shingleHashes(s, d)).filter(col("jaccard") >= 0.8)
         .select(col("a_id"), col("b_id")))
@@ -704,7 +748,8 @@ object Dedup {
   // exactly what the cap is pricing out of the join. On a clean corpus
   // (the gate's) the histogram resolves to the uncapped fixed point
   // and this IS the r9 plan, bit-identical.
-  private val containment: Q = (s, d) => containmentForTest(s, d, maxBlockDf = 1000)
+  private val containment: Q = (s0, d) =>
+    containmentForTest(GraftSession.noAqe(s0), d, maxBlockDf = 1000)
   private val containmentSql =
     s"""WITH $shingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
