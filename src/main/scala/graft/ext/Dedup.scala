@@ -387,10 +387,17 @@ object Dedup {
     val digests = shingleArrays(s, d).select(col("doc_id"), col("arr"),
       expr("transform(arr, x -> md5(x))").as("m0"),
       expr("transform(arr, x -> md5(concat(x, '~')))").as("m1"))
+    // h_i stays the 8-char HEX slice: band keys are only compared for
+    // EQUALITY downstream, and lexicographic min ≡ numeric min on
+    // fixed-width lowercase hex (the very identity the oracle
+    // comment relies on) — so the old per-ELEMENT conv(...,16,10)
+    // parse was pure overhead on every shingle × 8 slices (r10 A/B:
+    // task CPU 2.09 → 2.02 s, steady 1.03 → 0.99 s at sf0.1 — small
+    // because substring-min still allocates a slice per element; kept
+    // because it is strictly less work for identical candidates)
     val sigCols = (0 until K).map { i =>
       val src = if (i < 4) "m0" else "m1"
-      expr(s"array_min(transform($src, m -> " +
-        s"cast(conv(substring(m, ${(i % 4) * 8 + 1}, 8), 16, 10) as long)))")
+      expr(s"array_min(transform($src, m -> substring(m, ${(i % 4) * 8 + 1}, 8)))")
         .as(s"h$i")
     }
     digests.select(
@@ -399,13 +406,23 @@ object Dedup {
         expr("transform(arr, x -> xxhash64(x))").as("set"): _*)
   }
 
-  private val minhashLsh: Q = (s, d) => {
+  private val minhashLsh: Q = (s0, d) => {
+    // noAqe (r10): post-checkpoint the plan is a fixed cascade — one
+    // banded self-join on md5-slice keys (uniform by avalanche), a
+    // candidate distinct, two doc-keyed verify joins against the
+    // checkpointed signature table — so adaptive re-planning buys
+    // nothing and cost 4 extra jobs of materialization floor + driver
+    // gaps (DevProfile: 7 jobs, 0.82 s job wall vs 1.43 s query wall
+    // at sf0.1; 2.24 s task CPU is 83 % the oracle-shared md5 sketch).
+    val s = GraftSession.noAqe(s0)
     // ONE materialization of the doc-count-sized signature table (12
     // narrow columns + the hash-set array): the banded sides and both
     // verify joins would otherwise re-evaluate the md5 signature map
-    // up to 4× (measured 4.1 s vs 1.3 s at sf0.1). localCheckpoint,
-    // not cache(): reclaimed once the plan is unreachable.
-    val sig = graft.Lineage.cut(minhashSigSets(s, d))
+    // up to 4× (measured 4.1 s vs 1.3 s at sf0.1). r10: LAZY share
+    // instead of the eager cut — the materialization rides the first
+    // consumer's job instead of paying its own submission + driver gap
+    // (and keeps the ContextCleaner reclaim semantics).
+    val sig = graft.Lineage.share(minhashSigSets(s, d))
     // ONE banded self-join, not one join per band: each signature
     // explodes into (band, key0, key1) rows and candidates meet in a
     // single equi-join on the band triple — same shuffled volume
@@ -433,7 +450,9 @@ object Dedup {
     // joins of the candidate list (broadcast here, shuffle at scale),
     // ZERO exchanges of exploded shingle rows.
     cands
+      .hint("shuffle_hash")
       .join(sig.select(col("doc_id").as("ca"), col("set").as("sa"), col("n").as("na")), "ca")
+      .hint("shuffle_hash")
       .join(sig.select(col("doc_id").as("cb"), col("set").as("sb"), col("n").as("nb")), "cb")
       .select(col("ca").as("a_id"), col("cb").as("b_id"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
