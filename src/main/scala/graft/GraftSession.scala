@@ -107,6 +107,22 @@ object GraftSession {
     // published so data-sized choices elsewhere (Lineage.cut's
     // checkpoint storage level) key off the same probe
     spark.conf.set("graft.dataFactor", dataFactor.toString)
+    // Data-sized AQE coalescing target (r10 100×-soak finding): the
+    // fixed 64 MB advisory is COMPRESSED shuffle bytes — at the soak
+    // heap (250 MB/slot) one 64 MB partition deserializes + builds
+    // aggregate/join state well past its slot share, so AQE's
+    // coalescing silently undid the data-sized shuffle width above and
+    // the graph family's stages ran ~33 tasks with 10 GB-class
+    // sort-fallback spills (rel_pagerank OOM'd flakily on the spill
+    // readers' read-ahead buffers). Dividing the advisory by the same
+    // data factor keeps post-coalesce per-task state roughly CONSTANT
+    // in the corpus; the committed factor-1 conventions (4-core bench,
+    // 10×/20× soaks) see the unchanged 64 MB.
+    if (dataFactor > 1) {
+      val advisory = math.max(4, advisoryMb.toInt / dataFactor)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisory}m")
+    }
     // dev knob for the bounded stream drains' state-partition pinning
     // (StreamGate.withStatePartitions reads this conf; see its scaladoc)
     sys.env.get("SPARK_GRAFT_STATE_PARTS").foreach(v =>

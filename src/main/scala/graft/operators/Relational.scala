@@ -1685,6 +1685,20 @@ object Relational {
   // plus one aggregate; the edge list's partitioning is reused every
   // round, and a real deployment would localCheckpoint each iteration
   // like Dedup.connectedComponents does to truncate lineage.
+  // r10 scale hardening (A/B'd at sf0.1 AND 100×): the iteration joins
+  // hint shuffle_hash on the NODE-sized sides — SMJ sorted the 100M-row
+  // edge stream six times at the 100× point and the sort spills' read-
+  // ahead buffers OOM'd the heap flakily (board-context-dependent);
+  // the hinted build side is node-count/width rows per task, so no
+  // edge sort exists at any scale. sf0.1 neutral (1.95 → 1.93 s),
+  // 100× 68 s-or-OOM → 54 s with spill 32.6 GB → 0.6 GB (together
+  // with GraftSession's data-sized advisory). This does NOT contradict
+  // the pinned r9 rejection (F): that variant ALSO restructured to
+  // per-node contributions; the hint-only change wins. A noAqe variant
+  // was A/B'd and LOST at both scales (2.36 s / 96 s — the iteration
+  // re-exchanges dominate without AQE's runtime planning), unlike the
+  // shingle family where noAqe wins — per-query measurement, not a
+  // blanket rule.
   private val pagerank: Q = (s, d) => {
     import s.implicits._
     val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
@@ -1724,9 +1738,9 @@ object Relational {
     val init = deg.select($"node", lit(1000000L).as("score"))
     val scores = (1 to 3).foldLeft(init) { (sc, _) =>
       edges
-        .join(sc.withColumnRenamed("node", "src"), "src")
+        .join(sc.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .join(deg.withColumnRenamed("node", "src")
-          .withColumnRenamed("outdeg", "sdeg"), "src")
+          .withColumnRenamed("outdeg", "sdeg").hint("shuffle_hash"), "src")
         .select($"dst".as("node"),
           floor($"score".cast("double") / $"sdeg").cast("long").as("c"))
         .groupBy($"node")
