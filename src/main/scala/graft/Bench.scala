@@ -77,6 +77,12 @@ object Bench {
       }.sorted
       ts(2)
     }
+    // Box-state controls (r10 verdict item 7): fixed-shape jobs in
+    // never-touched code — every bench/soak artifact self-reports
+    // whether the box (and core count) matched the recorded bands, so
+    // host drift is attributable without a worktree A/B. Measured
+    // AFTER the board so they can't warm anything the queries use.
+    val controls = BoxControls.measure(spark)
     import GraftSession.jsonEscape
     def jsonMap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"${jsonEscape(k)}:${sel(v)}" }.mkString("{", ",", "}")
@@ -85,7 +91,7 @@ object Bench {
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
     // Full-precision artifact (cold + steady per query) goes to a file;
     // see below for why stdout gets a trimmed twin.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"total_cold":$totalCold,"floor_sec":$floor,"controls":${BoxControls.json(controls)},"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
@@ -104,7 +110,7 @@ object Bench {
       // basename only: the full sfDir path is in the file artifact, and an
       // arbitrarily long path here could push even the zero-query fallback
       // line past the budget, breaking the always-valid-JSON guarantee.
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m$omit,"floor_sec":${ms(floor)},"failures":$failures,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m$omit,"floor_sec":${ms(floor)},"controls":${BoxControls.json(controls)},"failures":$failures,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
     }
     val budget = 1900 // chars; driver tail window is 2000 and this line is last — leave slack
     val steady = results.map { case (k, v) => k -> v._2 }

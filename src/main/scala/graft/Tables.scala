@@ -36,29 +36,54 @@ object Tables {
     registeredDir.keySet.removeIf(s => s.sparkContext.isStopped)
   }
 
-  /** Drop cached relations (and view registrations) for `dir` — the
-    * hook for any path that rewrites a source table in place, which
-    * would otherwise keep serving the stale file listing. */
+  // Fingerprint-keyed catalog-stats memos elsewhere (Dedup.dfHistMemo /
+  // sourceDimMemo, Relational.saltWidthMemo, TextAnalysis.bpeRulesMemo)
+  // register a hook here so invalidate() reaches them too: their values
+  // are computed THROUGH relCache's relation, so a dir rewrite must
+  // clear both layers together or a fresh fingerprint key could memoize
+  // a value computed from the stale cached relation.
+  private val invalidateHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** Register a callback invoked by [[invalidate]] with the CANONICAL
+    * path of the rewritten dir. Memos keyed `canonicalPath#fingerprint`
+    * drop every entry under that prefix. */
+  def onInvalidate(hook: String => Unit): Unit = invalidateHooks.add(hook)
+
+  /** Drop cached relations (and view registrations, and registered
+    * derived-stats memos) for `dir` — the REQUIRED hook for any
+    * in-process path that rewrites a source table in place, which
+    * would otherwise keep serving the stale file listing. (DevScaleUp
+    * runs as its own JVM, so cross-process regeneration is naturally
+    * fresh; this contract is for same-process rewrites.) */
   def invalidate(dir: String): Unit = {
     relCache.keySet.removeIf(k => k._2 == dir)
     registeredDir.entrySet.removeIf(e => e.getValue == dir)
+    val canon = new java.io.File(dir).getCanonicalPath
+    invalidateHooks.forEach(h => h(canon))
   }
 
-  /** Cheap content fingerprint of one table dir (file names + lengths
-    * + mtimes, order-independent): the memo-key ingredient for any
-    * driver-side cache derived from table CONTENT (BPE rules, the
-    * sourceOverlap dim) — a process that regenerates a dataset dir IN
-    * PLACE (DevScaleUp rewriting a /tmp replica at a different factor)
-    * must get fresh derived state, not a silently stale memo hit. */
+  /** Cheap content fingerprint of one table dir — an ORDER-DEPENDENT
+    * FNV-1a-style fold over the sorted (relative path, length, mtime)
+    * entries: the memo-key ingredient for any driver-side cache derived
+    * from table CONTENT (BPE rules, the sourceOverlap dim). The r10
+    * XOR fold let two identical (name, length, mtime) leaves cancel to
+    * 0 and missed same-second in-place rewrites that preserve lengths;
+    * the ordered fold kills the cancellation class (mtime-granularity
+    * collisions remain theoretically possible — [[invalidate]] is the
+    * belt for same-process rewrites). */
   def tableFingerprint(sfDir: String, table: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles() match {
-        case null => 0L
-        case fs => fs.foldLeft(0L)((acc, c) => acc ^ walk(c))
-      }
-      else f.getName.hashCode.toLong * 1000003L ^
-        f.length() * 31L ^ f.lastModified()
-    walk(new java.io.File(sfDir, s"$table.parquet"))
+    val root = new java.io.File(sfDir, s"$table.parquet")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val prefix = root.getPath.length
+    files(root).foldLeft(-3750763034362895579L) { (h, f) => // FNV-1a offset
+      val p = 1099511628211L // FNV-1a prime
+      (((h ^ f.getPath.drop(prefix).hashCode) * p
+        ^ f.length()) * p ^ f.lastModified()) * p
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =

@@ -241,8 +241,20 @@ object Dedup {
   // materializing it.
   //
   // noAqe (r10): the cascade is FIXED — one exchange on the uniform
-  // 64-bit shingle hash, one on the (a_id, b_id) pair key — so skew is
-  // impossible by construction and adaptive re-planning buys nothing…
+  // 64-bit shingle hash, one on the (a_id, b_id) pair key — so KEY
+  // PLACEMENT is uniform and adaptive re-planning buys nothing…
+  // (r10 advisory, precision: uniform placement is not uniform JOIN-
+  // GROUP size — a hot shingle still puts df² join rows on one key,
+  // and noAqe also disables AQE's skew-join splitting. The UNCAPPED
+  // consumers of this rationale — this query and `clusters` — are
+  // therefore exact-by-contract passes that rely on corpus max-df
+  // staying small (25 on every gated fixture and replica; their
+  // oracles are the uncapped all-pairs semantics, so a df cap here
+  // would CHANGE the gated result). The production path for dup-heavy
+  // corpora is `dedup_ngram_jaccard_blocked` / the capped pair kernel,
+  // whose df cap bounds every join group to cap² before the exchange —
+  // skew-proof without AQE; `clusters`' docstring points its pair
+  // source there at scale.)
   // while its parallelismFirst COALESCING actively breaks the scale
   // envelope: it folded the data-sized 960-partition pair exchange
   // back to core-count width at the 100× soak, so per-task aggregate
@@ -277,6 +289,7 @@ object Dedup {
     * differs. */
   private val dfHistMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, Long)], Long)]()
+  Tables.onInvalidate(c => dfHistMemo.keySet.removeIf(_.startsWith(c + "#")))
   private def shingleDfHistogram(s: SparkSession, d: String): (Seq[(Long, Long)], Long) =
     dfHistMemo.computeIfAbsent(
       new java.io.File(d).getCanonicalPath + "#" +
@@ -358,6 +371,65 @@ object Dedup {
        |JOIN sz sa ON sa.doc_id = a_id
        |JOIN sz sb ON sb.doc_id = b_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Oracle twin of [[jaccardAutoCap]] as DuckDB CTEs (r10 verdict item
+    * 2 + r10 medium advisory): the ENGINE auto-tightens the blocking df
+    * cap on duplication-heavy corpora, so the oracle must compute the
+    * SAME cap from the SAME histogram arithmetic or the gates diverge
+    * the first time a fixture doesn't resolve to the uncapped fixed
+    * point. The arithmetic is a pure function of the df histogram —
+    * expressed here 1:1 with the Scala: hist = (min(df,4096), count);
+    * target = 32 · Σdf; cap = 1000 when volume(1000) ≤ target, else the
+    * largest observed dfc in (64, 1000) whose Σ min(dfc,c)²·cnt ≤
+    * target (volume is monotone in c, so MAX-passing ≡ the Scala's
+    * sorted takeWhile-last), else 64. `dfr`/`cap` feed the pair CTE's
+    * recall condition: a pair is kept iff it shares ≥ 1 shingle with
+    * df ≤ cap — exactly [[cappedPairStats]]'s generation rule (scores
+    * are exact regardless; only generation is pruned). On an empty
+    * corpus the CASE degrades to 64 where the Scala returns the
+    * ceiling — no pairs exist either way, so the value is inert. */
+  private val capSqlCtes =
+    """dfr AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |hist AS (SELECT LEAST(df, 4096) AS dfc, COUNT(*) AS cnt FROM dfr GROUP BY 1),
+      |tot AS (SELECT SUM(df) AS nrows FROM dfr),
+      |vols AS (
+      |  SELECT c.c AS c, SUM(LEAST(h.dfc, c.c) * LEAST(h.dfc, c.c) * h.cnt) AS vol
+      |  FROM (SELECT DISTINCT dfc AS c FROM hist WHERE dfc > 64 AND dfc < 1000
+      |        UNION SELECT 1000) c
+      |  CROSS JOIN hist h GROUP BY 1),
+      |cap AS (
+      |  SELECT CASE
+      |    WHEN (SELECT vol FROM vols WHERE c = 1000) <= 32 * (SELECT nrows FROM tot)
+      |      THEN 1000
+      |    ELSE COALESCE((SELECT MAX(c) FROM vols CROSS JOIN tot
+      |                   WHERE c < 1000 AND vol <= 32 * nrows), 64)
+      |  END AS cap)""".stripMargin
+
+  /** Cap-aware oracle for `dedup_ngram_jaccard_blocked`: the uncapped
+    * all-pairs scores PLUS the engine's recall condition (≥ 1 shared
+    * sub-cap shingle), with the cap computed by [[capSqlCtes]]. On
+    * every fixture where the histogram resolves to the uncapped fixed
+    * point this is row-identical to [[ngramJaccardSql]] (has_subcap is
+    * constant 1); on a duplication-heavy corpus it tracks the engine
+    * where the plain oracle would diverge. */
+  private val ngramJaccardBlockedSql =
+    s"""WITH $shingleSqlCte,
+       |$capSqlCtes,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter,
+       |    MAX(CASE WHEN d.df <= (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS has_subcap
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN dfr d ON d.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = a_id
+       |JOIN sz sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |  AND has_subcap = 1
        |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------------------- MinHash LSH
@@ -769,12 +841,18 @@ object Dedup {
   // and this IS the r9 plan, bit-identical.
   private val containment: Q = (s0, d) =>
     containmentForTest(GraftSession.noAqe(s0), d, maxBlockDf = 1000)
+  // cap-aware oracle (r10 verdict item 2): same [[capSqlCtes]] recall
+  // condition as the blocked jaccard — containment shares
+  // cappedPairStats, so its oracle must share the cap arithmetic too.
   private val containmentSql =
     s"""WITH $shingleSqlCte,
+       |$capSqlCtes,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter,
+       |    MAX(CASE WHEN d.df <= (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS has_subcap
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN dfr d ON d.shingle = a.shingle
        |  GROUP BY 1, 2)
        |SELECT a_id, b_id,
        |  greatest(CAST(inter AS DOUBLE) / sa.n,
@@ -783,6 +861,7 @@ object Dedup {
        |           JOIN sz sb ON sb.doc_id = b_id
        |WHERE greatest(CAST(inter AS DOUBLE) / sa.n,
        |               CAST(inter AS DOUBLE) / sb.n) >= 0.9
+       |  AND has_subcap = 1
        |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------- incremental dedup
@@ -899,6 +978,7 @@ object Dedup {
     * output is #dumps² rows. Shuffles key on xxhash64; no text moves. */
   private val sourceDimMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  Tables.onInvalidate(c => sourceDimMemo.keySet.removeIf(_.startsWith(c + "#")))
 
   private val sourceOverlap: Q = (s0, d) => {
     // AQE pinned off via the per-parent CHILD session (the race-free
@@ -1223,18 +1303,14 @@ object Dedup {
     "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    // identical result set by the recall condition on jaccardPairsBlocked:
-    // the df cap only prunes candidate GENERATION, scores stay exact.
-    // Caveat (r9 advisory, applies to `dedup_containment` too now that
-    // it shares cappedPairStats): the oracle does NOT auto-tighten its
-    // cap, so this identity is guaranteed only where the histogram
-    // resolves to the uncapped fixed point — true on every gated
-    // fixture (sf0.001–0.1) and on the key-shifted replicas (per-
-    // replica dfs are preserved by construction, so the cap resolves
-    // identically at every factor). If a duplication-heavy corpus is
-    // ever GATED, pin the oracle with the same jaccardAutoCap
-    // arithmetic (a pure spec-pinned driver function) first.
-    "dedup_ngram_jaccard_blocked" -> ngramJaccardSql,
+    // r11: the oracle carries its OWN copy of the jaccardAutoCap
+    // arithmetic (capSqlCtes) plus the recall condition, closing the
+    // r9/r10 advisory: the identity with the engine is now STRUCTURAL
+    // on any corpus, not contingent on the histogram resolving to the
+    // uncapped fixed point. ExtSpec pins engine ≡ cap-aware reference
+    // on a deliberately duplication-heavy fixture where the cap
+    // actually tightens.
+    "dedup_ngram_jaccard_blocked" -> ngramJaccardBlockedSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,

@@ -1195,6 +1195,7 @@ object TextAnalysis {
     * canonical path; gate dirs are immutable fixture snapshots. */
   private val bpeRulesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  graft.Tables.onInvalidate(c => bpeRulesMemo.keySet.removeIf(_.startsWith(c + "#")))
 
   // content-fingerprinted key (see Tables.tableFingerprint): an
   // in-place dir regeneration gets fresh rules, not a stale tokenizer

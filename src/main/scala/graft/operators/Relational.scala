@@ -1553,6 +1553,7 @@ object Relational {
   // property of the table snapshot, so repeated runs pay the probe once
   private val saltWidthMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  Tables.onInvalidate(c => saltWidthMemo.keySet.removeIf(_.startsWith(c + "#")))
   private val saltedJoin: Q = (s, d) => {
     import s.implicits._
     val big = Tables.orders(s, d)

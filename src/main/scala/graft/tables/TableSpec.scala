@@ -26,10 +26,30 @@ final case class ColumnSpec(name: String, dataType: DataType,
                               * hardcoded literal — correct for every
                               * current spec, silently wrong for a future
                               * non-millis time column). */
-                            timeFormat: String = "1:MILLISECONDS:EPOCH") {
+                            timeFormat: String = "1:MILLISECONDS:EPOCH",
+                            /** Explicit schema-granularity override
+                              * (Pinot treats granularity as a field
+                              * INDEPENDENT of the format — r10 advisory;
+                              * the generator's YAML carries both). None
+                              * → derived as the format's `<n>:<UNIT>`
+                              * prefix, the generator's own default. */
+                            granularityOverride: Option[String] = None) {
+  // r10 advisory: a malformed format ("MILLISECONDS") used to throw a
+  // bare ArrayIndexOutOfBounds at JSON-emit time — require the Pinot
+  // shape `<size>:<UNIT>:<EPOCH|SIMPLE_DATE_FORMAT[:pattern]>` up front
+  // with a message naming the column.
+  require(timeFormat.matches("""\d+:[A-Z]+:(EPOCH|SIMPLE_DATE_FORMAT(:.+)?)"""),
+    s"column $name: timeFormat '$timeFormat' is not of the Pinot shape " +
+      "'<size>:<UNIT>:<EPOCH|SIMPLE_DATE_FORMAT[:pattern]>'")
+
   /** Unit token of the datetime format ("1:MILLISECONDS:EPOCH" →
     * "MILLISECONDS") — Pinot's `timeType`. */
   def timeUnit: String = timeFormat.split(":")(1)
+
+  /** Schema granularity: the explicit override when given, else the
+    * format's `<size>:<UNIT>` prefix. */
+  def granularity: String =
+    granularityOverride.getOrElse(timeFormat.split(":").take(2).mkString(":"))
 }
 
 sealed trait ColumnRole
@@ -108,7 +128,7 @@ final case class TableSpec(
     def dtField(c: ColumnSpec) =
       s"""{"name":${esc(c.name)},"dataType":${esc(pinotType(c.dataType))},""" +
         s""""format":${esc(c.timeFormat)},""" +
-        s""""granularity":${esc(c.timeFormat.split(":").take(2).mkString(":"))}}"""
+        s""""granularity":${esc(c.granularity)}}"""
     val dims = columns.filter(_.role == ColumnRole.Dimension).map(field)
     val mets = columns.filter(_.role == ColumnRole.Metric).map(field)
     val dts = columns.filter(_.role == ColumnRole.Datetime).map(dtField)

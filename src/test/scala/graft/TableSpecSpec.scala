@@ -73,6 +73,23 @@ class TableSpecSpec extends SparkSpec {
     assert(secTable.contains(""""timeType":"SECONDS""""))
     spark.read.option("mode", "FAILFAST")
       .json(Seq(secSpec.pinotSchemaJson).toDS).collect()
+    // r10 advisory: malformed formats fail AT CONSTRUCTION with a
+    // message naming the column, not ArrayIndexOutOfBounds at JSON-emit
+    val bad = intercept[IllegalArgumentException](
+      graft.tables.ColumnSpec("ts", org.apache.spark.sql.types.LongType,
+        graft.tables.ColumnRole.Datetime, timeFormat = "MILLISECONDS"))
+    assert(bad.getMessage.contains("ts") && bad.getMessage.contains("MILLISECONDS"))
+    // SIMPLE_DATE_FORMAT passes the shape check; granularity is
+    // independently overridable (the generator's YAML carries both)
+    val sdf = graft.tables.ColumnSpec("day", org.apache.spark.sql.types.StringType,
+      graft.tables.ColumnRole.Datetime,
+      timeFormat = "1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd",
+      granularityOverride = Some("1:HOURS"))
+    assert(sdf.timeUnit == "DAYS" && sdf.granularity == "1:HOURS")
+    val sdfSpec = spec.copy(columns = spec.columns.map(c =>
+      if (c.role == graft.tables.ColumnRole.Datetime)
+        sdf.copy(name = c.name) else c))
+    assert(sdfSpec.pinotSchemaJson.contains(""""granularity":"1:HOURS""""))
   }
 
   test("scd2 spec declares partitioning like the reference DDL") {
