@@ -39,10 +39,11 @@ object BoxControls {
       } catch { case NonFatal(_) => -1.0 }
     Seq(
       // raw hash throughput over 200M longs, cluster-wide: CPU + JIT
-      // state + core count (head() forces the sum — count() would let
-      // Catalyst prune the hash column and measure nothing)
+      // state + core count (head() forces the aggregate — count() would
+      // let Catalyst prune the hash column and measure nothing; bit_xor,
+      // not sum: ANSI mode makes a 200M-term long SUM overflow-throw)
       "ctl_cpu" -> med3(() => spark.range(0L, 200000000L, 1L, par)
-        .select(sum(xxhash64(col("id")))).head()),
+        .select(expr("bit_xor(xxhash64(id))")).head()),
       // one full 4M-row exchange into 64k keys: shuffle write/fetch
       // machinery, disk, and scheduler state
       "ctl_shuffle" -> med3(() => spark.range(0L, 4000000L, 1L, par)

@@ -131,41 +131,87 @@ object GraftSession {
     spark
   }
 
-  // One pinned child per parent session, weak-keyed so neither outlives
-  // the parent; child sessions share the SparkContext (same executors,
-  // same relation cache key-space) but carry their own SQLConf.
+  // One pinned child per (parent session, static width), weak-keyed so
+  // none outlives the parent; child sessions share the SparkContext
+  // (same executors, same relation cache key-space) but carry their own
+  // SQLConf.
   private val noAqeChildren =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Int, SparkSession]]()
 
   /** Child session with AQE pinned OFF, for queries whose plan is a
     * FIXED exchange cascade over uniformly-hashed keys (substring-span
-    * dedup, shingle jaccard): skew is impossible by construction and
-    * parallelism is already explicit, so adaptive re-planning buys
-    * nothing and costs one materialization barrier per exchange plus a
-    * driver re-plan between the resulting jobs (DevProfile: 0.39 s of
-    * barriers + 0.46 s of inter-job driver gaps on a 2.4 s query).
-    * A child session scopes the setting to the query that owns it —
+    * dedup, shingle jaccard): key placement is uniform and parallelism
+    * is explicit, so adaptive re-planning buys nothing and costs one
+    * materialization barrier per exchange plus a driver re-plan between
+    * the resulting jobs (DevProfile: 0.39 s of barriers + 0.46 s of
+    * inter-job driver gaps on a 2.4 s query).
+    *
+    * The child's static shuffle width is DATA-SIZED from `dataDir`
+    * (r11 regression fix): the parent's width is deliberately inflated
+    * by the heap memFactor (32 cores on the 8 GB test heap → ×6) on
+    * the assumption that AQE coalesces the excess at runtime — an
+    * assumption exactly these queries opt out of. Inheriting the
+    * inflated width verbatim cost the shingle family 3–5× wall at
+    * local[32]/8 GB (dedup_ngram_jaccard 5.1 s at 192 static
+    * partitions vs 0.67 s at 32; dedup_clusters 7.3 → 1.5 s — the
+    * BENCH_r10 +16% "regression" was this, hidden on the driver's
+    * large-heap box where memFactor = 1): excess static tasks carry
+    * ~0.35 s/task of constant overhead on ~20 s of real work.
+    *
+    * Width = max(cores, ceil(dirBytes / 4 MB) rounded up to a
+    * core-count multiple). The density comes from an r11 width sweep
+    * of (dedup_clusters, dedup_ngram_jaccard) at 32 cores / 8 GB:
+    *   10×  (189 MB): 32 → 5.3 s  64 → 7.2   96 → 9.9   192 → 18.7
+    *   50×  (1.0 GB): 96 → 22.4  169 → 31   256 → 13.3  384 → 16.1
+    *   100× (2.1 GB): 160 → 47   342 → 23.7 512 → 24.6  960 → 31.5
+    * Two regimes bound the choice: too WIDE pays the per-task constant
+    * (192@10×, 960@100×), too NARROW hits the per-task-state memory
+    * cliff (169@50× and 160@100× sit on it — GC/fallback thrash, 2×
+    * the wall of the optimum). ~4 MB of dataset bytes per partition
+    * stays a comfortable margin from the measured cliff at every
+    * scale point while shedding the constant; core-multiple rounding
+    * avoids straggler waves. NOT clamped to the parent width: on a
+    * large-heap box the parent (memFactor 1) can sit BELOW the cliff
+    * (160 at the 100× replica, measured 2× slow), and the whole point
+    * is that this width answers to data, not to the heap heuristic.
+    * An explicit SPARK_GRAFT_SHUFFLE_PARTS still wins (real clusters
+    * size width to data themselves).
+    *
+    * A child session scopes the settings to the query that owns it —
     * no conf mutation races against the parent, and the conf is live
     * whenever the lazily-built DataFrame finally executes (a try/finally
-    * around construction would restore it too early). Everything else
-    * (shuffle partitions included) is copied from the parent at first
-    * use; AQE stays ON in the parent for data-dependent plans. */
-  def noAqe(s: SparkSession): SparkSession = noAqeChildren.synchronized {
-    val cached = noAqeChildren.get(s)
-    if (cached != null) cached
-    else {
+    * around construction would restore it too early). AQE stays ON in
+    * the parent for data-dependent plans. */
+  def noAqe(s: SparkSession, dataDir: String): SparkSession = noAqeChildren.synchronized {
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").flatMap(_.toIntOption)
+      .getOrElse {
+        def sizeOf(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+          else f.length
+        val dataParts = ((sizeOf(new java.io.File(dataDir)) + (4L << 20) - 1)
+          / (4L << 20)).toInt
+        val cores = math.max(1, s.sparkContext.defaultParallelism)
+        math.max(cores, ((dataParts + cores - 1) / cores) * cores)
+      }
+    val perParent = {
+      val m = noAqeChildren.get(s)
+      if (m != null) m else {
+        val m2 = scala.collection.mutable.Map.empty[Int, SparkSession]
+        noAqeChildren.put(s, m2)
+        m2
+      }
+    }
+    perParent.getOrElseUpdate(parts, {
       val c = s.newSession()
       // runtime-set parent confs (newSession re-reads only SparkConf)
-      c.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.sql.shuffle.partitions"))
       s.conf.getOption("graft.stream.statePartitions")
         .foreach(c.conf.set("graft.stream.statePartitions", _))
       s.conf.getOption("graft.dataFactor")
         .foreach(c.conf.set("graft.dataFactor", _))
+      c.conf.set("spark.sql.shuffle.partitions", parts.toString)
       c.conf.set("spark.sql.adaptive.enabled", "false")
-      noAqeChildren.put(s, c)
       c
-    }
+    })
   }
 
   /** Minimal JSON string escaper shared by the Verify/Bench emitters —

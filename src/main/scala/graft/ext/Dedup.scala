@@ -266,14 +266,14 @@ object Dedup {
   // constant in the corpus, and the spill disappears — the identical
   // finding (and fix) as the span family's custom operators.
   private val ngramJaccard: Q = (s0, d) => {
-    val s = GraftSession.noAqe(s0)
+    val s = GraftSession.noAqe(s0, d)
     jaccardPairs(shingleHashes(s, d))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
 
   private val ngramJaccardBlocked: Q = (s0, d) => {
-    val s = GraftSession.noAqe(s0) // same fixed-cascade rationale as ngramJaccard
+    val s = GraftSession.noAqe(s0, d) // same fixed-cascade rationale as ngramJaccard
     jaccardPairsBlocked(s, d, maxBlockDf = 1000)
   }
 
@@ -486,7 +486,7 @@ object Dedup {
     // nothing and cost 4 extra jobs of materialization floor + driver
     // gaps (DevProfile: 7 jobs, 0.82 s job wall vs 1.43 s query wall
     // at sf0.1; 2.24 s task CPU is 83 % the oracle-shared md5 sketch).
-    val s = GraftSession.noAqe(s0)
+    val s = GraftSession.noAqe(s0, d)
     // ONE materialization of the doc-count-sized signature table (12
     // narrow columns + the hash-set array): the banded sides and both
     // verify joins would otherwise re-evaluate the md5 signature map
@@ -743,7 +743,7 @@ object Dedup {
     // noAqe for the pair kernel AND the CC loop: every exchange keys on
     // doc_id/shash (uniform), and the loop's per-round Lineage.cut
     // already pins parallelism — see ngramJaccard's spill rationale
-    val s = GraftSession.noAqe(s0)
+    val s = GraftSession.noAqe(s0, d)
     val pairs = graft.Lineage.cut(
       jaccardPairs(shingleHashes(s, d)).filter(col("jaccard") >= 0.8)
         .select(col("a_id"), col("b_id")))
@@ -840,7 +840,7 @@ object Dedup {
   // (the gate's) the histogram resolves to the uncapped fixed point
   // and this IS the r9 plan, bit-identical.
   private val containment: Q = (s0, d) =>
-    containmentForTest(GraftSession.noAqe(s0), d, maxBlockDf = 1000)
+    containmentForTest(GraftSession.noAqe(s0, d), d, maxBlockDf = 1000)
   // cap-aware oracle (r10 verdict item 2): same [[capSqlCtes]] recall
   // condition as the blocked jaccard — containment shares
   // cappedPairStats, so its oracle must share the cap arithmetic too.
@@ -989,7 +989,7 @@ object Dedup {
     // explicit), so runtime re-planning buys nothing and each adaptive
     // exchange materialization costs a per-job floor (~0.07 s × 3 jobs
     // measured).
-    val s = GraftSession.noAqe(s0)
+    val s = GraftSession.noAqe(s0, d)
     import s.implicits._
     // hash the three words DIRECTLY (multi-arg xxhash64, seed-chained
     // per field) instead of materializing shingle strings first: the
@@ -1179,7 +1179,7 @@ object Dedup {
     // fixed two-exchange cascade on uniform hash keys: AQE's per-
     // exchange materialization barriers are pure floor here (see
     // GraftSession.noAqe scaladoc; DevProfile r9 evidence)
-    val s = GraftSession.noAqe(s0)
+    val s = GraftSession.noAqe(s0, d)
     import s.implicits._
     substringSpanTable(s, d)
       .groupBy($"a_id", $"b_id")
@@ -1226,7 +1226,7 @@ object Dedup {
     * join, text touched only map-side.
     */
   private val spanRemoval: Q = (s0, d) => {
-    val s = GraftSession.noAqe(s0) // same fixed-cascade rationale as substringSpans
+    val s = GraftSession.noAqe(s0, d) // same fixed-cascade rationale as substringSpans
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pick = substringSpanTable(s, d)
