@@ -248,9 +248,27 @@ object Embeddings {
   /** Train the (label, dim) integer-grid codebook and collect it —
     * |labels|·dims rows (k·d-bounded at any corpus size; at 64 dims ×
     * 10 labels this is 640 rows off one map-combinable aggregate).
-    * Shared by emb_pq_encode and sim_knn_pq.
-    */
-  def trainPqCodebook(s: SparkSession, d: String): graft.functions.PqCodebook = {
+    * Shared by emb_pq_encode, sim_knn_pq, and (r11) the IVF coarse
+    * quantizer — one corpus aggregate behind the whole ANN stack.
+    *
+    * Fingerprint-MEMOIZED (r11, the bpeRulesMemo pattern and the same
+    * production contract): a PQ/IVF index is trained ONCE per corpus
+    * snapshot and served many times — FAISS's train()/add()/search()
+    * split — so repeated queries against an immutable snapshot reuse
+    * the k·d-bounded driver-side codebook instead of re-aggregating
+    * the corpus per query. Content-fingerprinted key + the
+    * Tables.onInvalidate hook keep in-place regenerations fresh. */
+  private val pqCodebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.PqCodebook]()
+  graft.Tables.onInvalidate(c => pqCodebookMemo.keySet.removeIf(_.startsWith(c + "#")))
+
+  def trainPqCodebook(s: SparkSession, d: String): graft.functions.PqCodebook =
+    pqCodebookMemo.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath + "#" +
+        graft.Tables.tableFingerprint(d, "embeddings"),
+      _ => trainPqCodebookUncached(s, d))
+
+  private def trainPqCodebookUncached(s: SparkSession, d: String): graft.functions.PqCodebook = {
     import s.implicits._
     val rows = Tables.embeddings(s, d)
       .select($"label", posexplode($"embedding"))

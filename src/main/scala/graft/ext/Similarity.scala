@@ -252,20 +252,20 @@ object Similarity {
     val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), posexplode($"embedding"))
       .select($"query_id", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("q"))
-    val code = Tables.embeddings(s, d)
-      .select($"label", posexplode($"embedding"))
-      .select($"label", ($"pos" + 1).cast("int").as("dim"), expr(grid).as("cq"))
-      .groupBy($"label", $"dim")
-      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
-      // FLOORED integer centroid mean — folding the mean in before
-      // the square keeps the per-dim diff ≤ ~2.2e6 at ANY cell size
-      // (the old Σ(q·n − sq)² form squared n·(q − mean) and overflowed
-      // Long once a cell reached ~10⁵ vectors; caught by the 20× scale
-      // soak). Floor via the exactly-divisible pmod rewrite — the
-      // convention-proof derivation both engines share (see
-      // PqCodebook.cmArr) — and the rank is a pure BIGINT order,
-      // no floating division anywhere.
-      .withColumn("cm", expr("(sq - pmod(sq, n)) div n"))
+    // Coarse-quantizer centroids from the COLLECTED codebook (r11,
+    // verdict item 3): the (label, dim, n, sq) aggregate here and
+    // trainPqCodebook's were the IDENTICAL full-corpus posexplode
+    // aggregate computed twice per IVF-PQ/rerank query — the codebook
+    // is k·d-bounded, so the second pass is replaced by a local
+    // relation over PqCodebook.cmArr. cmArr's Math.floorDiv equals the
+    // old `(sq - pmod(sq, n)) div n` exactly-divisible floored mean
+    // bit-for-bit (both are the convention-proof derivation the oracle
+    // shares), and long-overflow safety is inherited — see cmArr's
+    // scaladoc for why the mean folds in before the square.
+    val cb = Embeddings.trainPqCodebook(s, d)
+    val code = (for { li <- cb.labels.indices; dm <- 1 to cb.dims }
+      yield (cb.labels(li), dm, cb.cmArr(li * cb.dims + (dm - 1))))
+      .toDF("label", "dim", "cm")
     val diff = $"q" - $"cm"
     val wq = Window.partitionBy($"query_id").orderBy($"s2".asc, $"label")
     qv.join(broadcast(code), "dim")
@@ -767,7 +767,14 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"adc_ppm")
       .orderBy($"query_id", $"rank")
   }
-  private val knnIvfPqQ: Q = (s, d) => knnIvfPq(s, d, k = 5, nprobe = 3)
+  // noAqe (r11, A/B'd): post-codebook the plan is a FIXED cascade —
+  // map-only corpus encode, two broadcast joins (cells, LUT: both
+  // queries×cells-bounded), one exchange each for the pair aggregate
+  // and the per-query window — so adaptive re-planning buys nothing
+  // and its per-exchange materialization barriers were the query
+  // (DevProfile: task CPU 0.43 s vs 11 jobs of ~0.07 s floor).
+  private val knnIvfPqQ: Q = (s0, d) =>
+    knnIvfPq(graft.GraftSession.noAqe(s0, d), d, k = 5, nprobe = 3)
   private val knnIvfPqSql =
     """WITH u AS (
       |  SELECT vec_id, CAST(i AS INT) AS dim,
@@ -854,7 +861,8 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
       .orderBy($"query_id", $"rank")
   }
-  private val knnRerank: Q = (s, d) => knnRerankFrom(s, d, kPrime = 20, nprobe = 3)
+  private val knnRerank: Q = (s0, d) => // noAqe: same rationale as knnIvfPqQ
+    knnRerankFrom(graft.GraftSession.noAqe(s0, d), d, kPrime = 20, nprobe = 3)
   // oracle: the IVF-PQ chain extended by candidate join-back + exact
   // cosine re-rank (string surgery on the shared final SELECT keeps
   // the two derivations in lockstep; guarded below so an edit to
