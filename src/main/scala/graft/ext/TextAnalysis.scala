@@ -756,7 +756,17 @@ object TextAnalysis {
   // once, map-combined. Hot-term skew (a stopword's window group is
   // one doc-count-sized spillable buffer) matches the join's hot-key
   // exposure — no worse, one shuffle and a join less.
-  private val keywords: Q = (s, d) => {
+  // noAqe (r11, A/B'd at the 4-core convention): the cascade is FIXED —
+  // token agg exchange, term-keyed window exchange, doc-keyed window
+  // exchange, all on uniform keys AQE cannot help (window partitions
+  // are unsplittable regardless). Collapses 5 adaptive jobs to 1;
+  // bench 0.73 → 0.66 s. The r10 6.46× weak-list ratio decomposes as
+  // (DevProfile, 4-core): 0.93 s task CPU over the one job — the
+  // tokenize/explode/window compute itself — plus ~0.28 s of driver
+  // plan/submit gap; the residual vs DuckDB's 0.09 s is the JVM
+  // string-explode constant, not a plan defect. Accepted-floor.
+  private val keywords: Q = (s0, d) => {
+    val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
     val tf = Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("w"))
@@ -884,7 +894,14 @@ object TextAnalysis {
   // smaller than the corpus) + one window over its w1 prefix; document
   // scoring re-joins occurrences to the LM keyed on the 8-byte xxhash64
   // of the bigram, so the big shuffle carries (doc_id, hash) — no text.
-  private val lmScore: Q = (s, d) => {
+  // noAqe (r11, A/B'd): fixed cascade on uniform 8-byte hash keys (the
+  // shingle-family rationale verbatim) around the shared occ
+  // materialization. Modest at the 4-core convention (0.87 → 0.83 s —
+  // the query is compute-bound on the one remaining corpus
+  // tokenize+hash pass, as the occ note below prices), but drops the
+  // adaptive re-plan barriers that dominate at higher core counts.
+  private val lmScore: Q = (s0, d) => {
+    val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
     // Bigrams leave the map stage as two 8-byte hashes — the full
     // bigram (bh) and its w1 prefix (w1h) — so the LM aggregate
