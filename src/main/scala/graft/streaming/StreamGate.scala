@@ -105,8 +105,22 @@ object StreamGate {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
     val prevProvider = s.conf.getOption(providerKey)
+    // r11 (verdict item 6, 50×-measured): past the RocksDB threshold
+    // the pin ALSO floors at core count — the memory-sized target alone
+    // (feed/16 MB) starved the stateful stage's parallelism once state
+    // stopped being the constraint (50× session gate, 32 cores:
+    // 7 partitions → 24.8 s, 16 → 19.3, 24 → 17.7, 32 → 15.4,
+    // 64 → 17.0 — optimum at core count, commit overhead past it).
+    // Below the threshold the committed small-feed convention stands
+    // (a 2 MB feed's wall is ~128 store commits of fixed overhead —
+    // the r9 A/B that pinned the floor of 4; PLANS.md table).
     val target = s.conf.getOption("graft.stream.statePartitions")
-      .map(_.toLong).getOrElse(StreamGate.sizedStateTarget(feedBytes))
+      .map(_.toLong).getOrElse {
+        val sized = StreamGate.sizedStateTarget(feedBytes)
+        if (feedBytes > StreamGate.RocksDbStateBytes)
+          math.max(sized, s.sparkContext.defaultParallelism.toLong)
+        else sized
+      }
     val pinned = math.min(prev.toLong, target).toString
     s.conf.set(key, pinned)
     // Data-sized state BACKEND (the second half of the r9 100×-soak
