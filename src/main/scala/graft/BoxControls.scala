@@ -45,9 +45,15 @@ object BoxControls {
       "ctl_cpu" -> med3(() => spark.range(0L, 200000000L, 1L, par)
         .select(expr("bit_xor(xxhash64(id))")).head()),
       // one full 4M-row exchange into 64k keys: shuffle write/fetch
-      // machinery, disk, and scheduler state
+      // machinery, disk, and scheduler state. The exchange is pinned to
+      // a FIXED 64 partitions via repartition-on-the-group-key (the
+      // groupBy reuses that partitioning, no second exchange), so the
+      // control's shape does not vary with the leg's session width —
+      // r11's first cut ran at session width and read as band drift
+      // between width-sweep legs.
       "ctl_shuffle" -> med3(() => spark.range(0L, 4000000L, 1L, par)
         .select(pmod(xxhash64(col("id")), lit(65536L)).as("k"))
+        .repartition(64, col("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c"))).head()),
       // parquet scan + decode of the FIXED sf0.1 lineitem (~600k rows):
