@@ -338,11 +338,26 @@ object Embeddings {
   // window over ≤ cluster² rows.
   /** Sub-bucket bit count for the auto-sized semantic-dedup blocking:
     * refine k cluster blocks with sign-bit sub-buckets until a block
-    * holds ≈ 64 vectors. MUST return 0 at the sf0.01 gate corpus
-    * (n=500, k=10) — that is the fixed point where block ≡ cluster and
-    * the DuckDB oracle's formulation matches exactly (ExtSpec-pinned). */
-  private[graft] def semanticSubBits(n: Long, k: Long): Int =
-    math.max(0, math.ceil(math.log(n / (k * 64.0)) / math.log(2)).toInt)
+    * holds ≈ 64 vectors. Returns 0 at the sf0.01 gate corpus (n=510,
+    * k=10) — block ≡ cluster, the exact fixed point. r11: the oracle
+    * now REPLICATES the sub-bucket assignment (same md5 plane family,
+    * same count arithmetic), so the identity with the engine is
+    * structural at ANY SF — the sf0.1 full-board verify caught the
+    * old plain-per-cluster oracle diverging once subBits > 0.
+    * INTEGER-EXACT derivation (bitLength of ⌈n/(k·64)⌉ − 1, the
+    * nearDupAutoPlanes convention-proofing) so the oracle's LOG2 of
+    * an integer cannot straddle the old float ratio's ceiling. Capped
+    * at [[SemanticMaxSubBits]] — the plane family depth the oracle
+    * inlines (covers n ≤ k·64·2¹⁶ vectors). */
+  private[graft] val SemanticMaxSubBits = 16
+  private[graft] def semanticSubBits(n: Long, k: Long): Int = {
+    val m = (n + k * 64 - 1) / (k * 64)
+    val b = if (m <= 1) 0L else 64L - java.lang.Long.numberOfLeadingZeros(m - 1)
+    require(b <= SemanticMaxSubBits,
+      s"semanticSubBits: n=$n k=$k needs $b sub-bits > the oracle's " +
+        s"inlined plane family ($SemanticMaxSubBits) — extend both in lockstep")
+    b.toInt
+  }
 
   private val semanticDedup: Q = (s, d) => {
     import s.implicits._
@@ -399,11 +414,42 @@ object Embeddings {
       .select($"cluster", $"rk".cast("int").as("rk"), $"a_id", $"b_id", $"d2")
       .orderBy($"cluster", $"rk")
   }
-  private val semanticDedupSql =
-    """WITH u AS (
+  // r11: the oracle replicates the auto-sized SUB-BUCKET refinement —
+  // count arithmetic in `cnt` (integer-exact twin of semanticSubBits),
+  // sign-bit assignment in `subs` against the same inlined md5 plane
+  // family (prefix-indexed: bands=1, so plane p is family index p),
+  // per-(cluster, sub) top-3 then per-cluster re-rank — exactly the
+  // engine's two-window contract. At the sf0.01 fixed point (b=0) the
+  // LEFT JOIN yields no plane rows, sub degenerates to 0 everywhere,
+  // and this is row-identical to the old per-cluster formulation.
+  private val semanticDedupSql = {
+    val planeRows = graft.ext.Similarity.hyperplanesInt(SemanticMaxSubBits, 64)
+      .zipWithIndex
+      .map { case (p, i) =>
+        s"($i, ${p.map(java.lang.Double.toString).mkString("[", ",", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH u AS (
       |  SELECT vec_id, label AS true_label, CAST(i AS INT) AS dim,
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |nk AS (
+      |  SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings),
+      |cnt AS (
+      |  SELECT CASE WHEN (n + k * 64 - 1) // (k * 64) <= 1 THEN 0
+      |    ELSE CAST(CEIL(LOG2(CAST((n + k * 64 - 1) // (k * 64) AS DOUBLE))) AS INT)
+      |  END AS b FROM nk),
+      |planes(idx, pv) AS (VALUES
+      |    $planeRows),
+      |grid AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000 + 0.5)) AS gv
+      |  FROM embeddings),
+      |subs AS (
+      |  SELECT g.vec_id,
+      |    COALESCE(SUM(CASE WHEN list_dot_product(g.gv, p.pv) > 0
+      |      THEN (CAST(1 AS BIGINT) << p.idx) ELSE 0 END), 0) AS sub
+      |  FROM grid g CROSS JOIN cnt LEFT JOIN planes p ON p.idx < cnt.b
+      |  GROUP BY 1),
       |code AS (
       |  SELECT true_label AS label, dim,
       |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
@@ -425,18 +471,26 @@ object Embeddings {
       |  SELECT a.cluster, u.vec_id, u.dim, u.q
       |  FROM u JOIN assign a ON u.vec_id = a.vec_id),
       |pairs AS (
-      |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+      |  SELECT a.cluster, sa.sub, a.vec_id AS a_id, b.vec_id AS b_id,
       |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
       |  FROM va a JOIN va b
       |    ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
-      |  GROUP BY 1, 2, 3),
+      |  JOIN subs sa ON sa.vec_id = a.vec_id
+      |  JOIN subs sb ON sb.vec_id = b.vec_id AND sb.sub = sa.sub
+      |  GROUP BY 1, 2, 3, 4),
+      |branked AS (
+      |  SELECT cluster, a_id, b_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster, sub
+      |      ORDER BY d2, a_id, b_id) AS brk
+      |  FROM pairs),
       |ranked AS (
       |  SELECT cluster, a_id, b_id, d2,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
       |      ORDER BY d2, a_id, b_id) AS INT) AS rk
-      |  FROM pairs)
+      |  FROM branked WHERE brk <= 3)
       |SELECT cluster, rk, a_id, b_id, d2
       |FROM ranked WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin
+  }
 
   // ------------------------------------------------- k-means TRAINING
   /** Two Lloyd iterations from a deterministic seed (vec_id mod 8) —

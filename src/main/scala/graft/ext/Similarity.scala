@@ -483,9 +483,26 @@ object Similarity {
   private val NearDupMinCos = 0.4
   private val NearDupBands = 4
   private val NearDupPlanesPerBand = 3
-  private[graft] def nearDupAutoPlanes(n: Long): Int =
-    math.max(NearDupPlanesPerBand,
-      math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+  /** Auto plane count: smallest c with 64·2^c ≥ n (expected bucket
+    * occupancy ≈ 64), floored at 3. INTEGER-EXACT derivation (r11):
+    * c = bitLength(⌈n/64⌉ − 1), replacing ⌈log(n/64)/log(2)⌉ whose
+    * float ratio can land an ulp above an integer at exact
+    * powers-of-two n and diverge from the oracle's LOG2 — the same
+    * convention-proofing as PqCodebook's floored mean. Equal to the
+    * old formula at every pinned point (500→3, 2000→5, 20000→9,
+    * 40000→10; ExtSpec). Capped at [[NearDupMaxPlanes]] — the plane
+    * family the oracle inlines — which covers n ≤ 64·2¹⁶ ≈ 4.2 M
+    * vectors per band set; a larger corpus needs the oracle literals
+    * extended in lockstep, hence the require. */
+  private[graft] val NearDupMaxPlanes = 16
+  private[graft] def nearDupAutoPlanes(n: Long): Int = {
+    val k = (n + 63) / 64
+    val c = if (k <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(k - 1)
+    require(c <= NearDupMaxPlanes,
+      s"nearDupAutoPlanes: $n vectors need $c planes/band > the oracle's " +
+        s"inlined family ($NearDupMaxPlanes) — extend both in lockstep")
+    math.max(NearDupPlanesPerBand, c.toInt)
+  }
   private val nearDupLshQ: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     nearDupLsh(emb, minCos = NearDupMinCos, bands = NearDupBands,
@@ -499,32 +516,52 @@ object Similarity {
     * is EXACT (no summation-order fragility; sign of plane·v is
     * normalization-invariant, so raw-vector bucketing matches the
     * engine's pre-normalization bucketing). A pair is a candidate iff
-    * SOME band's bucket agrees (one OR-join — each pair appears at
-    * most once, mirroring first-matching-band emission); candidates
-    * are scored exactly and thresholded. */
+    * SOME band's bucket agrees (deduped — mirroring the engine's
+    * first-matching-band emission set); candidates are scored exactly
+    * and thresholded.
+    *
+    * r11 (the sf0.1 full-board verify caught it): the oracle carries
+    * the AUTO-SIZED plane count — the engine resolves
+    * planesPerBand = nearDupAutoPlanes(n) from the corpus (3 at the
+    * sf0.01 gate, 7 at sf0.1), and the old 3-plane-hardcoded oracle
+    * diverged at any SF past the fixed point (638 vs 344 rows at
+    * sf0.1). The plane FAMILY is per-index deterministic
+    * (md5("plane-$p-dim-$d")), so the full [[NearDupMaxPlanes]]-deep
+    * family is inlined as a VALUES table and each band's plane
+    * indices (band·c + slot) resolve against the SAME count CTE the
+    * engine's integer-exact formula defines: c = ⌈log₂⌈n/64⌉⌉
+    * floored at 3 — LOG2 of an INTEGER argument is exact where the
+    * old float ratio could straddle the ceiling. */
   private val nearDupLshSql: String = {
-    val planes = hyperplanesInt(NearDupBands * NearDupPlanesPerBand, 64)
+    val planes = hyperplanesInt(NearDupBands * NearDupMaxPlanes, 64)
     def planeLit(p: Seq[Double]): String =
       p.map(java.lang.Double.toString).mkString("[", ",", "]")
-    val grid = "list_transform(v, x -> floor(x * 1000000 + 0.5))"
-    val buckets = (0 until NearDupBands).map { b =>
-      (0 until NearDupPlanesPerBand).map { p =>
-        val pl = planeLit(planes(b * NearDupPlanesPerBand + p))
-        s"(CASE WHEN list_dot_product($grid, $pl) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString("(", " + ", s") AS bk$b")
-    }.mkString(",\n    ")
-    val bandAgree = (0 until NearDupBands).map(b => s"a.bk$b = b.bk$b").mkString(" OR ")
+    val planeRows = planes.zipWithIndex
+      .map { case (p, i) => s"($i, ${planeLit(p)})" }.mkString(",\n    ")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |bkt AS (
-       |  SELECT vec_id, v,
-       |    $buckets
-       |  FROM e)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |  round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
-       |FROM bkt a JOIN bkt b
-       |  ON a.vec_id < b.vec_id AND ($bandAgree)
-       |WHERE round(list_cosine_similarity(a.v, b.v), 5) >= $NearDupMinCos
+       |cnt AS (
+       |  SELECT GREATEST($NearDupPlanesPerBand,
+       |    CAST(CEIL(LOG2(CAST((COUNT(*) + 63) // 64 AS DOUBLE))) AS INT)) AS c
+       |  FROM e),
+       |planes(idx, pv) AS (VALUES
+       |    $planeRows),
+       |bits AS (
+       |  SELECT e.vec_id, CAST(p.idx // cnt.c AS INT) AS band,
+       |    CASE WHEN list_dot_product(
+       |           list_transform(e.v, x -> floor(x * 1000000 + 0.5)), p.pv) > 0
+       |         THEN (CAST(1 AS BIGINT) << (p.idx % cnt.c)) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN cnt JOIN planes p ON p.idx < $NearDupBands * cnt.c),
+       |bkt AS (SELECT vec_id, band, SUM(bit) AS bk FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT c.a_id, c.b_id,
+       |  round(list_cosine_similarity(ea.v, eb.v), 5) AS cos_sim
+       |FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 5) >= $NearDupMinCos
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -777,9 +777,27 @@ object Relational {
         countDistinct($"user_id").as("exact_users"))
     val merged = perType.agg(
       hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_merged"))
-    val globalDirect = ev.agg(
-      hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("est_direct"),
-      countDistinct($"user_id").as("exact_global"))
+    // The reference side is a union over HASH-SHARDED sketches, not a
+    // directly-built global sketch — r11 sf0.1 finding: a streamed
+    // DataSketches HLL estimates with the HIP accumulator but a union
+    // RESULT falls back to the register-only composite estimator, so
+    // "identical registers" stops implying "identical estimate" once
+    // the sketches leave coupon-exact mode (1500 distincts at sf0.1:
+    // direct 1499 vs merged 1488; the sf0.01 gate sat in exact mode
+    // and never saw it). A single-sketch union does NOT fix it — the
+    // first update to an empty union COPIES the sketch, HIP state
+    // included. The deterministic merge law is SPLIT-INVARIANCE:
+    // register-wise max over any partition of the same value multiset
+    // yields the same registers, and two genuine (≥2-input) unions
+    // both estimate with the composite estimator — so
+    // union(by event_type) ≡ union(by user-hash shard) exactly, at
+    // any SF (verified sf0.01 + sf0.1).
+    val globalDirect = ev
+      .groupBy(pmod(xxhash64($"user_id"), lit(2)).as("shard"))
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("gsk"),
+        countDistinct($"user_id").as("exact_shard"))
+      .agg(hll_sketch_estimate(hll_union_agg($"gsk", lit(false))).as("est_direct"),
+        sum($"exact_shard").as("exact_global")) // shards partition users: sum is exact
     val typeRows = perType
       .select($"event_type".as("scope"), $"exact_users",
         lit(true).as("merge_law"))
