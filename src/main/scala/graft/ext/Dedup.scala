@@ -265,6 +265,20 @@ object Dedup {
   // exchanges keep GraftSession's data-sized width, per-task state is
   // constant in the corpus, and the spill disappears — the identical
   // finding (and fix) as the span family's custom operators.
+  //
+  // Residual-ratio decomposition (r11, closing the r10 verdict's last
+  // unattributed weak-list row; DevProfile + thread-pinned DuckDB,
+  // sf0.1): Spark wall 0.91 s at 4 cores — ONE job, 5 stages, zero
+  // spill, 2.61 s task time, 0.25 s barrier+sched — vs the oracle at
+  // a matched 4 threads 0.385 s (its 32-thread time is 0.314 s: the
+  // all-pairs SQL is NOT core-bound at this SF, so unlike minhash the
+  // convention asymmetry explains little here). The gap is per-core
+  // compute: ≤1.7× task-CPU vs DuckDB's ≤1.54 core-seconds, i.e. the
+  // JVM codegen row pipeline against a vectorized C++ engine on
+  // string shingling — an engine-class floor, not a plan defect, and
+  // it amortizes at scale (the matched-box 50×→100× α is 1.07; at
+  // soak scale the query IS core-bound and the 32-core convention
+  // recovers the asymmetry minhash shows at sf0.1).
   private val ngramJaccard: Q = (s0, d) => {
     val s = GraftSession.noAqe(s0, d)
     jaccardPairs(shingleHashes(s, d))
