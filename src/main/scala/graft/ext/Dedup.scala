@@ -1126,6 +1126,17 @@ object Dedup {
     * shuffles on (pair, diagonal) keys — already pair-partitioned.
     * Emitted per pair: longest span, span count, total duplicated
     * chars (spans ≥ 30 chars).
+    *
+    * r11 decade attribution (dev/span_attrib_r11.txt): per-pair task
+    * CPU is flat 10×→100× (3.75→3.95 µs); the soak family's apparent
+    * wall α 1.2 is the replica generator's own text inflation (pairs
+    * grow α 1.135 by construction). The pair sort spills past ~20 MB
+    * serialized/task under the noAqe dir-bytes width (65–109 GB at
+    * 50–100×), but re-sizing width from the pair-exchange estimate
+    * was A/B'd and REJECTED — −22 % at 50×, noise-neutral at 100×
+    * (sequential spill ≈ 4 % CPU vs +50 s GC from the extra tasks),
+    * neutral-to-worse at 10×. Memory-constrained executors size width
+    * via SPARK_GRAFT_SHUFFLE_PARTS.
     */
   /** Maximal shared spans ≥ 30 chars per (a, b, diagonal) — the shared
     * core of `dedup_substring_spans` (report) and `dedup_span_removal`
