@@ -28,11 +28,21 @@ import org.apache.spark.sql.functions._
   *   c_custkey's by o_custkey and events.user_id, …) so every join
   *   stays exactly as selective as at 1×; replicas are disjoint
   *   subgraphs (graph queries scale by nodes/edges, never densify).
-  * - Document text gets a per-replica token suffix (replica 0
-  *   verbatim), so shingle/bigram df distributions are preserved per
-  *   replica instead of every shingle's df multiplying by N (which
-  *   would quadratically distort the blocking joins — a different
-  *   workload, not a bigger one). n_chars is recomputed to match.
+  * - Document text gets a per-replica CONSTANT-WIDTH two-letter word
+  *   suffix (EVERY replica tagged, so all replicas are isomorphic),
+  *   preserving shingle/bigram df distributions per replica instead
+  *   of every shingle's df multiplying by N (which would
+  *   quadratically distort the blocking joins — a different workload,
+  *   not a bigger one), and making every text-derived volume EXACTLY
+  *   proportional to the factor. The r11 span-family attribution
+  *   (dev/span_attrib_r11.txt) caught the old `"x"+replica` suffix
+  *   inflating chars superlinearly (digits widen with the replica
+  *   index: ×11.48 chars for factor 100 vs 10), which leaked a
+  *   spurious α≈1.13 into every text-family soak exponent; a
+  *   verbatim replica 0 costs a further intercept (untagged gram
+  *   alignment pairs ~14× less than a tagged replica's). Two base-26
+  *   letters give 676 distinct fixed-width tags. n_chars is
+  *   recomputed to match.
   * - Dimension enums (region, nation, lang, source, event_type,
   *   flags) replicate verbatim — group-by cardinalities stay fixed,
   *   as they do in real corpus growth.
@@ -88,9 +98,19 @@ object DevScaleUp {
     write(reps(read("events")).select(sh("event_id", evB), $"ts",
       sh("user_id", custB), $"event_type", $"value", $"props", $"_r"),
       "events")
-    val docText = when($"_r" === 0, $"text").otherwise(array_join(
-      transform(split($"text", " "),
-        w => concat(w, lit("x"), $"_r".cast("string"))), " "))
+    require(n <= 676, s"two-letter replica tags support <=676 replicas, got $n")
+    // constant-width per-replica tag: "aa".."zz" for replicas 0..675.
+    // EVERY replica is tagged (including 0): all replicas are then
+    // isomorphic — same text lengths, same gram alignment, same df
+    // histogram — so every text-derived volume is EXACTLY proportional
+    // to the factor. (A verbatim replica 0 costs an intercept: its
+    // untagged gram alignment pairs ~14× less than a tagged replica's,
+    // which alone read as a spurious α 1.04 on the 10×→100× pair fit.)
+    val tag = concat(
+      chr(lit('a'.toInt) + ($"_r" / 26).cast("int")),
+      chr(lit('a'.toInt) + ($"_r" % 26).cast("int")))
+    val docText = array_join(
+      transform(split($"text", " "), w => concat(w, tag)), " ")
     write(reps(read("documents"))
       .select(sh("doc_id", docB), docText.as("text"), $"lang", $"source", $"_r")
       .withColumn("n_chars", length($"text")), "documents")
