@@ -324,7 +324,12 @@ class PlanSpec extends SparkSpec {
     // self-join and its distinct exchange are gone; the r6 20× soak
     // lesson (never a hash build over duplicate-mass-driven fan-out)
     // holds trivially because there is no pair join at all.
-    val p = plan("dedup_substring_spans")
+    // r11: the gated query consumes the memoized span table (plans as
+    // Scan ExistingRDD after the compute-once checkpoint), so the
+    // pinned shape is asserted on the BUILD pipeline itself
+    val p = graft.ext.Dedup
+      .spanTableBuild(GraftSession.noAqe(spark, sfDir), sfDir)
+      .queryExecution.executedPlan.toString
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).length
     assert(joins == 0, s"span pair generation must be join-free, got $joins:\n$p")
