@@ -268,9 +268,30 @@ object Embeddings {
         graft.Tables.tableFingerprint(d, "embeddings"),
       _ => trainPqCodebookUncached(s, d))
 
-  private def trainPqCodebookUncached(s: SparkSession, d: String): graft.functions.PqCodebook = {
+  /** The incremental-maintenance corpus split (sim_knn_incremental):
+    * `NEW BATCH` = the vectors that arrived AFTER the last index
+    * train — a fixed deterministic ~20% slice of the corpus here, so
+    * the gate is reproducible and the oracle can spell the identical
+    * predicate. Queries (vec_id < 10) are never batch members. */
+  private[graft] val NewBatchPredicate = "vec_id >= 10 AND vec_id % 5 = 0"
+
+  /** Codebook trained on the BASE corpus only (everything EXCEPT the
+    * new batch) — the FAISS train()/add()/search() split taken to its
+    * incremental conclusion: between retrains, a production embedding
+    * pipeline assigns arriving vectors into the EXISTING centroids
+    * (add() without train()) instead of invalidating the index
+    * wholesale. Own memo key (`#base` suffix) next to the full-corpus
+    * codebook; same fingerprint + invalidate-hook freshness contract. */
+  def trainPqCodebookBase(s: SparkSession, d: String): graft.functions.PqCodebook =
+    pqCodebookMemo.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath + "#" +
+        graft.Tables.tableFingerprint(d, "embeddings") + "#base",
+      _ => trainPqCodebookUncached(s, d, Some(s"NOT ($NewBatchPredicate)")))
+
+  private def trainPqCodebookUncached(s: SparkSession, d: String,
+      rowFilter: Option[String] = None): graft.functions.PqCodebook = {
     import s.implicits._
-    val rows = Tables.embeddings(s, d)
+    val rows = rowFilter.foldLeft(Tables.embeddings(s, d))((df, f) => df.filter(f))
       .select($"label", posexplode($"embedding"))
       .select($"label", ($"pos" + 1).cast("int").as("dim"),
         expr("cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)").as("cq"))

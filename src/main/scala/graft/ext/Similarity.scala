@@ -246,7 +246,13 @@ object Similarity {
     * exact integer-grid L2 centroid metric. Returns (query_id, label).
     * One source of truth — the gated equivalence laws (nprobe=∞ ≡
     * brute / ≡ plain PQ) depend on every caller ranking identically. */
-  private def ivfCells(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private def ivfCells(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    ivfCells(s, d, nprobe, Embeddings.trainPqCodebook(s, d))
+
+  /** Codebook-parameterized variant: [[knnIncrementalQ]] probes with the
+    * BASE-trained centroids (the index as it existed at train time). */
+  private def ivfCells(s: SparkSession, d: String, nprobe: Int,
+      cb: graft.functions.PqCodebook): DataFrame = {
     import s.implicits._
     val grid = "cast(floor(cast(col as double) * 1000000d + 0.5d) as bigint)"
     val qv = Tables.embeddings(s, d).filter($"vec_id" < 10)
@@ -262,7 +268,6 @@ object Similarity {
     // bit-for-bit (both are the convention-proof derivation the oracle
     // shares), and long-overflow safety is inherited — see cmArr's
     // scaladoc for why the mean folds in before the square.
-    val cb = Embeddings.trainPqCodebook(s, d)
     val code = (for { li <- cb.labels.indices; dm <- 1 to cb.dims }
       yield (cb.labels(li), dm, cb.cmArr(li * cb.dims + (dm - 1))))
       .toDF("label", "dim", "cm")
@@ -928,6 +933,123 @@ object Similarity {
   require(knnRerankSql.contains("rank <= 20"),
     "knnRerankSql must keep the kPrime=20 candidate cut in sync with knnRerank")
 
+  // ------------------------------------- incremental index maintenance
+  /** Map-only assignment of a vector batch into an EXISTING codebook's
+    * cells: argmin over the broadcast integer-grid centroids (the
+    * kmeansTrain assign kernel — exact BIGINT L2², (s2, label) struct
+    * min reproduces the oracle's ROW_NUMBER(ORDER BY s2, label) = 1
+    * tiebreak). No corpus pass, no shuffle: at 100 TB the arriving
+    * batch streams through one projection against k·d broadcast longs. */
+  private[graft] def assignCells(df: DataFrame,
+      cb: graft.functions.PqCodebook): DataFrame = {
+    val cells = array_min(array(cb.labels.indices.map { li =>
+      struct(
+        graft.functions.VectorExpressions.vecL2Sq(col("qv"),
+          typedLit(cb.cmArr.slice(li * cb.dims, (li + 1) * cb.dims))).as("s2"),
+        lit(cb.labels(li)).as("label"))
+    }: _*)).getField("label")
+    df.withColumn("qv", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d + 0.5d) as bigint))"))
+      .withColumn("cell", cells).drop("qv")
+  }
+
+  /** Incremental ANN index maintenance — what a production embedding
+    * pipeline does BETWEEN index retrains (the streaming analog of
+    * dedup_incremental): the coarse quantizer was trained on the BASE
+    * corpus (the memoized `#base` codebook — FAISS train()), the NEW
+    * batch is assigned into those existing cells WITHOUT retraining
+    * (add(): the map-only [[assignCells]] kernel), and queries search
+    * the UNION — base vectors under their indexed cell, batch vectors
+    * under their incremental assignment — through the base-trained
+    * probe ranking. `from_batch` rides along so the gate proves batch
+    * vectors are reachable through probed cells, not just carried.
+    * Scale shape: identical to [[knnIvf]] (codebook broadcast, probed
+    * cells only) plus one map-only pass over the batch; nothing about
+    * the base corpus is recomputed. ExtSpec pins the maintenance law:
+    * incremental-assign ≡ re-assigning the full union against the same
+    * centroids (per-vector argmin is independent), and that the base
+    * codebook memo is distinct from the full-corpus one. */
+  private val knnIncrementalQ: Q = (s, d) => {
+    import s.implicits._
+    val (k, nprobe) = (5, 3)
+    val cb = Embeddings.trainPqCodebookBase(s, d)
+    val all = Tables.embeddings(s, d)
+    val base = all.filter($"vec_id" >= 10)
+      .filter(!expr(Embeddings.NewBatchPredicate))
+      .select($"vec_id", $"embedding", $"label".as("cell"))
+    val batch = assignCells(
+      all.filter(expr(Embeddings.NewBatchPredicate))
+        .select($"vec_id", $"embedding"), cb)
+    val corpus = withUnitVector(base.unionByName(batch)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"cell".as("label"), ($"vec_id" % 5 === 0).as("from_batch")), "c_emb")
+    val probes = ivfCells(s, d, nprobe, cb).join(querySet(s, d), "query_id")
+    val scored = corpus.join(broadcast(probes), "label")
+      .select($"query_id", $"neighbor_id", $"from_batch",
+        round(dot($"q_emb", $"c_emb"), 5).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim", $"from_batch")
+      .orderBy($"query_id", $"rank")
+  }
+  private val knnIncrementalSql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |code AS (
+      |  -- centroids trained on the BASE only (floored mean,
+      |  -- convention-proof — see PqCodebook.cmArr)
+      |  SELECT label, dim,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS cm
+      |  FROM (SELECT label, CAST(i AS INT) AS dim,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      |        WHERE NOT (vec_id >= 10 AND vec_id % 5 = 0))
+      |  GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT u.vec_id, code.label,
+      |    SUM((u.q - code.cm) * (u.q - code.cm)) AS s2
+      |  FROM u JOIN code ON u.dim = code.dim
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  -- incremental add(): new batch into the EXISTING cells
+      |  SELECT vec_id, label AS cell FROM (
+      |    SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY s2, label) AS rk
+      |    FROM dists WHERE vec_id >= 10 AND vec_id % 5 = 0)
+      |  WHERE rk = 1),
+      |uni AS (
+      |  SELECT vec_id, embedding, label AS cell, FALSE AS from_batch
+      |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT e.vec_id, e.embedding, a.cell, TRUE AS from_batch
+      |  FROM embeddings e JOIN assign a USING (vec_id)),
+      |cells AS (
+      |  SELECT query_id, label
+      |  FROM (SELECT vec_id AS query_id, label,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY s2, label) AS crk
+      |        FROM dists WHERE vec_id < 10)
+      |  WHERE crk <= 3),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.from_batch,
+      |    round(list_cosine_similarity(
+      |      CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_sim
+      |  FROM embeddings q
+      |  JOIN cells ON cells.query_id = q.vec_id
+      |  JOIN uni c ON c.cell = cells.label
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos_sim, from_batch
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> knnBrute,
     "sim_neardup_top_pairs" -> nearDupTopPairs,
@@ -938,7 +1060,8 @@ object Similarity {
     "sim_knn_lsh" -> knnLshQ,
     "sim_knn_pq" -> knnPq,
     "sim_knn_ivfpq" -> knnIvfPqQ,
-    "sim_knn_rerank" -> knnRerank)
+    "sim_knn_rerank" -> knnRerank,
+    "sim_knn_incremental" -> knnIncrementalQ)
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteSql,
@@ -950,5 +1073,6 @@ object Similarity {
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_pq" -> knnPqSql,
     "sim_knn_ivfpq" -> knnIvfPqSql,
-    "sim_knn_rerank" -> knnRerankSql)
+    "sim_knn_rerank" -> knnRerankSql,
+    "sim_knn_incremental" -> knnIncrementalSql)
 }

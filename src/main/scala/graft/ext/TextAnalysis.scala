@@ -582,6 +582,66 @@ object TextAnalysis {
       |  md5(array_to_string(kept, ' ')) AS scrub_hash
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ PII redaction
+  // Regex-class PII redaction — the first stage of C4/RefinedWeb-style
+  // web-corpus cleaning (text_scrub above is token-denylist only):
+  // redact emails / NANP phone numbers / IPv4 addresses to class tokens
+  // and report per-class counts. The corpus is synthetic digit-free word
+  // soup (no PII surface — checked: zero docs match [0-9@]), so the
+  // query PLANTS deterministic PII per doc with the IDENTICAL arithmetic
+  // in the oracle — both engines scrub the same string, so the gate
+  // exercises the real regexes on real matches rather than vacuously
+  // passing on zero matches. The regex subset is chosen to evaluate
+  // identically under Java regex and DuckDB RE2: character classes,
+  // bounded quantifiers, \b word boundaries — no lookaround, no
+  // backreferences, no unicode classes. Redaction order email → phone →
+  // ip is pinned in both engines (the classes are disjoint on this
+  // fixture, but order matters in general: an email local part can
+  // contain digit runs). Pure per-row map — regexp_count + global
+  // regexp_replace, no shuffle at any corpus size (PlanSpec-pinned).
+  private[graft] val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val piiPhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  private[graft] val piiIpRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val piiScrub: Q = (s, d) => {
+    import s.implicits._
+    val planted = Tables.documents(s, d).select($"doc_id",
+      concat($"text",
+        lit(" reach user"), $"doc_id".cast("string"), lit("@mail.example.com"),
+        lit(" or 555-"),
+        lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod($"doc_id" * 3, lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod($"doc_id", lit(256)).cast("string"),
+        lit("."), pmod($"doc_id" * 7, lit(256)).cast("string"), lit(".44")
+      ).as("text"))
+    planted.select($"doc_id",
+      regexp_count($"text", lit(piiEmailRe)).cast("int").as("n_emails"),
+      regexp_count($"text", lit(piiPhoneRe)).cast("int").as("n_phones"),
+      regexp_count($"text", lit(piiIpRe)).cast("int").as("n_ips"),
+      md5(regexp_replace(regexp_replace(regexp_replace($"text",
+        lit(piiEmailRe), lit("<EMAIL>")),
+        lit(piiPhoneRe), lit("<PHONE>")),
+        lit(piiIpRe), lit("<IP>"))).as("redacted_hash"))
+      .orderBy($"doc_id")
+  }
+  private val piiScrubSql =
+    """WITH planted AS (
+      |  SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |    || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |    || '-' || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+      |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |    || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.44' AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_hash
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- stratified sampling
   // Deterministic per-language downsampling to a target mix (corpus
   // rebalancing — the step that stops one dominant language/source from
@@ -1644,6 +1704,7 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_scrub" -> scrub,
+    "text_pii_scrub" -> piiScrub,
     "text_sample_stratified" -> sampleStratified,
     "text_domain_cap" -> domainCap,
     "text_sample_weighted" -> sampleWeighted,
@@ -1676,6 +1737,7 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminateSql,
     "text_repetition" -> repetitionSql,
     "text_scrub" -> scrubSql,
+    "text_pii_scrub" -> piiScrubSql,
     "text_sample_stratified" -> sampleStratifiedSql,
     "text_domain_cap" -> domainCapSql,
     "text_sample_weighted" -> sampleWeightedSql,

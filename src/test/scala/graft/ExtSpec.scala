@@ -1009,4 +1009,89 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Double]("recall_at_5") == n / 5.0)
     }
   }
+
+  test("span index: memo hit on second call, invalidate re-derives and deletes the old dir") {
+    // r11 advice: the memoized serving path (fingerprint keying,
+    // invalidation hook, parquet round-trip) had no unit coverage — a
+    // stale-serve or orphaned-dir regression only surfaced in the full
+    // Verify board.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanmemo").toString
+    def write(seed: String): Unit =
+      Seq((1L, s"prefix one ${(0 until 4).map(i => s"$seed shared sentence $i").mkString(" ")} suffix one"),
+          (2L, s"prefix two ${(0 until 4).map(i => s"$seed shared sentence $i").mkString(" ")} suffix two"),
+          (3L, "totally unique text with no duplicated spans anywhere at all"))
+        .toDF("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write("v1")
+    val p1 = Dedup.spanIndexPath(spark, dir)
+    val r1 = Dedup.queries("dedup_substring_spans")(spark, dir).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // memo hit: identical path, no re-derivation
+    assert(Dedup.spanIndexPath(spark, dir) == p1)
+    // rewrite (longer seed → longer shared span) + invalidate: fresh
+    // derivation under a new path, old dir deleted eagerly
+    write("v2 with a much longer seed string")
+    Tables.invalidate(dir)
+    val p2 = Dedup.spanIndexPath(spark, dir)
+    assert(p2 != p1, "invalidate must force a re-derivation")
+    assert(!new java.io.File(p1).exists,
+      "old span-index dir must be deleted on invalidate")
+    val r2 = Dedup.queries("dedup_substring_spans")(spark, dir).collect()
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(r2.head.getAs[Long]("max_span") > r1.head.getAs[Long]("max_span"),
+      "re-derived index must reflect the rewritten corpus")
+  }
+
+  test("incremental ANN: batch assignment equals full re-assignment on the union (maintenance law)") {
+    import spark.implicits._
+    val cb = graft.ext.Embeddings.trainPqCodebookBase(spark, sfDir)
+    val all = Tables.embeddings(spark, sfDir)
+    val batchIds = all.filter(expr(graft.ext.Embeddings.NewBatchPredicate))
+      .select($"vec_id", $"embedding")
+    val union = all.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+    def asg(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      Similarity.assignCells(df, cb).select($"vec_id", $"cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val incremental = asg(batchIds)
+    val fullReassign = asg(union).filter(t => t._1 % 5 == 0)
+    assert(incremental == fullReassign,
+      "incremental-assign must equal re-assigning the union against the same centroids")
+    // the base codebook is genuinely trained on less data than the full
+    // one (distinct memo entries, distinct sums)
+    val cbFull = graft.ext.Embeddings.trainPqCodebook(spark, sfDir)
+    assert(cb != cbFull, "base codebook must differ from the full-corpus codebook")
+    assert(cb.ns.sum < cbFull.ns.sum)
+    // and at least one batch vector is actually served through a probed
+    // cell in the gated query (reachability, not just carriage)
+    val served = SparkEntry.queries("sim_knn_incremental")(spark, sfDir)
+      .filter($"from_batch").count()
+    assert(served >= 1, "no batch vector reachable through the probed cells")
+  }
+
+  test("pii scrub: regex classes count and redact multi-matches in pinned order") {
+    import spark.implicits._
+    // tricky surface: two emails (one with digits/dots in the local
+    // part), a phone adjacent to words, an IP embedded in prose, a
+    // dash-run that must NOT count as a phone, and a 5-octet dotted run
+    // whose first four octets DO match the IPv4 class (documented \b
+    // behavior: the regex is a class detector, not a validator).
+    val df = Seq((0L,
+      "mail a.b+c99@ex-1.example.io and x@y.co then call 800-555-0101 " +
+        "from 10.0.0.7 bad: 12-34-56 also 1.2.3.4.5")).toDF("doc_id", "text")
+    val out = df.select(
+      regexp_count($"text", lit(TextAnalysis.piiEmailRe)).as("e"),
+      regexp_count($"text", lit(TextAnalysis.piiPhoneRe)).as("p"),
+      regexp_count($"text", lit(TextAnalysis.piiIpRe)).as("i"),
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        lit(TextAnalysis.piiEmailRe), lit("<EMAIL>")),
+        lit(TextAnalysis.piiPhoneRe), lit("<PHONE>")),
+        lit(TextAnalysis.piiIpRe), lit("<IP>")).as("red")).first()
+    assert(out.getInt(0) == 2 && out.getInt(1) == 1 && out.getInt(2) == 2)
+    val red = out.getString(3)
+    assert(red.contains("<EMAIL> and <EMAIL>") && red.contains("call <PHONE>")
+      && red.contains("from <IP>") && red.contains("12-34-56"))
+    // redacted text carries no residual match for any class
+    assert(!red.matches(s".*(${TextAnalysis.piiEmailRe}|${TextAnalysis.piiPhoneRe}|${TextAnalysis.piiIpRe}).*"))
+  }
 }

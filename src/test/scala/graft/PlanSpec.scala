@@ -145,6 +145,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan("text_sample_stratified").contains("hashpartitioning"))
   }
 
+  test("pii scrub is a pure map (no hash shuffle)") {
+    // regexp_count + global regexp_replace per row; only the
+    // presentation ORDER BY may exchange
+    assert(!plan("text_pii_scrub").contains("hashpartitioning"))
+  }
+
+  test("incremental ANN: batch assignment is map-only; the union corpus never shuffles for the probe join") {
+    import org.apache.spark.sql.functions.expr
+    val cb = ext.Embeddings.trainPqCodebookBase(spark, sfDir)
+    val batch = Tables.embeddings(spark, sfDir)
+      .filter(expr(ext.Embeddings.NewBatchPredicate))
+      .select("vec_id", "embedding")
+    // add() is one projection against the broadcast centroids — at
+    // 100 TB the arriving batch streams through with zero exchanges
+    val ap = Similarity.assignCells(batch, cb)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange"), s"incremental add() must be map-only:\n$ap")
+    val p = plan("sim_knn_incremental")
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"union corpus must not shuffle for the probe join:\n$p")
+  }
+
   test("sequence packing shuffles once, on the shard key") {
     // one cumsum window per shard = exactly one hash exchange; a
     // global-stream formulation would add a single-reducer sort
