@@ -3,11 +3,34 @@
 
 Usage: python3 dev/bench_ratio.py <bench_json> <sfdir> <oracle_sql.json>
 
-Reads a Bench JSON line (steady + cold columns), times each oracle SQL
-in DuckDB (median of 3) on the same parquet, and prints a ratio table
-so per-query regressions are attributable (VERDICT r1 next-step #5).
-Queries without an oracle (or that failed in Spark) print spark time
-only and are excluded from both totals.
+Reads a Bench JSON artifact (steady medians + cold column), times each
+oracle SQL in DuckDB (median of 3) on the same parquet, and prints a
+ratio table so per-query regressions are attributable (VERDICT r1
+next-step #5). Queries without an oracle (or that failed in Spark)
+print spark time only and are excluded from both totals.
+
+r12 protocol changes (VERDICT r11 items 2 + 3):
+
+* CAP INJECTION — the blocked-dedup oracles carry a DuckDB twin of the
+  engine's jaccardAutoCap arithmetic (structural identity for the
+  correctness gate). Timed naively, DuckDB re-evaluates the inlined CTE
+  chain behind the `(SELECT cap FROM cap)` scalar subquery and the two
+  queries read 12-60 s of pure harness arithmetic (26.6 s of the r15
+  91 s oracle total). The cap is a pure function of the df histogram,
+  so this harness computes it ONCE UNTIMED (the prefix of the SQL up to
+  the cap CTE) and times the query with the literal injected — row
+  output proven identical (sf0.1: 256 rows, byte-equal; the correctness
+  gate still runs the full structural SQL). Detected generically by the
+  `(SELECT cap FROM cap)` marker.
+
+* DUAL CONVENTION — train-once queries (span twins, BPE train/encode,
+  the ANN codebook consumers) memoize a derived artifact: their STEADY
+  number measures consuming it while the DuckDB oracle re-derives every
+  rep, so a steady-vs-oracle ratio is not compute parity. The table
+  carries BOTH spark columns for every query; for train-once rows the
+  headline ratio uses COLD (derivation included) and the row is marked
+  `*`. The steady total is still printed (serving-convention view), but
+  the like-for-like headline is the cold-for-train-once one.
 """
 import json
 import statistics
@@ -18,6 +41,30 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Queries that consume a memoized train-once artifact (span index, BPE
+# rules, PQ/IVF codebook). Their cold run carries the derivation the
+# oracle re-pays every rep. Keep in sync with the verify skill's
+# TRAIN-ONCE note and BASELINE.md.
+TRAIN_ONCE = {
+    "dedup_substring_spans", "dedup_span_removal",
+    "text_bpe_train", "text_bpe_encode",
+    "sim_knn_pq", "sim_knn_ivf", "sim_knn_ivfpq", "sim_knn_rerank",
+    "sim_knn_incremental", "emb_pq_encode",
+}
+
+CAP_MARKER = "(SELECT cap FROM cap)"
+
+
+def split_cap(sql: str):
+    """Return (prelude_sql, template) for a cap-twin oracle: prelude
+    computes the scalar cap from the CTE prefix; template is the full
+    SQL with the marker to be replaced by the literal. The cap CTE block
+    ends where the next CTE (`sz AS (`) begins — the structural layout
+    of capSqlCtes in Dedup.scala; fail loudly if that drifts."""
+    i = sql.index("sz AS (")
+    prelude = sql[:i].rstrip().rstrip(",") + "\nSELECT cap FROM cap"
+    return prelude, sql
 
 
 def main(bench_path: str, sfdir: str) -> None:
@@ -32,31 +79,66 @@ def main(bench_path: str, sfdir: str) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+    cold = bench.get("queries_cold", {})
     rows = []
+    injected_notes = []
     for name, spark_s in sorted(bench["queries"].items()):
         sql = oracle_sql.get(name)
+        c = cold.get(name)
         if not sql or spark_s < 0:  # no oracle, or the Spark query failed
-            rows.append((name, spark_s, None, None))
+            rows.append((name, spark_s, c, None, None))
             continue
+        if CAP_MARKER in sql:
+            prelude, template = split_cap(sql)
+            t0 = time.perf_counter()
+            capval = con.execute(prelude).fetchone()[0]
+            pre_s = time.perf_counter() - t0
+            sql = template.replace(CAP_MARKER, str(capval))
+            injected_notes.append(f"{name}: cap={capval} computed untimed "
+                                  f"({pre_s:.2f}s prelude, injected as literal)")
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             times.append(time.perf_counter() - t0)
         duck = statistics.median(times)
-        rows.append((name, spark_s, duck, spark_s / duck if duck > 0 else None))
+        rows.append((name, spark_s, c, duck,
+                     spark_s / duck if duck > 0 else None))
+
+    # headline spark number per row: cold for train-once (derivation
+    # included — the oracle re-derives too), steady otherwise
+    def headline_spark(name, steady, c):
+        return c if name in TRAIN_ONCE and c is not None and c >= 0 else steady
 
     # totals cover only queries with BOTH engines measured, so a failed
     # Spark query cannot bias the headline ratio downward
-    total_spark = sum(r[1] for r in rows if r[2] is not None)
-    total_duck = sum(r[2] for r in rows if r[2] is not None)
-    print(f"{'query':32s} {'spark':>7s} {'duckdb':>7s} {'ratio':>6s}")
-    for name, s, d, r in sorted(rows, key=lambda x: -(x[3] or 0)):
+    measured = [r for r in rows if r[3] is not None]
+    total_steady = sum(r[1] for r in measured)
+    total_hl = sum(headline_spark(r[0], r[1], r[2]) for r in measured)
+    total_duck = sum(r[3] for r in measured)
+    print(f"{'query':32s} {'steady':>7s} {'cold':>7s} {'duckdb':>7s} "
+          f"{'ratio':>6s}  (* = train-once: ratio uses cold)")
+    def hl_ratio(r):
+        if r[3] is None or r[3] <= 0:
+            return None
+        return headline_spark(r[0], r[1], r[2]) / r[3]
+    for r in sorted(rows, key=lambda x: -(hl_ratio(x) or 0)):
+        name, s, c, d, _ = r
+        mark = "*" if name in TRAIN_ONCE else " "
+        rr = hl_ratio(r)
         print(f"{name:32s} {s:7.3f} "
+              f"{c if c is not None else float('nan'):7.3f} "
               f"{d if d is not None else float('nan'):7.3f} "
-              f"{r if r is not None else float('nan'):6.2f}")
-    print(f"\ntotal spark {total_spark:.2f}s, duckdb (oracled) {total_duck:.2f}s, "
-          f"ratio {total_spark / total_duck:.2f}")
+              f"{rr if rr is not None else float('nan'):6.2f}{mark}")
+    for n in injected_notes:
+        print(f"note: {n}")
+    print(f"\ntotal spark steady {total_steady:.2f}s "
+          f"(serving convention, train-once artifacts memoized)")
+    print(f"total spark headline {total_hl:.2f}s "
+          f"(cold for the {len(TRAIN_ONCE)} train-once queries), "
+          f"duckdb (oracled) {total_duck:.2f}s, "
+          f"ratio steady {total_steady / total_duck:.2f}, "
+          f"ratio headline {total_hl / total_duck:.2f}")
 
 
 if __name__ == "__main__":

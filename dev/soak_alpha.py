@@ -39,6 +39,29 @@ def main() -> None:
     fails = bigj.get("failures", 0)
     print(f"big-run failures: {fails}; total {bigj.get('value', 0):.1f}s; "
           f"floor {bigj.get('floor_sec', 0):.3f}s")
+    # VOLUME CHECK (r11 verdict item 8): alpha is only meaningful on
+    # exactly-proportional replicas — assert every reported volume
+    # metric scales by the declared factor within 1%, loudly otherwise.
+    vs = json.load(open(sys.argv[1])).get("volume")
+    vb = bigj.get("volume")
+    if vs and vb:
+        bad = []
+        for k in sorted(set(vs) & set(vb)):
+            if vs[k] <= 0:
+                continue
+            r = vb[k] / vs[k]
+            ok = abs(r / ratio - 1) <= 0.01
+            print(f"volume {k}: x{r:.4f} (declared x{ratio:.1f}) "
+                  f"{'OK' if ok else '*** OUT OF BAND ***'}")
+            if not ok:
+                bad.append(k)
+        if bad:
+            print(f"*** VOLUME CHECK FAILED for {bad}: the replicas are NOT "
+                  f"volume-proportional — alpha values above are workload-"
+                  f"confounded (the r11 generator-inflation trap). ***")
+    else:
+        print("volume check: not available (legacy artifact without a "
+              "'volume' block — pre-r12 Bench)")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,26 @@ object Bench {
     //            SPARK_GRAFT_BENCH_LEGS=n overrides the 3 steady legs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val nLegs = sys.env.get("SPARK_GRAFT_BENCH_LEGS").map(_.toInt).getOrElse(3)
+    // Workload-volume fingerprint (r11 verdict item 8): the decade
+    // chain's α claims are only meaningful on exactly-proportional
+    // replicas (the r11 span-family "superlinearity" was the GENERATOR
+    // inflating text volume, not the engine). Every artifact therefore
+    // self-reports its input volume — doc chars + key table rows — so
+    // dev/soak_alpha.py can assert volume(big)/volume(small) equals the
+    // declared factor within 1% and a future generator edit cannot
+    // silently reintroduce workload inflation. Cheap: one column sum
+    // over documents + parquet-metadata counts, measured pre-board.
+    val volume: Seq[(String, Long)] = {
+      import org.apache.spark.sql.functions.sum
+      def tryV(name: String, v: => Long): Option[(String, Long)] =
+        try Some(name -> v) catch { case NonFatal(_) => None }
+      (tryV("doc_chars", Tables.documents(spark, sfDir)
+          .agg(sum("n_chars")).head().getLong(0)) ++
+        tryV("doc_rows", Tables.documents(spark, sfDir).count()) ++
+        tryV("emb_rows", Tables.embeddings(spark, sfDir).count()) ++
+        tryV("lineitem_rows", Tables.lineitem(spark, sfDir).count()) ++
+        tryV("event_rows", Tables.load(spark, sfDir, "events").count())).toSeq
+    }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def hygiene(): Unit = {
@@ -123,7 +143,9 @@ object Bench {
     val legsJson = legs.map(m =>
       m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonEscape(k)}:$v" }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"legs":$legsJson,"total_cold":$totalCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+    val volumeJson = volume.map { case (k, v) => s"${jsonEscape(k)}:$v" }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"legs":$legsJson,"total_cold":$totalCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }

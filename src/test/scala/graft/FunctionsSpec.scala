@@ -346,6 +346,52 @@ class FunctionsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------ TopicOffset
+  // --------------------------------------------------- BigramHashPairs
+  test("BigramHashPairs: eval ≡ codegen ≡ the composed split/concat_ws/xxhash64 chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial surface: normal text, no spaces (no pairs), empty
+    // string, doubled/leading/trailing spaces (EMPTY tokens — split
+    // keeps them at limit −1, and the byte-slice identity must hold
+    // through them), multi-byte UTF-8 around the delimiters
+    val texts = Seq(
+      "the quick brown fox", "single", "", "a  b", " lead", "trail ",
+      "  ", "héllo wörld ünïcode", "a b", "ab  cd  ef")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = df.select($"doc_id",
+        explode(graft.functions.TextKernels.bigramHashPairs($"text")).as("b"))
+      .select($"doc_id", $"b.bh", $"b.w1h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = df
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1))) as bh, " +
+          "            xxhash64(element_at(ws,i)) as w1h))")).as("b"))
+      .select($"doc_id", $"b.bh", $"b.w1h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kernel == composed)
+    // interpreted eval path agrees with the codegen'd query result
+    val e = graft.functions.BigramHashPairs(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a  b c"),
+      org.apache.spark.sql.types.StringType))
+    val rows = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val viaEval = (0 until rows.numElements()).map { i =>
+      val r = rows.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+    val viaQuery = Seq(("a  b c", 0L)).toDF("text", "z")
+      .select(explode(graft.functions.TextKernels.bigramHashPairs($"text")).as("b"))
+      .select($"b.bh", $"b.w1h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaEval == viaQuery)
+    // null in → null out
+    assert(df.select(graft.functions.TextKernels.bigramHashPairs(
+      lit(null).cast("string"))).first().isNullAt(0))
+  }
+
   test("TopicOffset JSON round-trips for any partition map (property)") {
     import graft.sources.TopicOffset
     // checkpointed offsets survive serialize → recover exactly; -1 is
