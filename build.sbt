@@ -41,4 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // regardless of the host's /etc/localtime.
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A heap OOM on a non-main thread (r12: the dispatcher event loop,
+  // during an under-provisioned 100x soak) leaves the scheduler dead
+  // and the JVM WEDGED — the bench then hangs forever instead of
+  // honoring its "fatal JVM errors abort the run" contract. Exit hard
+  // so the harness sees a dead process, not a silent stall.
+  "-XX:+ExitOnOutOfMemoryError",
 )
