@@ -969,7 +969,14 @@ object Similarity {
     * incremental-assign ≡ re-assigning the full union against the same
     * centroids (per-vector argmin is independent), and that the base
     * codebook memo is distinct from the full-corpus one. */
-  private val knnIncrementalQ: Q = (s, d) => {
+  // noAqe: same rationale as knnIvfPqQ — post-codebook the plan is a
+  // FIXED cascade (map-only batch assign, broadcast probe join, one
+  // aggregate + two windows on the queries side), so adaptive
+  // re-planning buys nothing and its per-exchange barriers were most
+  // of the wall (r12 DevProfile at 4-core: 8 adaptive jobs, 0.28 s
+  // task CPU, 1.38 s wall → 1 job, see BASELINE r12).
+  private val knnIncrementalQ: Q = (s0, d) => {
+    val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
     val (k, nprobe) = (5, 3)
     val cb = Embeddings.trainPqCodebookBase(s, d)

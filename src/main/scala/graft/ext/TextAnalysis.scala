@@ -838,6 +838,14 @@ object TextAnalysis {
   // tf/df/rank all carry it, so a hash-keyed kernel can't remove the
   // string allocation from the pipeline. Pinned accepted-floor with
   // numbers; sub-second absolute, data-proportional (decade α ≤ 0.92).
+  // The one remaining plan alternative was then MEASURED and rejected
+  // (DevKeywordsExp, interleaved same-JVM A/B ×5, identical results):
+  // df as a vocab-sized aggregate + broadcast join back onto
+  // un-exchanged tf runs 27% SLOWER at sf0.1 (0.706 vs 0.557 s median)
+  // — the broadcast build costs more than the w-keyed exchange it
+  // saves — and carries the wrong 100 TB dependency anyway (a
+  // web-corpus vocabulary is 10⁷–10⁸ terms; the window's state is
+  // per-partition-bounded). Negative experiment pinned.
   private val keywords: Q = (s0, d) => {
     val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
