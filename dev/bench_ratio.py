@@ -31,8 +31,32 @@ r12 protocol changes (VERDICT r11 items 2 + 3):
   headline ratio uses COLD (derivation included) and the row is marked
   `*`. The steady total is still printed (serving-convention view), but
   the like-for-like headline is the cold-for-train-once one.
+
+r13 protocol changes (VERDICT r12 items 1 + 7):
+
+* CPU COLUMN — wall ratios have twice been poisoned by sustained host
+  drift (the r12 3.54-on-a-drifted-box headline). When the bench JSON
+  carries `queries_cpu` (Bench's per-query task-CPU listener column,
+  ThreadMXBean on-CPU ns), the table adds a DuckDB CPU-seconds column
+  (getrusage(RUSAGE_SELF) user+sys delta around each rep, median of 3,
+  threads pinned via --threads to the Spark leg's core count) and a
+  `cpuR` ratio = spark task-CPU / duckdb CPU. CPU-seconds measure work,
+  not scheduler state: they are robust to the wall-side drift the
+  controls flag, so the ≤2x bar is read off cpuR. Caveats printed in
+  the header: Spark task CPU excludes GC (own threads; `queries_gc` is
+  in the full artifact) and driver-side planning; DuckDB's rusage
+  includes its buffer manager. Both exclusions are sub-10% on this
+  board and favor neither engine systematically.
+
+* EPOCH HEADER — every table is stamped with the box-state epoch
+  (BASELINE.md "Box-state epochs"): the bench JSON's own floor_sec and
+  control probes, classified against the recorded epoch bands, so a
+  cross-epoch comparison is visible in the artifact header instead of
+  needing forensics three rounds later.
 """
+import datetime
 import json
+import resource
 import statistics
 import sys
 import time
@@ -55,6 +79,29 @@ TRAIN_ONCE = {
 
 CAP_MARKER = "(SELECT cap FROM cap)"
 
+# Box-state epochs — keep in sync with BASELINE.md "Box-state epochs".
+# (label, floor_lo, floor_hi, shuffle_lo, shuffle_hi)
+EPOCHS = [
+    ("E1-clean (r5-r15 era)",        0.030, 0.060, 0.20, 0.63),
+    ("E2-drifted (aug-2026, ~2x walls)", 0.060, 0.200, 0.60, 1.40),
+]
+
+
+def classify_epoch(bench: dict) -> str:
+    floor = bench.get("floor_sec")
+    ctl = (bench.get("controls") or {}).get("ctl_shuffle")
+    if floor is None:
+        return "unknown (no floor_sec in artifact)"
+    for label, flo, fhi, slo, shi in EPOCHS:
+        if flo <= floor <= fhi and (ctl is None or slo <= ctl <= shi):
+            return label
+    return f"out-of-band (floor {floor:.3f}, ctl_shuffle {ctl})"
+
+
+def cpu_seconds() -> float:
+    r = resource.getrusage(resource.RUSAGE_SELF)
+    return r.ru_utime + r.ru_stime
+
 
 def split_cap(sql: str):
     """Return (prelude_sql, template) for a cap-twin oracle: prelude
@@ -73,12 +120,24 @@ def main(bench_path: str, sfdir: str) -> None:
     if oracle_sql is None:
         # dump oracles via the checked-in oracle_sql.json from a Verify run
         raise SystemExit("pass oracle_sql.json path as third arg")
+    threads = None
+    if "--threads" in sys.argv:
+        threads = int(sys.argv[sys.argv.index("--threads") + 1])
 
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads={threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+    print(f"epoch: {classify_epoch(bench)} | date {datetime.date.today()} | "
+          f"floor {bench.get('floor_sec', float('nan')):.3f}s | "
+          f"controls {bench.get('controls')} | "
+          f"duckdb threads {threads or 'default(all cores)'}")
+
+    spark_cpu = bench.get("queries_cpu", {})
+    spark_cpu_cold = bench.get("queries_cpu_cold", {})
     cold = bench.get("queries_cold", {})
     rows = []
     injected_notes = []
@@ -86,7 +145,7 @@ def main(bench_path: str, sfdir: str) -> None:
         sql = oracle_sql.get(name)
         c = cold.get(name)
         if not sql or spark_s < 0:  # no oracle, or the Spark query failed
-            rows.append((name, spark_s, c, None, None))
+            rows.append((name, spark_s, c, None, None, None))
             continue
         if CAP_MARKER in sql:
             prelude, template = split_cap(sql)
@@ -96,14 +155,17 @@ def main(bench_path: str, sfdir: str) -> None:
             sql = template.replace(CAP_MARKER, str(capval))
             injected_notes.append(f"{name}: cap={capval} computed untimed "
                                   f"({pre_s:.2f}s prelude, injected as literal)")
-        times = []
+        times, cputimes = [], []
         for _ in range(3):
+            c0 = cpu_seconds()
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             times.append(time.perf_counter() - t0)
+            cputimes.append(cpu_seconds() - c0)
         duck = statistics.median(times)
+        duck_cpu = statistics.median(cputimes)
         rows.append((name, spark_s, c, duck,
-                     spark_s / duck if duck > 0 else None))
+                     spark_s / duck if duck > 0 else None, duck_cpu))
 
     # headline spark number per row: cold for train-once (derivation
     # included — the oracle re-derives too), steady otherwise
@@ -116,20 +178,37 @@ def main(bench_path: str, sfdir: str) -> None:
     total_steady = sum(r[1] for r in measured)
     total_hl = sum(headline_spark(r[0], r[1], r[2]) for r in measured)
     total_duck = sum(r[3] for r in measured)
+
+    # headline spark CPU per row, same cold-for-train-once convention
+    def headline_cpu(name):
+        if name in TRAIN_ONCE and spark_cpu_cold.get(name, -1) >= 0:
+            return spark_cpu_cold[name]
+        v = spark_cpu.get(name, -1)
+        return v if v >= 0 else None
+
+    have_cpu = bool(spark_cpu)
+    cpu_hdr = f" {'s-cpu':>7s} {'d-cpu':>7s} {'cpuR':>6s}" if have_cpu else ""
     print(f"{'query':32s} {'steady':>7s} {'cold':>7s} {'duckdb':>7s} "
-          f"{'ratio':>6s}  (* = train-once: ratio uses cold)")
+          f"{'ratio':>6s}{cpu_hdr}  (* = train-once: ratio uses cold)")
     def hl_ratio(r):
         if r[3] is None or r[3] <= 0:
             return None
         return headline_spark(r[0], r[1], r[2]) / r[3]
     for r in sorted(rows, key=lambda x: -(hl_ratio(x) or 0)):
-        name, s, c, d, _ = r
+        name, s, c, d, _, dcpu = r
         mark = "*" if name in TRAIN_ONCE else " "
         rr = hl_ratio(r)
+        cpu_cols = ""
+        if have_cpu:
+            scpu = headline_cpu(name)
+            cpur = (scpu / dcpu) if (scpu is not None and dcpu and dcpu > 0) else None
+            cpu_cols = (f" {scpu if scpu is not None else float('nan'):7.3f}"
+                        f" {dcpu if dcpu is not None else float('nan'):7.3f}"
+                        f" {cpur if cpur is not None else float('nan'):6.2f}")
         print(f"{name:32s} {s:7.3f} "
               f"{c if c is not None else float('nan'):7.3f} "
               f"{d if d is not None else float('nan'):7.3f} "
-              f"{rr if rr is not None else float('nan'):6.2f}{mark}")
+              f"{rr if rr is not None else float('nan'):6.2f}{mark}{cpu_cols}")
     for n in injected_notes:
         print(f"note: {n}")
     print(f"\ntotal spark steady {total_steady:.2f}s "
@@ -139,6 +218,15 @@ def main(bench_path: str, sfdir: str) -> None:
           f"duckdb (oracled) {total_duck:.2f}s, "
           f"ratio steady {total_steady / total_duck:.2f}, "
           f"ratio headline {total_hl / total_duck:.2f}")
+    if have_cpu:
+        cpu_measured = [(r[0], headline_cpu(r[0]), r[5]) for r in measured
+                        if r[5] is not None and headline_cpu(r[0]) is not None]
+        tot_scpu = sum(x[1] for x in cpu_measured)
+        tot_dcpu = sum(x[2] for x in cpu_measured)
+        print(f"total task-CPU spark {tot_scpu:.2f}s, duckdb {tot_dcpu:.2f}s "
+              f"over {len(cpu_measured)} queries -> CPU ratio "
+              f"{tot_scpu / tot_dcpu:.2f} (host-state-insensitive headline; "
+              f"cold CPU for train-once rows)")
 
 
 if __name__ == "__main__":

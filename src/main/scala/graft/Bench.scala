@@ -71,26 +71,58 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // TASK-CPU COLUMN (r12 verdict item 1): wall-clock ratios vs DuckDB
+    // have twice been poisoned by host drift (r11 +15%, r12 the
+    // unresolved 3.54 headline on a ~2×-slowed box) — per-query CPU
+    // seconds are the host-state-insensitive reading. The listener sums
+    // executorCpuTime (ns actually ON-CPU per task, ThreadMXBean; the
+    // r12 lm_score/keywords reconciliations already used this per-query
+    // — this makes it board-wide) over every completed stage; snapshots
+    // are taken around each timed run with the bus DRAINED first so a
+    // late-delivered stage event cannot leak into the next query's
+    // window. GC runs in its own threads and is NOT in executorCpuTime,
+    // so jvmGCTime is accumulated alongside and reported per query —
+    // a CPU ratio read without its gc column could hide a
+    // memory-pressure regression.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+          gcMs.addAndGet(s.stageInfo.taskMetrics.jvmGCTime): Unit
+        }
+      })
+    def drain(): Unit = org.apache.spark.GraftSchedulerBridge
+      .drainListenerBus(spark.sparkContext)
+    /** (wall s, task-cpu s, gc s); all -1 on failure. */
     def timedRun(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) =
       try {
+        drain()
+        val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drain()
+        (wall, (cpuNs.get() - cpu0) / 1e9, (gcMs.get() - gc0) / 1e3)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          -1.0
+          (-1.0, -1.0, -1.0)
       } finally hygiene()
 
     val probes = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, Double)])]()
     def probe(label: String): Unit = probes += label -> BoxControls.measure(spark)
 
     // leg 0: cold
-    val cold: Seq[(String, Double)] = qs.map { case (n, fn) => n -> timedRun(n, fn) }
+    val cold: Seq[(String, (Double, Double, Double))] =
+      qs.map { case (n, fn) => n -> timedRun(n, fn) }
+    val coldMap = cold.toMap
     probe("after_cold")
     // legs 1..nLegs: steady samples, mid-leg probe between the halves
-    val legs: Seq[Map[String, Double]] = (1 to nLegs).map { li =>
+    val legs: Seq[Map[String, (Double, Double, Double)]] = (1 to nLegs).map { li =>
       val (front, back) = qs.splitAt(qs.length / 2)
       val f = front.map { case (n, fn) => n -> timedRun(n, fn) }
       probe(s"mid_leg$li")
@@ -105,13 +137,18 @@ object Bench {
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
-    val results: Seq[(String, (Double, Double))] = qs.map { case (n, _) =>
-      val steady = median(legs.map(_(n)).filter(_ >= 0))
-      val c = cold.toMap.apply(n)
-      if (steady >= 0 && c >= 0 && steady > c * 1.2)
-        System.err.println(f"[bench] $n anomaly: steady $steady%.3f > cold $c%.3f x1.2 — box noise or state leak")
-      n -> (c, steady)
-    }
+    /** per query: (cold wall, steady wall, cold cpu, steady cpu, steady gc) —
+      * steady columns are per-leg MEDIANS over successful legs. */
+    val results: Seq[(String, (Double, Double, Double, Double, Double))] =
+      qs.map { case (n, _) =>
+        def medOf(sel: ((Double, Double, Double)) => Double): Double =
+          median(legs.map(m => sel(m(n))).filter(_ >= 0))
+        val steady = medOf(_._1)
+        val (c, cCpu, _) = coldMap(n)
+        if (steady >= 0 && c >= 0 && steady > c * 1.2)
+          System.err.println(f"[bench] $n anomaly: steady $steady%.3f > cold $c%.3f x1.2 — box noise or state leak")
+        n -> ((c, steady, cCpu, medOf(_._2), medOf(_._3)))
+      }
     // Per-job scheduling floor: the fixed cost of ANY Spark action in
     // this JVM (job submit, task scheduling, result fetch) — the
     // constant that dominates sub-second queries vs embedded DuckDB
@@ -125,11 +162,18 @@ object Bench {
       ts(2)
     }
     import GraftSession.jsonEscape
-    def jsonMap(sel: ((Double, Double)) => Double): String =
+    def jsonMap(sel: ((Double, Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) => s"${jsonEscape(k)}:${sel(v)}" }.mkString("{", ",", "}")
     val failures = results.count(_._2._2 < 0)
+    // cold failures are reported SEPARATELY (r12 advice): a query that
+    // crashes cold but recovers steady (e.g. a derivation that fails
+    // once then memoizes) would otherwise drop from total_cold with no
+    // signal anywhere in the artifact.
+    val failuresCold = results.count(_._2._1 < 0)
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
+    val totalCpu = results.map(_._2._4).filter(_ >= 0).sum
+    val totalCpuCold = results.map(_._2._3).filter(_ >= 0).sum
     // `controls` keeps the legacy end-of-board shape (the verify-skill
     // bands key on it); `controls_probes` carries every labeled probe so
     // mid-leg drift is attributable from the artifact alone.
@@ -141,11 +185,11 @@ object Bench {
     // per-leg samples) goes to a file; see below for why stdout gets a
     // trimmed twin.
     val legsJson = legs.map(m =>
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonEscape(k)}:$v" }
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonEscape(k)}:${v._1}" }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val volumeJson = volume.map { case (k, v) => s"${jsonEscape(k)}:$v" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"legs":$legsJson,"total_cold":$totalCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"sf":${jsonEscape(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"queries_cpu":${jsonMap(_._4)},"queries_cpu_cold":${jsonMap(_._3)},"queries_gc":${jsonMap(_._5)},"legs":$legsJson,"total_cold":$totalCold,"total_cpu":$totalCpu,"total_cpu_cold":$totalCpuCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
@@ -158,13 +202,31 @@ object Bench {
     // queries (the informative ones) and says how many were omitted.
     // Never truncated mid-token: the line is always valid JSON.
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString // locale-safe, sheds trailing zeros
+    // Drift adjudication from the driver artifact ALONE (r12 verdict
+    // item 2): BENCH_r12 vs r11 needed dev-artifact forensics because
+    // the compact line carried only the LAST probe. The twin now also
+    // carries per-leg steady totals (a transient shows as one leg off),
+    // the min..max band of EVERY control probe across the run (an
+    // in-band last probe can no longer hide a mid-run excursion), the
+    // scheduling floor, and the host-insensitive total_cpu — together
+    // ~220 bytes, paid for by the adaptive query-map budget below.
+    val legTotals = legs.map(m => ms(m.values.map(_._1).filter(_ >= 0).sum))
+      .mkString("[", ",", "]")
+    val probeBand = {
+      val keys = probes.flatMap(_._2.map(_._1)).distinct
+      keys.map { k =>
+        val vs = probes.flatMap(_._2.collect { case (`k`, v) if v >= 0 => v })
+        val (lo, hi) = if (vs.isEmpty) (-1.0, -1.0) else (vs.min, vs.max)
+        s"${jsonEscape(k)}:[${ms(lo)},${ms(hi)}]"
+      }.mkString("{", ",", "}")
+    }
     def compactLine(qsv: Seq[(String, Double)], omitted: Int): String = {
       val m = qsv.map { case (k, v) => s"${jsonEscape(k)}:${ms(v)}" }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       // basename only: the full sfDir path is in the file artifact, and an
       // arbitrarily long path here could push even the zero-query fallback
       // line past the budget, breaking the always-valid-JSON guarantee.
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"median_of_$nLegs","queries":$m$omit,"floor_sec":${ms(floor)},"controls":${BoxControls.json(lastControls)},"failures":$failures,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"median_of_$nLegs","queries":$m$omit,"total_cpu":${ms(totalCpu)},"leg_totals":$legTotals,"floor_sec":${ms(floor)},"controls":${BoxControls.json(lastControls)},"probe_band":$probeBand,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
     }
     val budget = 1900 // chars; driver tail window is 2000 and this line is last — leave slack
     val steady = results.map { case (k, v) => k -> v._2 }
