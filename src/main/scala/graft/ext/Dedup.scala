@@ -1160,72 +1160,23 @@ object Dedup {
     * span table is candidate-bounded (df-capped join, ~2.9 M rows /
     * ~tens of MB at 100×), so the write is a sub-second tail on the
     * first derivation. Memo cleared by `Tables.invalidate` like every
-    * fingerprint-keyed memo (the temp files die with /tmp). */
-  private val spanTableMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[String]]()
-  // Invalidation deletes the on-disk index EAGERLY (r11 advice: memo
-  // removal alone orphaned the /tmp parquet dirs — a long-lived JVM that
-  // rebuilds replicas accumulated multi-MB dirs until reboot). Safe by
-  // the invalidate contract: the corpus was rewritten, so any DataFrame
-  // still lazily reading the old path is already stale. In-flight
-  // derivations are not deleted here (their creator owns the dir); the
-  // shutdown hook sweeps whatever remains on normal exit, and a kill -9
-  // leaks only until /tmp itself is cleared — documented, not defended.
-  Tables.onInvalidate { c =>
-    val it = spanTableMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.startsWith(c + "#")) {
-        it.remove()
-        val f = e.getValue
-        if (f.isDone && !f.isCompletedExceptionally)
-          deleteRecursively(new java.io.File(f.join()))
-      }
-    }
-  }
-  /** Every span-index dir ever created (append-only); the shutdown hook
-    * deletes whatever invalidation has not already removed. */
-  private val spanDirRegistry =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    spanDirRegistry.forEach(p => deleteRecursively(new java.io.File(p)))))
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+    * fingerprint-keyed memo (the temp files die with /tmp).
+    *
+    * Concurrency + invalidation + shutdown-sweep machinery lives in
+    * the shared [[PathMemo]] (r13: extracted so the r12-hardened
+    * contract — bin-lock-free derivation, waiter retry, eager dir
+    * deletion — is written once and shared with the incremental-ANN
+    * assignment index in [[Similarity]]). */
+  private val spanTableMemo = new PathMemo("graft-spanindex-")
 
-  /** Materialized-index path for `d`, deriving it on first call. The
-    * derivation (a full distributed Spark job) runs OUTSIDE the map's
-    * bin lock (r11 advice: computeIfAbsent held the ConcurrentHashMap
-    * bin lock for the whole multi-minute job, blocking any same-bin
-    * key — parallel suites, a second dataset dir): putIfAbsent
-    * publishes a cheap incomplete future, exactly one caller (the one
-    * whose put won) derives and completes it, everyone else awaits. A
-    * failed derivation removes its mapping so a later caller retries,
-    * and deletes its partial dir. Test hook (`private[graft]`): ExtSpec
-    * observes memo hits as path identity and invalidation as a fresh
-    * path + deleted old dir. */
-  private[graft] def spanIndexPath(s: SparkSession, d: String): String = {
-    val key = new java.io.File(d).getCanonicalPath + "#" +
-      Tables.tableFingerprint(d, "documents")
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val f = Option(spanTableMemo.putIfAbsent(key, fresh)).getOrElse {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-spanindex-").toString
-      spanDirRegistry.add(out)
-      try {
-        spanTableBuild(s, d).write.mode("overwrite").parquet(out)
-        fresh.complete(out)
-      } catch { case t: Throwable =>
-        fresh.completeExceptionally(t)
-        spanTableMemo.remove(key, fresh) // a later caller retries
-        deleteRecursively(new java.io.File(out))
-        throw t
-      }
-      fresh
+  /** Materialized-index path for `d`, deriving it on first call.
+    * Test hook (`private[graft]`): ExtSpec observes memo hits as path
+    * identity and invalidation as a fresh path + deleted old dir. */
+  private[graft] def spanIndexPath(s: SparkSession, d: String): String =
+    spanTableMemo.getOrDerive(new java.io.File(d).getCanonicalPath + "#" +
+        Tables.tableFingerprint(d, "documents")) { out =>
+      spanTableBuild(s, d).write.mode("overwrite").parquet(out)
     }
-    f.join()
-  }
   private def substringSpanTable(s: SparkSession, d: String): DataFrame =
     s.read.parquet(spanIndexPath(s, d))
 

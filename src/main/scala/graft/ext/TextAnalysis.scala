@@ -602,6 +602,37 @@ object TextAnalysis {
   private[graft] val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private[graft] val piiPhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
   private[graft] val piiIpRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Reusable PII-redaction operator (r12 verdict item 6 — lifted out
+    * of the gate so a pipeline can call it on any corpus): returns
+    * `df` with `textCol` REPLACED by its redacted form plus int
+    * columns `n_emails` / `n_phones` / `n_ips`.
+    *
+    * Count-per-pass semantics: each class count is the number of
+    * matches ITS pass replaced, evaluated on the text as already
+    * redacted by the EARLIER passes — so on overlapping surfaces (a
+    * digit-bearing email local part like `555-123-4567@host.org`) the
+    * pinned order email → phone → ip is load-bearing: the email pass
+    * consumes the whole address and the phone pass neither re-redacts
+    * nor counts the digits inside it (ExtSpec pins this fixture).
+    * Counts-then-redaction would double-count and a reversed order
+    * would tear the address in half. Pure per-row map — regexp_count +
+    * global regexp_replace, no shuffle at any corpus size. */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), lit(piiEmailRe), lit("<EMAIL>"))
+    val afterPhone = regexp_replace(afterEmail, lit(piiPhoneRe), lit("<PHONE>"))
+    val afterIp    = regexp_replace(afterPhone, lit(piiIpRe), lit("<IP>"))
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(piiEmailRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(afterEmail, lit(piiPhoneRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(afterPhone, lit(piiIpRe)).cast("int"))
+      .withColumn(textCol, afterIp)
+  }
+
+  // The gate plants deterministic DISJOINT-class PII (the oracle
+  // replays identical arithmetic), so count-on-original ≡ the
+  // operator's count-per-pass and the oracle SQL needs no nested
+  // replace chains in its count expressions; the order-SENSITIVE
+  // surface is pinned engine-side by ExtSpec's overlapping fixture.
   private val piiScrub: Q = (s, d) => {
     import s.implicits._
     val planted = Tables.documents(s, d).select($"doc_id",
@@ -614,14 +645,9 @@ object TextAnalysis {
         lit(" from 10."), pmod($"doc_id", lit(256)).cast("string"),
         lit("."), pmod($"doc_id" * 7, lit(256)).cast("string"), lit(".44")
       ).as("text"))
-    planted.select($"doc_id",
-      regexp_count($"text", lit(piiEmailRe)).cast("int").as("n_emails"),
-      regexp_count($"text", lit(piiPhoneRe)).cast("int").as("n_phones"),
-      regexp_count($"text", lit(piiIpRe)).cast("int").as("n_ips"),
-      md5(regexp_replace(regexp_replace(regexp_replace($"text",
-        lit(piiEmailRe), lit("<EMAIL>")),
-        lit(piiPhoneRe), lit("<PHONE>")),
-        lit(piiIpRe), lit("<IP>"))).as("redacted_hash"))
+    piiRedact(planted, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+        md5($"text").as("redacted_hash"))
       .orderBy($"doc_id")
   }
   private val piiScrubSql =

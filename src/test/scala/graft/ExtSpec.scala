@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Embeddings, Multimodal, PathMemo, Similarity, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -1093,5 +1093,138 @@ class ExtSpec extends SparkSpec {
       && red.contains("from <IP>") && red.contains("12-34-56"))
     // redacted text carries no residual match for any class
     assert(!red.matches(s".*(${TextAnalysis.piiEmailRe}|${TextAnalysis.piiPhoneRe}|${TextAnalysis.piiIpRe}).*"))
+  }
+
+  test("piiRedact operator: overlapping classes make the email→phone→ip order load-bearing") {
+    import spark.implicits._
+    // r12 verdict item 6: the gate's planted classes are disjoint, so
+    // the pinned order passed incidentally. This fixture overlaps them:
+    // a phone-shaped digit run INSIDE an email local part, and an
+    // ip-shaped dotted run inside another. Count-per-pass semantics:
+    // the email pass consumes both addresses whole, so the phone/ip
+    // passes see (and count) only the standalone occurrences.
+    val df = Seq(
+      (0L, "write 555-123-4567@host.org or dial 555-123-4567 now"),
+      (1L, "u.10.0.0.7@ex.io pinged 10.0.0.7 twice"),
+      (2L, "plain text, no pii at all")).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiRedact(df, "text")
+      .orderBy($"doc_id").collect()
+    assert(rows(0).getAs[Int]("n_emails") == 1)
+    assert(rows(0).getAs[Int]("n_phones") == 1, // NOT 2: one lives in the email
+      s"phone count must exclude the digits consumed by the email pass: ${rows(0)}")
+    assert(rows(0).getAs[String]("text") == "write <EMAIL> or dial <PHONE> now")
+    assert(rows(1).getAs[Int]("n_emails") == 1)
+    assert(rows(1).getAs[Int]("n_ips") == 1) // NOT 2: one lives in the email
+    assert(rows(1).getAs[String]("text") == "<EMAIL> pinged <IP> twice")
+    assert(rows(2).getAs[Int]("n_emails") == 0 && rows(2).getAs[Int]("n_phones") == 0
+      && rows(2).getAs[Int]("n_ips") == 0)
+    assert(rows(2).getAs[String]("text") == "plain text, no pii at all")
+    // a REVERSED order would tear the address: prove the counterfactual
+    // so the pinned order is a measured choice, not an assertion
+    val torn = df.filter($"doc_id" === 0L).select(
+      regexp_replace(regexp_replace($"text",
+        lit(TextAnalysis.piiPhoneRe), lit("<PHONE>")),
+        lit(TextAnalysis.piiEmailRe), lit("<EMAIL>")).as("t")).first().getString(0)
+    assert(torn.contains("<PHONE>@host.org"),
+      s"counterfactual broke: phone-first no longer tears emails apart: $torn")
+  }
+
+  test("incremental ANN index: memo hit, invalidation re-derives and deletes, gate serves from it") {
+    import spark.implicits._
+    // r12 verdict item 5: the assignment index must behave like the
+    // span index — derived once per corpus snapshot, served from disk,
+    // invalidation-fresh. Build a tiny corpus dir with embeddings +
+    // documents so the full gate can run against it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_annmemo").toString
+    def write(shift: Double): Unit =
+      (0L until 40L).map { i =>
+        (i, Array.tabulate(16)(j =>
+          (math.sin(i * 17 + j) + (if (i % 5 == 0) shift else 0.0)).toFloat),
+          (i % 4).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(0.0)
+    val p1 = Similarity.incrementalIndexPath(spark, dir)
+    // memo hit: identical path, no re-derivation
+    assert(Similarity.incrementalIndexPath(spark, dir) == p1)
+    // the stored index IS the assignment law: equals re-assigning the
+    // batch against the same base centroids
+    val cb = Embeddings.trainPqCodebookBase(spark, dir)
+    val stored = spark.read.parquet(p1).select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fresh = Similarity.assignCells(
+        Tables.embeddings(spark, dir)
+          .filter(expr(Embeddings.NewBatchPredicate))
+          .select($"vec_id", $"embedding"), cb)
+      .select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == fresh, "stored index must equal a fresh assignment")
+    // rewrite + invalidate: fresh derivation under a new path, old dir
+    // deleted eagerly (and the #base codebook memo refreshed too —
+    // same fingerprint, same hook)
+    write(3.0)
+    Tables.invalidate(dir)
+    val p2 = Similarity.incrementalIndexPath(spark, dir)
+    assert(p2 != p1, "invalidate must force a re-derivation")
+    assert(!new java.io.File(p1).exists,
+      "old assignment-index dir must be deleted on invalidate")
+    // gate still serves end-to-end from the rebuilt index
+    val served = SparkEntry.queries("sim_knn_incremental")(spark, dir)
+    assert(served.count() > 0)
+  }
+
+  test("PathMemo: deriver rethrows the original failure; waiters and later callers retry") {
+    val memo = new PathMemo("graft-pathmemo-test-")
+    val key = "/graft-test-corpus#42"
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val boom = new RuntimeException("deterministic build failure")
+    // 1) failing deriver: original exception (not a CompletionException)
+    val thrown = intercept[RuntimeException] {
+      memo.getOrDerive(key) { _ => attempts.incrementAndGet(); throw boom }
+    }
+    assert(thrown eq boom, "deriver must rethrow the ORIGINAL cause")
+    // 2) a later caller retries (the failed mapping was removed)
+    val ok = memo.getOrDerive(key) { out =>
+      attempts.incrementAndGet()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "x.txt"), "ok"): Unit
+    }
+    assert(attempts.get == 2 && new java.io.File(ok, "x.txt").exists)
+    // 3) memo hit: no further derivation
+    assert(memo.getOrDerive(key)(_ => fail("must not re-derive")) == ok)
+    // 4) CONCURRENT waiter on a failing in-flight derivation retries
+    //    instead of failing (r12 advice — the join() CompletionException
+    //    path): deriver blocks until the waiter is provably joined on
+    //    its future, then fails; the waiter must loop back and succeed.
+    val key2 = "/graft-test-corpus#43"
+    val derived = new java.util.concurrent.CountDownLatch(1)
+    val waiterArrived = new java.util.concurrent.CountDownLatch(1)
+    val waiterResult = new java.util.concurrent.CompletableFuture[String]()
+    val deriver = new Thread(() => {
+      try memo.getOrDerive(key2) { _ =>
+        derived.countDown()
+        // hold the derivation open until the waiter thread exists and
+        // has had time to park on join(); 200 ms is generous for a
+        // thread start + one putIfAbsent miss
+        waiterArrived.await()
+        Thread.sleep(200)
+        throw boom
+      } catch { case _: RuntimeException => () }
+    })
+    deriver.start()
+    derived.await()
+    val waiter = new Thread(() => {
+      waiterArrived.countDown()
+      try waiterResult.complete(memo.getOrDerive(key2) { out =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "y.txt"), "retried"): Unit
+      }): Unit
+      catch { case t: Throwable => waiterResult.completeExceptionally(t): Unit }
+    })
+    waiter.start()
+    deriver.join(30000); waiter.join(30000)
+    val got = waiterResult.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(new java.io.File(got, "y.txt").exists,
+      "concurrent waiter must retry the derivation after the in-flight failure")
   }
 }
