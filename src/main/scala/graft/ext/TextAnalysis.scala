@@ -860,18 +860,30 @@ object TextAnalysis {
   // (0.32 s) and the rank window (0.14 s). Unlike lm_score (whose
   // bigram-hash chain concentrated the cost and got the byte-level
   // BigramHashPairs kernel, −50% task CPU), no single keywords stage
-  // dominates, and the term STRING must surface in the result rows —
-  // tf/df/rank all carry it, so a hash-keyed kernel can't remove the
-  // string allocation from the pipeline. Pinned accepted-floor with
-  // numbers; sub-second absolute, data-proportional (decade α ≤ 0.92).
-  // The one remaining plan alternative was then MEASURED and rejected
-  // (DevKeywordsExp, interleaved same-JVM A/B ×5, identical results):
-  // df as a vocab-sized aggregate + broadcast join back onto
+  // dominates. Pinned accepted-floor with numbers; sub-second
+  // absolute, data-proportional (decade α ≤ 0.92). BOTH remaining
+  // plan alternatives were then MEASURED and rejected (DevKeywordsExp,
+  // interleaved same-JVM A/B ×5 reps, identical results asserted):
+  // (B, r12) df as a vocab-sized aggregate + broadcast join back onto
   // un-exchanged tf runs 27% SLOWER at sf0.1 (0.706 vs 0.557 s median)
   // — the broadcast build costs more than the w-keyed exchange it
   // saves — and carries the wrong 100 TB dependency anyway (a
   // web-corpus vocabulary is 10⁷–10⁸ terms; the window's state is
-  // per-partition-bounded). Negative experiment pinned.
+  // per-partition-bounded). (C, r13 — the verdict's dictionary-join
+  // sketch) tf/df/a ties-preserving rank() cut all xxhash64-keyed,
+  // then the ≤3·docs winners joined back to strings through a
+  // distinct (wh, w) dictionary: wall +18% over 4 sessions (medians
+  // ~0.49 vs ~0.59 s), task CPU a WASH (0.56–0.69 vs 0.56–0.64 s).
+  // The r12 "string rides every exchange" framing was wrong — it only
+  // must ride the last join — but the savings don't exist here
+  // anyway: (a) the dictionary needs its own corpus tokenize+explode
+  // pass (the query's dominant CPU term, now paid twice; sharing the
+  // token stream would mean materializing it, which at 100 TB is the
+  // bigger cost), and (b) keyword terms are ~6-byte words, so an
+  // 8-byte hash key is NOT lighter — the hash-keying thesis transfers
+  // from lm_score only where keys are long (bigram strings ~13 B +
+  // struct overhead) or the map-stage kernel itself is the cost.
+  // Per-core floor stands as pinned in r12.
   private val keywords: Q = (s0, d) => {
     val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
@@ -1002,11 +1014,11 @@ object TextAnalysis {
   // scoring re-joins occurrences to the LM keyed on the 8-byte xxhash64
   // of the bigram, so the big shuffle carries (doc_id, hash) — no text.
   // noAqe (r11, A/B'd): fixed cascade on uniform 8-byte hash keys (the
-  // shingle-family rationale verbatim) around the shared occ
-  // materialization. Modest at the 4-core convention (0.87 → 0.83 s —
-  // the query is compute-bound on the one remaining corpus
-  // tokenize+hash pass, as the occ note below prices), but drops the
-  // adaptive re-plan barriers that dominate at higher core counts.
+  // shingle-family rationale verbatim). Modest at the 4-core
+  // convention (0.87 → 0.83 s — the query is compute-bound on the
+  // corpus tokenize+hash passes, as the occ note below prices), but
+  // drops the adaptive re-plan barriers that dominate at higher core
+  // counts.
   private val lmScore: Q = (s0, d) => {
     val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
@@ -1033,24 +1045,25 @@ object TextAnalysis {
         graft.functions.TextKernels.bigramHashPairs($"text")).as("b"))
       .select($"doc_id", $"b.bh".as("bh"), $"b.w1h".as("w1h"))
     // Both the LM build and the document scoring consume the bigram
-    // stream; unpersisted, each would re-run the corpus tokenize +
-    // hash pass (the two heaviest stages of the old plan — this is
-    // also exactly why the DuckDB oracle is fast here: it materializes
-    // the bg CTE once). Materialize the PRE-REDUCED per-(doc, bigram)
-    // aggregate instead of raw occurrences: fixed 32-byte rows, ≤ one
-    // per distinct (doc, bigram) pair, MEMORY_AND_DISK so a 100 TB run
-    // spills rather than OOMs — and downstream gets cheaper too (the
-    // LM aggregate reads pre-reduced counts; the scoring join carries
-    // m instead of repeated occurrence rows). Measured at sf0.1
-    // (4-core, back-to-back subset A/B ×3): 0.89–1.04 s → 0.74–0.88 s
-    // wall (~20 %) — smaller than bm25's 2× because the one remaining
-    // corpus pass still carries the tokenize + hash + explode cost.
-    // Lineage.share, not persist(): same materialize-once, but blocks
-    // are ContextCleaner-reclaimed when the plan is dropped — persist()
-    // pinned a CacheManager entry for the session lifetime (r9
-    // advisory; a lazily-returned query has nowhere to unpersist).
-    val occ = graft.Lineage.share(bg.groupBy($"doc_id", $"bh")
-      .agg(count(lit(1)).as("m"), max($"w1h").as("w1h")))
+    // stream. PRE-kernel, materializing the pre-reduced (doc, bigram)
+    // aggregate via Lineage.share won ~20% wall (r9: the corpus
+    // tokenize + string-bigram pass was the query's dominant cost and
+    // share ran it once). POST-kernel that trade FLIPPED and the r13
+    // decomposition caught it: DevProfile showed the occ reduce +
+    // localCheckpoint stage was now the LARGEST term (0.68 of 1.29 s
+    // runTime at 4-core sf0.1 — the checkpoint serialize/deserialize
+    // cost more than the halved map pass it saved), and the DevLmExp
+    // interleaved A/B (×5 reps, two sessions, identical results)
+    // measured share-less at wall 0.63→0.42/0.62→0.49 s and task CPU
+    // 0.82→0.45/0.80→0.49 s (−40%). So: NO materialization — each
+    // consumer re-runs the cheap byte-level kernel pass, the plan is
+    // one fused job, and per-core CPU lands at ~2.4× the DuckDB
+    // oracle's 0.196 s (thread-pinned, getrusage), down from the 3.9×
+    // the shared shape measured. At 100 TB the same logic holds: two
+    // streaming map passes over the corpus beat writing a
+    // corpus-scale intermediate to the block store.
+    val occ = bg.groupBy($"doc_id", $"bh")
+      .agg(count(lit(1)).as("m"), max($"w1h").as("w1h"))
     val lm = occ.groupBy($"bh")
       .agg(sum($"m").as("c"), max($"w1h").as("w1h2"))
       .withColumn("cw", sum($"c").over(Window.partitionBy($"w1h2")))
@@ -1617,8 +1630,13 @@ object TextAnalysis {
   private val bm25Terms = Seq("join", "hash", "scan")
   private val bm25: Q = (s, d) => {
     import s.implicits._
-    // Lineage.share, not persist() — see lm_score's occ note (r9
-    // advisory: persist pinned CacheManager entries for the session)
+    // Lineage.share, not persist() (r9 advisory: persist pinned
+    // CacheManager entries for the session; share's blocks are
+    // ContextCleaner-reclaimed when the plan is dropped). Unlike
+    // lm_score — whose share LOST to recompute once the kernel
+    // cheapened its map pass (r13, DevLmExp) — this one stays: the
+    // cached projection is 40 B/doc while the avoided pass is a full
+    // text decode + tokenize + 4 HOF filters, measured 0.56 → 0.36 s.
     val base = graft.Lineage.share(Tables.spread(Tables.documents(s, d))
       .select($"doc_id", toks($"text").as("ws"))
       .select(($"doc_id" +: size($"ws").cast("long").as("dl") +:
