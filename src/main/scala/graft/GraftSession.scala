@@ -45,6 +45,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Whole-stage-codegen CLASS cache (static conf, default 100
+      // entries): a 168-query board holds thousands of codegen units,
+      // so at the default every leg evicts every class and each rep
+      // re-runs Janino + restarts HotSpot tiering from the interpreter
+      // — measured r13 (4-core sf0.1): text_lm_score task CPU 2.48 s
+      // inside a 25-query probe vs 0.77 s in a 2-query probe on
+      // IDENTICAL code, converging to the 2-query number once the
+      // cache holds the board. A production service keeps its compiled
+      // query classes hot the same way; the entry cost is driver-side
+      // metadata (~KBs each), so 4096 is cheap insurance.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // heap-proportional driver collect ceiling (r9 100×-soak
       // finding): the stream gates' complete-mode memory sink collects
       // the full result table, and the fixed 1 GB default aborted a

@@ -15,6 +15,15 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("codegen class cache is sized for the full board") {
+    // r13: at the 100-entry default a 168-query board evicts every
+    // whole-stage-codegen class between legs, so each rep re-runs
+    // Janino and restarts HotSpot tiering from the interpreter —
+    // measured 40% of the board's task CPU. Static conf, so it must be
+    // set at session build; this pin fails if the builder loses it.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt >= 4096)
+  }
+
   test("incremental filter pushes the checkpoint predicate to parquet") {
     val p = plan("rel_incremental_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
