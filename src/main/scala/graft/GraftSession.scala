@@ -22,6 +22,7 @@ object GraftSession {
     val pFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m")
+    val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -43,6 +44,13 @@ object GraftSession {
         s"${advisoryMb}m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dev experiment knob (r13 cpu-alpha attribution): the decade
+      // chain's largest cpu-alpha rows are AQE broadcast->shuffle
+      // regime crossings — build sides that fit the 10 MB default at
+      // 10x cross it at 100x and the fact side starts exchanging.
+      // Default unchanged (10 MB, Spark's own); the knob exists to
+      // measure what a memory-sized threshold would buy at scale.
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${broadcastMb}m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // Whole-stage-codegen CLASS cache (static conf, default 100
