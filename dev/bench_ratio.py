@@ -120,9 +120,19 @@ def main(bench_path: str, sfdir: str) -> None:
     if oracle_sql is None:
         # dump oracles via the checked-in oracle_sql.json from a Verify run
         raise SystemExit("pass oracle_sql.json path as third arg")
+    # --threads N or --threads=N; reject missing/zero/negative loudly —
+    # a silently-unpinned oracle produces a cpuR table that LOOKS
+    # like-for-like but ran DuckDB on all cores (r13 review).
     threads = None
-    if "--threads" in sys.argv:
-        threads = int(sys.argv[sys.argv.index("--threads") + 1])
+    for i, a in enumerate(sys.argv):
+        if a == "--threads":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--threads needs a value")
+            threads = int(sys.argv[i + 1])
+        elif a.startswith("--threads="):
+            threads = int(a.split("=", 1)[1])
+    if threads is not None and threads <= 0:
+        raise SystemExit(f"--threads must be positive, got {threads}")
 
     con = duckdb.connect()
     if threads:

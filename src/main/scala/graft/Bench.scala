@@ -83,30 +83,15 @@ object Bench {
     // window. GC runs in its own threads and is NOT in executorCpuTime,
     // so jvmGCTime is accumulated alongside and reported per query —
     // a CPU ratio read without its gc column could hide a
-    // memory-pressure regression.
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
-          gcMs.addAndGet(s.stageInfo.taskMetrics.jvmGCTime): Unit
-        }
-      })
-    def drain(): Unit = org.apache.spark.GraftSchedulerBridge
-      .drainListenerBus(spark.sparkContext)
+    // memory-pressure regression. The listener + drain + timed harness
+    // lives in TaskCpuMeter so the dev A/B tools measure with the
+    // identical protocol.
+    val meter = new TaskCpuMeter(spark.sparkContext)
     /** (wall s, task-cpu s, gc s); all -1 on failure. */
     def timedRun(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) =
       try {
-        drain()
-        val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        drain()
-        (wall, (cpuNs.get() - cpu0) / 1e9, (gcMs.get() - gc0) / 1e3)
+        meter.timed(fn(spark, sfDir).count(): Unit)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
@@ -137,17 +122,23 @@ object Bench {
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
-    /** per query: (cold wall, steady wall, cold cpu, steady cpu, steady gc) —
-      * steady columns are per-leg MEDIANS over successful legs. */
-    val results: Seq[(String, (Double, Double, Double, Double, Double))] =
+    /** per query: (cold wall, steady wall, cold cpu, steady cpu,
+      * steady gc, cold gc) — steady columns are per-leg MEDIANS over
+      * successful legs. Cold gc is kept (r13 review): the cold cpu
+      * column carries the train-once derivations — the most GC-heavy
+      * work on the board — and a memory-pressure regression there
+      * shifts cost into GC threads that executorCpuTime excludes, so
+      * a cold CPU reading without its gc column is exactly the blind
+      * spot the steady gc column exists to close. */
+    val results: Seq[(String, (Double, Double, Double, Double, Double, Double))] =
       qs.map { case (n, _) =>
         def medOf(sel: ((Double, Double, Double)) => Double): Double =
           median(legs.map(m => sel(m(n))).filter(_ >= 0))
         val steady = medOf(_._1)
-        val (c, cCpu, _) = coldMap(n)
+        val (c, cCpu, cGc) = coldMap(n)
         if (steady >= 0 && c >= 0 && steady > c * 1.2)
           System.err.println(f"[bench] $n anomaly: steady $steady%.3f > cold $c%.3f x1.2 — box noise or state leak")
-        n -> ((c, steady, cCpu, medOf(_._2), medOf(_._3)))
+        n -> ((c, steady, cCpu, medOf(_._2), medOf(_._3), cGc))
       }
     // Per-job scheduling floor: the fixed cost of ANY Spark action in
     // this JVM (job submit, task scheduling, result fetch) — the
@@ -162,7 +153,7 @@ object Bench {
       ts(2)
     }
     import GraftSession.jsonEscape
-    def jsonMap(sel: ((Double, Double, Double, Double, Double)) => Double): String =
+    def jsonMap(sel: ((Double, Double, Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) => s"${jsonEscape(k)}:${sel(v)}" }.mkString("{", ",", "}")
     val failures = results.count(_._2._2 < 0)
     // cold failures are reported SEPARATELY (r12 advice): a query that
@@ -189,7 +180,7 @@ object Bench {
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val volumeJson = volume.map { case (k, v) => s"${jsonEscape(k)}:$v" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"queries_cpu":${jsonMap(_._4)},"queries_cpu_cold":${jsonMap(_._3)},"queries_gc":${jsonMap(_._5)},"legs":$legsJson,"total_cold":$totalCold,"total_cpu":$totalCpu,"total_cpu_cold":$totalCpuCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"queries_cpu":${jsonMap(_._4)},"queries_cpu_cold":${jsonMap(_._3)},"queries_gc":${jsonMap(_._5)},"queries_gc_cold":${jsonMap(_._6)},"legs":$legsJson,"total_cold":$totalCold,"total_cpu":$totalCpu,"total_cpu_cold":$totalCpuCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }

@@ -84,35 +84,33 @@ object DevKeywordsExp {
     val spark = GraftSession.build("graft-keywords-exp")
     Tables.documents(spark, d).count()
     // wall AND task-CPU per rep (the keywords floor claim lives on the
-    // per-core axis, so a candidate must be judged there too): same
-    // listener + bus-drain protocol as Bench's queries_cpu column
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime): Unit
-      })
+    // per-core axis, so a candidate must be judged there too): the
+    // exact protocol of Bench's queries_cpu column, via the shared
+    // TaskCpuMeter.
+    val meter = new TaskCpuMeter(spark.sparkContext)
     def timed(fn: => DataFrame): (Double, Double) = {
-      org.apache.spark.GraftSchedulerBridge.drainListenerBus(spark.sparkContext)
-      val c0 = cpuNs.get()
-      val t0 = System.nanoTime(); fn.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.GraftSchedulerBridge.drainListenerBus(spark.sparkContext)
-      (wall, (cpuNs.get() - c0) / 1e9)
+      val (wall, cpu, _) = meter.timed(fn.count(): Unit)
+      (wall, cpu)
     }
     // result identity first — an A/B of different answers is meaningless
     val a = committed(spark, d).collect().map(_.toSeq).toSeq
     val b = candidateB(spark, d).collect().map(_.toSeq).toSeq
     val c = candidateHash(spark, d).collect().map(_.toSeq).toSeq
     println(s"results identical: B=${a == b} C=${a == c} (${a.size} rows)")
-    val reps = Seq("committed (df window)" -> (committed _),
+    // INTERLEAVED reps (rep-outer, variant-inner — r13 review: a
+    // block-sequential loop lets a box-drift excursion land entirely
+    // on one variant's block and fake a 20-50% plan difference; on
+    // this box that failure mode is documented, so the interleaving
+    // the scaladoc promises is load-bearing).
+    val variants = Seq("committed (df window)" -> (committed _),
       "candidate B (broadcast)" -> (candidateB _),
-      "candidate C (hash+dict)" -> (candidateHash _)).map { case (n, f) =>
-      n -> (1 to 5).map(_ => timed(f(spark, d)))
+      "candidate C (hash+dict)" -> (candidateHash _))
+    val samples = (1 to 5).map { _ =>
+      variants.map { case (n, f) => n -> timed(f(spark, d)) }
     }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
-    reps.foreach { case (n, ts) =>
+    variants.foreach { case (n, _) =>
+      val ts = samples.map(_.find(_._1 == n).get._2)
       println(f"$n%-26s median wall ${med(ts.map(_._1))}%.3f s  task-cpu ${med(ts.map(_._2))}%.3f s")
     }
     spark.stop()

@@ -883,7 +883,11 @@ object TextAnalysis {
   // 8-byte hash key is NOT lighter — the hash-keying thesis transfers
   // from lm_score only where keys are long (bigram strings ~13 B +
   // struct overhead) or the map-stage kernel itself is the cost.
-  // Per-core floor stands as pinned in r12.
+  // Per-core floor stands as pinned in r12. Both negatives RE-RUN
+  // after the codegen class-cache fix with the rep-interleaved
+  // DevKeywordsExp (r13 review hardening): committed 0.437 s wall /
+  // 0.584 s CPU vs B 0.656/0.727 vs C 0.643/0.657 — both rejections
+  // stand on both axes.
   private val keywords: Q = (s0, d) => {
     val s = graft.GraftSession.noAqe(s0, d)
     import s.implicits._
@@ -1055,7 +1059,12 @@ object TextAnalysis {
     // cost more than the halved map pass it saved), and the DevLmExp
     // interleaved A/B (×5 reps, two sessions, identical results)
     // measured share-less at wall 0.63→0.42/0.62→0.49 s and task CPU
-    // 0.82→0.45/0.80→0.49 s (−40%). So: NO materialization — each
+    // 0.82→0.45/0.80→0.49 s (−40%). Re-measured after the codegen
+    // class-cache fix with the reversed-roles DevLmExp (committed =
+    // share-less, candidate re-adds the share; rep-interleaved):
+    // task CPU 0.690 vs 0.887 s at 4-core sf0.1 — the margin narrows
+    // to −22% (the cache fix shrank the recompile tax in both arms)
+    // but the decision stands. So: NO materialization — each
     // consumer re-runs the cheap byte-level kernel pass, the plan is
     // one fused job, and per-core CPU lands at ~2.4× the DuckDB
     // oracle's 0.196 s (thread-pinned, getrusage), down from the 3.9×
