@@ -221,6 +221,19 @@ def main(bench_path: str, sfdir: str) -> None:
               f"{rr if rr is not None else float('nan'):6.2f}{mark}{cpu_cols}")
     for n in injected_notes:
         print(f"note: {n}")
+    # GC-share flags (r13: queries_gc_cold landed for exactly this) —
+    # executorCpuTime excludes GC, so a cpuR read where GC is a big
+    # share of the same window is understating the true cost; flag any
+    # row whose headline-convention GC exceeds 20% of its CPU.
+    gc_steady = bench.get("queries_gc", {})
+    gc_cold = bench.get("queries_gc_cold", {})
+    for name, s, c, d, _, dcpu in sorted(rows):
+        scpu = headline_cpu(name) if have_cpu else None
+        gc = (gc_cold if name in TRAIN_ONCE else gc_steady).get(name, -1)
+        if scpu and gc is not None and gc > 0.2 * scpu:
+            print(f"note: {name}: GC {gc:.2f}s is {100 * gc / scpu:.0f}% of its "
+                  f"{'cold ' if name in TRAIN_ONCE else ''}task CPU {scpu:.2f}s "
+                  f"— cpuR understates this row")
     print(f"\ntotal spark steady {total_steady:.2f}s "
           f"(serving convention, train-once artifacts memoized)")
     print(f"total spark headline {total_hl:.2f}s "
