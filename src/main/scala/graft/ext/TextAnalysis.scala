@@ -426,27 +426,56 @@ object TextAnalysis {
   // its DISTINCT grams, so AQE broadcasts it when small; at 100 TB it
   // is an ordinary hash join — no all-pairs anything.
   private val DecontamN = 8
-  private val decontaminate: Q = (s, d) => {
+
+  /** Reusable n-gram decontamination operator (r13 API lift, the
+    * [[piiRedact]] pattern — the gate below bakes the train/test split
+    * from one table, but a real pipeline holds its corpus and its eval
+    * benchmarks in different frames): flags every `train` row whose
+    * `textCol` shares at least one n-token whitespace gram with any
+    * row of `eval`. Returns one row per `train` row — `idCol` plus
+    * `n_test_overlap` (distinct shared grams, BIGINT) and
+    * `contaminated` (BOOLEAN); rows shorter than n tokens can never
+    * overlap and report (0, false).
+    *
+    * Scale shape (unchanged from the gated query): one explode per
+    * side + one equi-join keyed on the 8-byte xxhash64 of the gram —
+    * gram STRINGS never leave their map stage. The eval side shrinks
+    * to its distinct gram hashes, so AQE broadcasts it when small
+    * (eval benchmarks are ~MBs against a ~100 TB corpus); at scale it
+    * is an ordinary hash join, no all-pairs anything. 64-bit collision
+    * caveat as everywhere in this file: a collision adds one phantom
+    * overlap. Temp columns are double-underscore-prefixed so caller
+    * schemas cannot collide (the r12 assignCells advisory pattern). */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = DecontamN): DataFrame = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    val ws = "__graft_ws"
+    val gh = "__graft_gh"
+    def gramHashes(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.withColumn(ws, split(col(textCol), " "))
+        .filter(size(col(ws)) >= n)
+        .select(keep.map(col) :+ explode(expr(
+          s"array_distinct(transform(sequence(1, size($ws)-${n - 1}), " +
+            s"i -> xxhash64(concat_ws(' ', slice($ws, i, $n)))))")).as(gh): _*)
+    val evalGrams = gramHashes(eval, Nil).distinct()
+    val overlap = gramHashes(train, Seq(idCol))
+      .join(evalGrams, gh)
+      .groupBy(col(idCol)).agg(countDistinct(col(gh)).as("n_test_overlap"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_test_overlap"), lit(0L)).as("n_test_overlap"),
+        (coalesce(col("n_test_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  private val decontaminateQ: Q = (s, d) => {
     import s.implicits._
     val base = Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
       .withColumn("bucket",
         (expr("locate(substr(md5(cast(doc_id as string)),1,1),'0123456789abcdef')") - 1)
           .cast("int"))
-    val grams = base.filter(size($"ws") >= DecontamN)
-      .select($"doc_id", $"bucket", explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws)-${DecontamN - 1}), " +
-          s"i -> concat_ws(' ', slice(ws, i, $DecontamN))))")).as("g"))
-      .withColumn("gh", xxhash64($"g"))
-    val testGrams = grams.filter($"bucket" === 15).select($"gh").distinct()
-    val overlap = grams.filter($"bucket" <= 13)
-      .join(testGrams, "gh")
-      .groupBy($"doc_id").agg(countDistinct($"gh").as("n_test_overlap"))
-    base.filter($"bucket" <= 13)
-      .join(overlap, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_test_overlap", lit(0L)).as("n_test_overlap"),
-        (coalesce($"n_test_overlap", lit(0L)) > 0).as("contaminated"))
+    decontaminate(base.filter($"bucket" <= 13), base.filter($"bucket" === 15))
       .orderBy($"doc_id")
   }
   private val decontaminateSql =
@@ -1781,7 +1810,7 @@ object TextAnalysis {
     "text_vocabulary" -> vocabulary,
     "text_inverted_index" -> invertedIndex,
     "text_novelty" -> novelty,
-    "text_decontaminate" -> decontaminate,
+    "text_decontaminate" -> decontaminateQ,
     "text_repetition" -> repetition,
     "text_scrub" -> scrub,
     "text_pii_scrub" -> piiScrub,

@@ -399,6 +399,24 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(testId), "test docs must not appear in the train report")
   }
 
+  test("decontaminate operator: custom columns, custom n, short rows report clean") {
+    import spark.implicits._
+    // separate train/eval frames with caller-named columns — the r13
+    // API lift's whole point; n=3 so the fixture stays readable
+    val eval = Seq((900L, "alpha beta gamma delta")).toDF("id", "body")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma suffix"), // shares the 3-gram
+      (2L, "beta gamma words alpha beta stop"),     // 2-gram overlaps only
+      (3L, "al be"))                                // shorter than n: clean by construction
+      .toDF("id", "body")
+    val out = TextAnalysis.decontaminate(train, eval, "body", "id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)), s"3-gram overlap missed: ${out(1L)}")
+    assert(out(2L) == ((0L, false)), "2-gram overlap must not flag at n=3")
+    assert(out(3L) == ((0L, false)), "sub-n row must report clean, not vanish")
+    assert(out.size == 3, "one output row per train row")
+  }
+
   test("stratified sample equals an independent md5-threshold recomputation") {
     import java.security.MessageDigest
     def keyOf(id: Long): Int = {
