@@ -46,16 +46,22 @@ object Dedup {
     * here, and the oracle gate would catch it deterministically. The
     * minhash signature path hashes the STRING (md5) — the sketch
     * definition is shared with the oracle verbatim. */
-  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    spread(Tables.documents(s, d).select($"doc_id", $"text"))
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", expr(
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+    shingleArraysFrom(
+      spread(Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      "text", "doc_id")
+
+  /** Caller-frame variant (r13 API lift): 3-token shingle arrays of
+    * any (id, text) frame; the id column is normalized to `doc_id`
+    * for the shared downstream pipeline. */
+  private def shingleArraysFrom(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
           "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2))))")
         .as("arr"))
-  }
 
   /** Exploded blocking rows (doc_id, n, shash): the per-doc set size
     * `n` rides along from the array map, and only the 8-byte xxhash64
@@ -465,12 +471,15 @@ object Dedup {
     * same map: the verify tail intersects the two ARRAYS per candidate
     * pair instead of re-joining exploded shingle rows — per-doc state
     * bounded by the document itself, exactly like carrying the text. */
-  private def minhashSigSets(s: SparkSession, d: String): DataFrame = {
+  private def minhashSigSets(s: SparkSession, d: String): DataFrame =
+    minhashSigSetsOf(shingleArrays(s, d))
+
+  private def minhashSigSetsOf(shingles: DataFrame): DataFrame = {
     // the two digest ARRAYS are separate projections so the 8 h_i
     // array_mins slice them without re-hashing: md5 runs exactly twice
     // per shingle (CollapseProject keeps expensive multi-referenced
     // aliases in their own Project)
-    val digests = shingleArrays(s, d).select(col("doc_id"), col("arr"),
+    val digests = shingles.select(col("doc_id"), col("arr"),
       expr("transform(arr, x -> md5(x))").as("m0"),
       expr("transform(arr, x -> md5(concat(x, '~')))").as("m1"))
     // h_i stays the 8-char HEX slice: band keys are only compared for
@@ -492,6 +501,26 @@ object Dedup {
         expr("transform(arr, x -> xxhash64(x))").as("set"): _*)
   }
 
+  /** Reusable MinHash+LSH near-duplicate pairs over any (id, text)
+    * frame (r13 API lift, the [[graft.ext.TextAnalysis.piiRedact]]
+    * pattern — the gate below reads the documents table, but real
+    * pipelines dedup their own frames): returns (a_id, b_id, jaccard)
+    * for every pair whose banded minhash signatures collide AND whose
+    * true shingle-set Jaccard clears `minJaccard`, with a_id < b_id.
+    * Unordered — callers sort if they need determinism. The sketch
+    * (k=8 md5-slice minhashes, 4 bands × 2 rows, 3-token shingles)
+    * and the scale shape (one banded self-join on uniform keys,
+    * candidate-driven verify over per-doc hash-set arrays — see the
+    * gated query's docstrings) are identical to the gate, which
+    * delegates here. Runs under the CALLER's session conf: the gate
+    * wraps it in the noAqe child (fixed cascade, r10 A/B); a caller
+    * on a default session just gets AQE's extra barriers. */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.8): DataFrame =
+    minhashPairsOf(
+      graft.Lineage.share(minhashSigSetsOf(
+        shingleArraysFrom(docs, textCol, idCol))), minJaccard)
+
   private val minhashLsh: Q = (s0, d) => {
     // noAqe (r10): post-checkpoint the plan is a fixed cascade — one
     // banded self-join on md5-slice keys (uniform by avalanche), a
@@ -509,15 +538,23 @@ object Dedup {
     // consumer's job instead of paying its own submission + driver gap
     // (and keeps the ContextCleaner reclaim semantics).
     val sig = graft.Lineage.share(minhashSigSets(s, d))
-    // ONE banded self-join, not one join per band: each signature
-    // explodes into (band, key0, key1) rows and candidates meet in a
-    // single equi-join on the band triple — same shuffled volume
-    // (BANDS rows/doc either way), but one exchange instead of four
-    // AQE materialization barriers (measured ≈0.5 s of near-idle
-    // ~150 ms stage floors at sf0.1). The banded sides carry ONLY the
-    // triple, never the set arrays. Pairs agreeing on several bands
-    // are collapsed by a distinct over the CANDIDATE set — bounded by
-    // the near-dup population, not the corpus.
+    minhashPairsOf(sig, 0.8).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Banded candidate generation + candidate-driven verify over a
+    * (shared) signature table — the tail stage of both the gate and
+    * [[minhashNearDupPairs]].
+    *
+    * ONE banded self-join, not one join per band: each signature
+    * explodes into (band, key0, key1) rows and candidates meet in a
+    * single equi-join on the band triple — same shuffled volume
+    * (BANDS rows/doc either way), but one exchange instead of four
+    * AQE materialization barriers (measured ≈0.5 s of near-idle
+    * ~150 ms stage floors at sf0.1). The banded sides carry ONLY the
+    * triple, never the set arrays. Pairs agreeing on several bands
+    * are collapsed by a distinct over the CANDIDATE set — bounded by
+    * the near-dup population, not the corpus. */
+  private def minhashPairsOf(sig: DataFrame, minJaccard: Double): DataFrame = {
     val banded = sig.select(col("doc_id"), explode(expr(
       (0 until BANDS).map(j =>
         s"named_struct('j', $j, 'k1', h${2 * j}, 'k2', h${2 * j + 1})")
@@ -546,8 +583,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
+      .filter(col("jaccard") >= minJaccard)
   }
   private val minhashLshSql = {
     val sigCols = (0 until K).map { i =>

@@ -399,6 +399,23 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(testId), "test docs must not appear in the train report")
   }
 
+  test("minhashNearDupPairs operator: custom columns, exact dup found, distinct doc clean") {
+    import spark.implicits._
+    // deterministic fixture: identical texts share every shingle
+    // (jaccard 1.0 — all four bands collide by construction, no LSH
+    // recall probability in the spec), the third doc shares none (even
+    // a freak band collision is filtered by the exact verify)
+    val same = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (10L, same), (20L, same),
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("id", "body")
+    val out = Dedup.minhashNearDupPairs(docs, "body", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 20L, 1.0)),
+      s"expected exactly the planted dup pair, got ${out.toSeq}")
+  }
+
   test("decontaminate operator: custom columns, custom n, short rows report clean") {
     import spark.implicits._
     // separate train/eval frames with caller-named columns — the r13
