@@ -399,6 +399,20 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(testId), "test docs must not appear in the train report")
   }
 
+  test("TaskCpuMeter: a real job reports positive cpu, a no-op window reports zero") {
+    // the contract Bench's queries_cpu column and the Dev A/B tools
+    // archive against: windows are isolated by the bus drain, so an
+    // empty window reads 0 even right after a heavy action
+    val meter = new TaskCpuMeter(spark.sparkContext)
+    val (wall, cpu, gc) = meter.timed(
+      spark.range(0, 2_000_000, 1, 4).selectExpr("sum(id * id)").collect(): Unit)
+    assert(wall > 0 && cpu > 0, s"real job must meter wall/cpu, got ($wall, $cpu)")
+    assert(gc >= 0, s"gc must be non-negative, got $gc")
+    val (_, cpuIdle, gcIdle) = meter.timed(())
+    assert(cpuIdle == 0.0 && gcIdle == 0.0,
+      s"empty window must read zero after the drain, got ($cpuIdle, $gcIdle)")
+  }
+
   test("minhashNearDupPairs operator: custom columns, exact dup found, distinct doc clean") {
     import spark.implicits._
     // deterministic fixture: identical texts share every shingle
