@@ -1501,17 +1501,37 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100""".stripMargin
 
   // ------------------------------------------- sole-late suppliers (Q21)
-  /** TPC-H Q21 join SHAPE — semi AND anti join against the same fact:
-    * suppliers who were the ONLY late shipper in a multi-supplier
-    * order. (This schema carries no receipt/commit dates, so "late" is
-    * shipdate > orderdate + 90 days — the structure, not the constant,
-    * is the point.) Scale shape: the derived line table is keyed on
-    * l_orderkey for ALL THREE self-references (base, EXISTS semi,
-    * NOT-EXISTS anti) — one fact shuffle reused across the whole
-    * chain; supplier is a broadcast dim; the final top-20 is
-    * TakeOrderedAndProject. The semi/anti pair is the decorrelated
-    * form of Q21's EXISTS / NOT EXISTS — no correlated re-execution
-    * per row.
+  /** TPC-H Q21 join SHAPE — suppliers who were the ONLY late shipper
+    * in a multi-supplier order. (This schema carries no receipt/commit
+    * dates, so "late" is shipdate > orderdate + 90 days — the
+    * structure, not the constant, is the point.)
+    *
+    * r13 optimization (guide §2.3/§2.4 — aggregate before you shuffle,
+    * remove shuffles outright): the committed shape decorrelated Q21's
+    * EXISTS / NOT-EXISTS into a semi + anti self-join, which
+    * re-computed the lineitem⋈orders subtree THREE times (base, semi
+    * probe, anti probe — Spark plans common subtrees independently)
+    * and shuffled the full line table for each. Both existence tests
+    * are per-ORDER set properties, so one pair-level aggregate and one
+    * order-level window replace them:
+    *   pair (l_orderkey, l_suppkey) → late_lines = #late lines;
+    *   per order: n_supp = #pairs, n_late_supp = #pairs with a late
+    *   line (counted over a window keyed on l_orderkey);
+    *   EXISTS l2 (any line, other supplier)      ⟺ n_supp > 1
+    *   NOT EXISTS l3 (late line, other supplier) ⟺ n_late_supp = 1
+    *     (the candidate itself is late, so the late-supplier set is
+    *      exactly {suppkey});
+    *   numwait = Σ late_lines over qualifying pairs — the original
+    *   counted the surviving base ROWS (late lines), and late_lines
+    *   partitions those rows by pair, so the sums are equal.
+    * One fact shuffle (the pair aggregate) instead of three; the
+    * window and final rollup run on the pair table, which is bounded
+    * by distinct (order, supplier) pairs, not line count. Result
+    * proven equal: full dual-SF oracle PASS (dev/verify_r18*);
+    * before/after plans in plans/r13/rel_late_suppliers_*.txt
+    * (5 exchanges + 2 SMJ self-joins → 3 exchanges, no self-join).
+    * Supplier stays a broadcast dim; the final top-20 is
+    * TakeOrderedAndProject.
     */
   private val lateSuppliers: Q = (s, d) => {
     import s.implicits._
@@ -1523,17 +1543,17 @@ object Relational {
       .select($"l_orderkey", $"l_suppkey",
         ($"l_shipdate".cast("date") >
           expr("cast(o_orderdate as date) + interval 90 day")).as("late"))
-    val base = l.filter($"late")
-    val multiSupp = base.as("l1").join(l.as("l2"),
-      col("l2.l_orderkey") === col("l1.l_orderkey") &&
-        col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
-    val soleLate = multiSupp.as("l1").join(base.as("l3"),
-      col("l3.l_orderkey") === col("l1.l_orderkey") &&
-        col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+    val pair = l.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(count(when($"late", 1)).as("late_lines"))
+    val w = Window.partitionBy($"l_orderkey")
+    val soleLate = pair
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", count(when($"late_lines" > 0, 1)).over(w))
+      .filter($"late_lines" > 0 && $"n_supp" > 1 && $"n_late_supp" === 1)
     soleLate
       .join(Tables.supplier(s, d).select($"s_suppkey", $"s_name"),
         $"l_suppkey" === $"s_suppkey")
-      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .groupBy($"s_name").agg(sum($"late_lines").as("numwait"))
       .orderBy($"numwait".desc, $"s_name").limit(20)
   }
   private val lateSuppliersSql =

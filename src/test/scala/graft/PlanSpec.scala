@@ -414,10 +414,21 @@ class PlanSpec extends SparkSpec {
       "lineitem must come through the ORC lane")
   }
 
-  test("late suppliers: EXISTS/NOT-EXISTS decorrelate to semi+anti joins") {
+  test("late suppliers: set-property aggregate, one fact scan, no self-join") {
+    // r13: the semi+anti self-join pair re-planned the lineitem⋈orders
+    // subtree three times (three fact scans, two SMJ self-joins); the
+    // per-order existence tests now read off ONE pair aggregate + an
+    // orderkey window (Relational.lateSuppliers scaladoc has the
+    // equivalence argument; plans/r13/rel_late_suppliers_*.txt the
+    // before/after evidence: 16 Exchange → 10, 4 SMJ → 0).
     val p = plan("rel_late_suppliers")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-      s"both subqueries must decorrelate:\n$p")
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 3, // lineitem + orders + supplier, each ONCE
+      s"expected exactly 3 scans (lineitem/orders/supplier), got $factScans:\n$p")
+    assert(p.contains("Window"), s"order-level set properties must be a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("LeftSemi") &&
+      !p.contains("LeftAnti"),
+      s"the self-join pair must be gone:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
