@@ -113,16 +113,47 @@ object GraftSession {
     // → ×2; 100× → ×5, above the 768-partition point where the 100×
     // graph family was measured green). Explicit
     // SPARK_GRAFT_SHUFFLE_PARTS still wins everywhere.
-    val dataFactor = sys.env.get("SPARK_GRAFT_SF_DIR").map { dir =>
+    val dataBytes: Option[Long] = sys.env.get("SPARK_GRAFT_SF_DIR").map { dir =>
       def sizeOf(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
         else f.length
-      val bytes = sizeOf(new java.io.File(dir))
+      sizeOf(new java.io.File(dir))
+    }
+    val dataFactor = dataBytes.map { bytes =>
       math.min(16L, math.max(1L, (bytes + (512L << 20) - 1) / (512L << 20))).toInt
     }.getOrElse(1)
+    // Data-density CAP on the width (r13 optimization round, guide §2 —
+    // scale-adaptive partitioning): the heap memFactor above protects
+    // per-partition materializations on SMALL heaps, but it multiplies
+    // the width even when the DATASET is tiny — the 32-core/8 GB bench
+    // convention ran every AQE query at 192 static partitions over a
+    // ~20 MB sf0.1 corpus, and parallelismFirst coalescing kept most of
+    // them: per-task constants dominated (measured, 2-leg median,
+    // 32-core sf0.1 probe: graph family total task-CPU 57.3 → 28.9 s
+    // and wall 11.0 → 9.3 s on a WORSE-controls leg when pinned to 32;
+    // rel_pagerank wall 4.39 → 3.25 s). The cap is the same ~4 MB of
+    // dataset bytes per partition density the noAqe children pinned
+    // with the r11 width sweep (GraftSession.noAqe scaladoc),
+    // core-rounded and floored at core count — and it SUBSUMES the
+    // memFactor's protection wherever it binds: a width at the cap
+    // bounds per-partition input at ~4 MB compressed, far under any
+    // slot's heap share. Where data is large the product term is the
+    // smaller one and nothing changes: every committed convention
+    // (4-core sf0.1 → 4; 48 GB 10×/50×/100× soaks → 32/64/160) is
+    // unchanged by the cap — only the small-data/many-core corner
+    // loses its width tax. No SPARK_GRAFT_SF_DIR (unit tests, ad-hoc
+    // use) → no probe, no cap, exactly the old width.
+    val dataCap = dataBytes.map { bytes =>
+      val coresN = cores.toIntOption.getOrElse(slots)
+      val dense = ((bytes + (4L << 20) - 1) / (4L << 20)).toInt
+      math.max(coresN, ((dense + coresN - 1) / coresN) * coresN)
+    }
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
       .flatMap(_.toIntOption)
-      .getOrElse(cores.toIntOption.getOrElse(slots) * memFactor * dataFactor)
+      .getOrElse {
+        val base = cores.toIntOption.getOrElse(slots) * memFactor * dataFactor
+        dataCap.fold(base)(math.min(base, _))
+      }
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
     // published so data-sized choices elsewhere (Lineage.cut's
     // checkpoint storage level) key off the same probe
