@@ -14,6 +14,32 @@ object GraftSession {
   /** The driver's core-count knob, shared by every entry point. */
   def envCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Data-density shuffle width: ceil(dirBytes / 4 MB) partitions,
+    * rounded up to a core-count multiple when it exceeds the core
+    * count (avoids straggler waves on real work), taken AS-IS when it
+    * does not. The ~4 MB/partition density is the r11 width sweep's
+    * optimum (noAqe scaladoc below, measured at 10×/50×/100×).
+    *
+    * NO core-count floor (r13 optimization round, guide §2.2/§2.4):
+    * the floor forced 32 partitions over the ~20 MB sf0.1 corpus at
+    * the 32-core bench convention, and a 2-leg-median 4-way isolation
+    * (threads × width crossed; dev/expr_width_r18*.json) measured the
+    * width term, not thread contention, as the cost: the 7 worst
+    * CPU-inflated queries at 32 threads fell from 73.6 s task-CPU /
+    * 11.9 s wall at width 32 to 28.3 s / 6.4 s at width 8, while at a
+    * FIXED width 8 going 32→8 threads only moved CPU 28.3→17.8 s.
+    * Excess tiny tasks pay a fixed per-task constant and the shuffle
+    * pays M×R block fan-out (1024 vs ~64 blocks); slots left idle on
+    * a 20 MB corpus cost nothing. Every committed convention with
+    * real data is unchanged (4-core sf0.1 → 8; 10×/50×/100× soaks →
+    * 64/256/544 on the noAqe side, memFactor-bound on the parent);
+    * only the small-data/many-core corner loses the floor tax. */
+  private[graft] def widthFor(dirBytes: Long, cores: Int): Int = {
+    val dense = ((dirBytes + (4L << 20) - 1) / (4L << 20)).toInt
+    if (dense <= cores) math.max(1, dense)
+    else ((dense + cores - 1) / cores) * cores
+  }
+
   def build(appName: String): SparkSession = build(appName, envCores)
 
   def build(appName: String, cores: String): SparkSession = {
@@ -133,21 +159,27 @@ object GraftSession {
     // and wall 11.0 → 9.3 s on a WORSE-controls leg when pinned to 32;
     // rel_pagerank wall 4.39 → 3.25 s). The cap is the same ~4 MB of
     // dataset bytes per partition density the noAqe children pinned
-    // with the r11 width sweep (GraftSession.noAqe scaladoc),
-    // core-rounded and floored at core count — and it SUBSUMES the
-    // memFactor's protection wherever it binds: a width at the cap
-    // bounds per-partition input at ~4 MB compressed, far under any
-    // slot's heap share. Where data is large the product term is the
-    // smaller one and nothing changes: every committed convention
-    // (4-core sf0.1 → 4; 48 GB 10×/50×/100× soaks → 32/64/160) is
-    // unchanged by the cap — only the small-data/many-core corner
-    // loses its width tax. No SPARK_GRAFT_SF_DIR (unit tests, ad-hoc
-    // use) → no probe, no cap, exactly the old width.
-    val dataCap = dataBytes.map { bytes =>
-      val coresN = cores.toIntOption.getOrElse(slots)
-      val dense = ((bytes + (4L << 20) - 1) / (4L << 20)).toInt
-      math.max(coresN, ((dense + coresN - 1) / coresN) * coresN)
-    }
+    // with the r11 width sweep (GraftSession.noAqe scaladoc) — and it
+    // SUBSUMES the memFactor's protection wherever it binds: a width
+    // at the cap bounds per-partition input at ~4 MB compressed, far
+    // under any slot's heap share. Where data is large the product
+    // term is the smaller one and nothing changes: every committed
+    // convention (4-core sf0.1 → 4; 48 GB 10×/50×/100× soaks →
+    // 32/64/160) is unchanged by the cap — only the small-data/
+    // many-core corner loses its width tax. No SPARK_GRAFT_SF_DIR
+    // (unit tests, ad-hoc use) → no probe, no cap, the old width.
+    //
+    // The parent shares widthFor's no-floor rule (r13, second step):
+    // a parent-only core floor ("AQE can only coalesce downward, so
+    // keep the static width at core count for the dense stages") was
+    // built and measured — the full-board comparison contradicts it
+    // (floored-parent probe: pagerank 2.03 s/8.9 CPU vs the no-floor
+    // board's 1.95/4.6; the graph family's wall swings leg-to-leg
+    // while the board CPU total reads 64.8 s no-floor vs 177.2 s
+    // floored, and the probe legs confirm the direction per query).
+    // Data density is the rule everywhere; the bench convention keeps
+    // it honest because the driver also benches at low core counts.
+    val dataCap = dataBytes.map(widthFor(_, cores.toIntOption.getOrElse(slots)))
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
       .flatMap(_.toIntOption)
       .getOrElse {
@@ -209,8 +241,10 @@ object GraftSession {
     * large-heap box where memFactor = 1): excess static tasks carry
     * ~0.35 s/task of constant overhead on ~20 s of real work.
     *
-    * Width = max(cores, ceil(dirBytes / 4 MB) rounded up to a
-    * core-count multiple). The density comes from an r11 width sweep
+    * Width = [[widthFor]] (ceil(dirBytes / 4 MB), core-multiple
+    * rounded above the core count, NO core floor — see widthFor's
+    * scaladoc for the r13 isolation that removed the floor).
+    * The density comes from an r11 width sweep
     * of (dedup_clusters, dedup_ngram_jaccard) at 32 cores / 8 GB:
     *   10×  (189 MB): 32 → 5.3 s  64 → 7.2   96 → 9.9   192 → 18.7
     *   50×  (1.0 GB): 96 → 22.4  169 → 31   256 → 13.3  384 → 16.1
@@ -239,10 +273,8 @@ object GraftSession {
         def sizeOf(f: java.io.File): Long =
           if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
           else f.length
-        val dataParts = ((sizeOf(new java.io.File(dataDir)) + (4L << 20) - 1)
-          / (4L << 20)).toInt
-        val cores = math.max(1, s.sparkContext.defaultParallelism)
-        math.max(cores, ((dataParts + cores - 1) / cores) * cores)
+        widthFor(sizeOf(new java.io.File(dataDir)),
+          math.max(1, s.sparkContext.defaultParallelism))
       }
     val perParent = {
       val m = noAqeChildren.get(s)

@@ -567,6 +567,20 @@ class PlanSpec extends SparkSpec {
       s"kernel expression missing from the plan:\n$p")
   }
 
+  test("shuffle width answers to data density, not core count (r13)") {
+    import GraftSession.widthFor
+    // below the core count the density IS the width — the r13 4-way
+    // isolation (dev/expr_width_r18*.json) measured the old
+    // max(cores, …) floor as 2.6× task-CPU / 1.85× wall on the
+    // 32-core sf0.1 convention, with thread contention the minor term
+    assert(widthFor(20L << 20, 32) == 5)  // sf0.1-class corpus, 32 cores
+    assert(widthFor(0L, 8) == 1)          // empty dir floors at 1
+    // above the core count: round up to a core multiple (no change)
+    assert(widthFor(20L << 20, 4) == 8)       // committed 4-core bench
+    assert(widthFor(189L << 20, 32) == 64)    // 10x replica convention
+    assert(widthFor(2100L << 20, 32) == 544)  // 100x replica convention
+  }
+
   test("domain cap: salted local top-K guards the per-source window") {
     // two row_number passes — the (source, doc_id%16) local cap that
     // bounds any mega-domain's sort at 1/16th, then the per-source
