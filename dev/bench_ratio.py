@@ -84,6 +84,9 @@ CAP_MARKER = "(SELECT cap FROM cap)"
 EPOCHS = [
     ("E1-clean (r5-r15 era)",        0.030, 0.060, 0.20, 0.63),
     ("E2-drifted (aug-2026, ~2x walls)", 0.060, 0.200, 0.60, 1.40),
+    # floor recovered to the E1 band while ctl_shuffle stayed E2 —
+    # the r18 closing legs (aug-19); walls read ~E1-level
+    ("E3-mixed (floor E1, shuffle E2)", 0.030, 0.060, 0.63, 1.40),
 ]
 
 
