@@ -87,11 +87,26 @@ object Bench {
     // lives in TaskCpuMeter so the dev A/B tools measure with the
     // identical protocol.
     val meter = new TaskCpuMeter(spark.sparkContext)
+    // STREAM TELEMETRY (r13 verdict item 6): per-gate micro-batch count
+    // and state-commit ms, snapshotted around each timed run with the
+    // same drain protocol as the CPU meter — the stream gates' measured
+    // ±0.3–1.1 s machinery band kept producing phantom PERF regressions,
+    // and these two numbers classify a driver-side stream delta
+    // (batches moved = replay change; commit ms moved = state-store
+    // machinery; neither = the aggregate itself) from the artifact.
+    val streamMeter = new StreamProgressMeter(spark)
+    val streamSamples = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
     /** (wall s, task-cpu s, gc s); all -1 on failure. */
     def timedRun(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) =
       try {
-        meter.timed(fn(spark, sfDir).count(): Unit)
+        val (b0, m0) = streamMeter.snapshot()
+        val r = meter.timed(fn(spark, sfDir).count(): Unit)
+        val (b1, m1) = streamMeter.snapshot()
+        if (b1 > b0) streamSamples.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer()) += ((b1 - b0, m1 - m0))
+        r
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
@@ -180,7 +195,26 @@ object Bench {
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val volumeJson = volume.map { case (k, v) => s"${jsonEscape(k)}:$v" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"queries_cpu":${jsonMap(_._4)},"queries_cpu_cold":${jsonMap(_._3)},"queries_gc":${jsonMap(_._5)},"queries_gc_cold":${jsonMap(_._6)},"legs":$legsJson,"total_cold":$totalCold,"total_cpu":$totalCpu,"total_cpu_cold":$totalCpuCold,"floor_sec":$floor,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(sfDir)}}"""
+    // Resolved session shuffle width (r13 verdict item 3): at small SFs
+    // the data-density width caps parallelism below the core count, so
+    // the driver's low-core scaling leg reads ≈1 everywhere — with the
+    // width in the artifact, "width-capped" vs "genuinely serial" is
+    // adjudicable from BENCH_rN.json alone.
+    val width = spark.conf.get("spark.sql.shuffle.partitions")
+    // per-gate stream telemetry: batch count from the last run (the
+    // replay is deterministic), state-commit ms as the median of the
+    // steady-leg samples (cold dropped when steady samples exist)
+    val streamProf: Seq[(String, Long, Long)] = results.collect {
+      case (n, _) if streamSamples.contains(n) =>
+        val ss = streamSamples(n)
+        val steady = if (ss.length > 1) ss.drop(1) else ss.toSeq
+        val cms = steady.map(_._2).sorted
+        (n, ss.last._1, cms(cms.length / 2))
+    }
+    val streamProfJson = streamProf.map { case (n, b, cm) =>
+      s"${jsonEscape(n)}:[$b,$cm]"
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nLegs","queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"queries_cpu":${jsonMap(_._4)},"queries_cpu_cold":${jsonMap(_._3)},"queries_gc":${jsonMap(_._5)},"queries_gc_cold":${jsonMap(_._6)},"legs":$legsJson,"total_cold":$totalCold,"total_cpu":$totalCpu,"total_cpu_cold":$totalCpuCold,"floor_sec":$floor,"width":$width,"stream_prof":$streamProfJson,"controls":${BoxControls.json(lastControls)},"controls_probes":$probesJson,"volume":$volumeJson,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(sfDir)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
@@ -193,45 +227,68 @@ object Bench {
     // queries (the informative ones) and says how many were omitted.
     // Never truncated mid-token: the line is always valid JSON.
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString // locale-safe, sheds trailing zeros
+    // Per-query values at 10 ms precision in the COMPACT line only
+    // (r13 verdict item 2 — recover query slots): run-to-run noise on
+    // these 0.3–3 s rows is an order of magnitude above 10 ms, and the
+    // file artifact keeps full precision.
+    def ms2(v: Double): String = (math.rint(v * 100) / 100).toString
     // Drift adjudication from the driver artifact ALONE (r12 verdict
     // item 2): BENCH_r12 vs r11 needed dev-artifact forensics because
-    // the compact line carried only the LAST probe. The twin now also
-    // carries per-leg steady totals (a transient shows as one leg off),
-    // the min..max band of EVERY control probe across the run (an
-    // in-band last probe can no longer hide a mid-run excursion), the
-    // scheduling floor, and the host-insensitive total_cpu — together
-    // ~220 bytes, paid for by the adaptive query-map budget below.
-    val legTotals = legs.map(m => ms(m.values.map(_._1).filter(_ >= 0).sum))
+    // the compact line carried only the LAST probe. The twin carries
+    // per-leg steady totals (a transient shows as one leg off), the
+    // scheduling floor, the host-insensitive total_cpu, and the
+    // end-of-board control probes. r14 (verdict item 2 — the r13 twin
+    // additions cost 6 per-query slots, 66 → 60 named): `probe_band`
+    // and `protocol` moved to the FILE artifact (`controls_probes`
+    // there is a superset of the band; the protocol is unchanged and
+    // self-described there), the end controls compacted to a
+    // positional `ctl` array ([ctl_cpu, ctl_shuffle, ctl_scan], 2-dec),
+    // per-query values to 10 ms, `failures_cold` emitted only when
+    // nonzero (absent = 0) — together buying back the slots PLUS the
+    // new `width` key and the per-gate stream telemetry.
+    val legTotals = legs.map(m =>
+      (math.rint(m.values.map(_._1).filter(_ >= 0).sum * 10) / 10).toString)
       .mkString("[", ",", "]")
-    val probeBand = {
-      val keys = probes.flatMap(_._2.map(_._1)).distinct
-      keys.map { k =>
-        val vs = probes.flatMap(_._2.collect { case (`k`, v) if v >= 0 => v })
-        val (lo, hi) = if (vs.isEmpty) (-1.0, -1.0) else (vs.min, vs.max)
-        s"${jsonEscape(k)}:[${ms(lo)},${ms(hi)}]"
-      }.mkString("{", ",", "}")
-    }
-    def compactLine(qsv: Seq[(String, Double)], omitted: Int): String = {
-      val m = qsv.map { case (k, v) => s"${jsonEscape(k)}:${ms(v)}" }.mkString("{", ",", "}")
+    val ctl = lastControls.map(c => ms2(c._2)).mkString("[", ",", "]")
+    def compactLine(qsv: Seq[(String, Double)], omitted: Int,
+        withStream: Boolean): String = {
+      val m = qsv.map { case (k, v) => s"${jsonEscape(k)}:${ms2(v)}" }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      // positional [batches, state-commit ms] over the SORTED names of
+      // the gates that produced micro-batches (the stream_* queries) —
+      // the keyed twin lives in the file artifact's `stream_prof`;
+      // positional here to spend bytes on query slots, not key names
+      val stream = if (!withStream || streamProf.isEmpty) ""
+        else streamProf.map { case (_, b, cm) => s"[$b,$cm]" }
+          .mkString(""","stream_prof":[""", ",", "]")
+      val failCold = if (failuresCold > 0) s""","failures_cold":$failuresCold""" else ""
       // basename only: the full sfDir path is in the file artifact, and an
       // arbitrarily long path here could push even the zero-query fallback
       // line past the budget, breaking the always-valid-JSON guarantee.
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"median_of_$nLegs","queries":$m$omit,"total_cpu":${ms(totalCpu)},"leg_totals":$legTotals,"floor_sec":${ms(floor)},"controls":${BoxControls.json(lastControls)},"probe_band":$probeBand,"failures":$failures,"failures_cold":$failuresCold,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
+      s"""{"metric":"total","value":${ms2(total)},"unit":"sec","queries":$m$omit,"total_cpu":${ms2(totalCpu)},"leg_totals":$legTotals,"floor_sec":${ms(floor)},"width":$width$stream,"ctl":$ctl,"failures":$failures$failCold,"sf":${jsonEscape(new java.io.File(sfDir).getName)}}"""
     }
     val budget = 1900 // chars; driver tail window is 2000 and this line is last — leave slack
     val steady = results.map { case (k, v) => k -> v._2 }
-    val line = {
-      val all = compactLine(steady, 0)
-      if (all.length <= budget) all
+    def fitted(withStream: Boolean): Option[(Int, String)] = {
+      val all = compactLine(steady, 0, withStream)
+      if (all.length <= budget) Some(steady.length -> all)
       else {
         val bySlow = steady.sortBy(-_._2)
         // largest prefix of slowest queries that fits the budget
-        val fitted = (bySlow.length to 1 by -1).iterator
-          .map(n => compactLine(bySlow.take(n).sortBy(_._1), bySlow.length - n))
-          .find(_.length <= budget)
-        fitted.getOrElse(compactLine(Nil, bySlow.length))
+        (bySlow.length to 1 by -1).iterator
+          .map(n => n -> compactLine(bySlow.take(n).sortBy(_._1),
+            bySlow.length - n, withStream))
+          .find(_._2.length <= budget)
       }
+    }
+    // named-query slots take priority over the stream twin (the keyed
+    // stream telemetry is always in the file artifact): include
+    // stream_prof unless doing so drops the named count below 66
+    val line = (fitted(withStream = true), fitted(withStream = false)) match {
+      case (Some((nS, lS)), Some((nP, lP))) =>
+        if (nS >= 66 || nS >= nP) lS else lP
+      case (s, p) => s.orElse(p).map(_._2)
+        .getOrElse(compactLine(Nil, steady.length, withStream = false))
     }
     println(line)
     spark.stop()

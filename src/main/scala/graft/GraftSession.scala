@@ -14,11 +14,11 @@ object GraftSession {
   /** The driver's core-count knob, shared by every entry point. */
   def envCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-  /** Data-density shuffle width: ceil(dirBytes / 4 MB) partitions,
+  /** Data-density shuffle width: ceil(dirBytes / density) partitions,
     * rounded up to a core-count multiple when it exceeds the core
     * count (avoids straggler waves on real work), taken AS-IS when it
-    * does not. The ~4 MB/partition density is the r11 width sweep's
-    * optimum (noAqe scaladoc below, measured at 10×/50×/100×).
+    * does not. The ~4 MB/partition base density is the r11 width
+    * sweep's optimum (noAqe scaladoc below, measured at 10×/50×/100×).
     *
     * NO core-count floor (r13 optimization round, guide §2.2/§2.4):
     * the floor forced 32 partitions over the ~20 MB sf0.1 corpus at
@@ -31,11 +31,33 @@ object GraftSession {
     * Excess tiny tasks pay a fixed per-task constant and the shuffle
     * pays M×R block fan-out (1024 vs ~64 blocks); slots left idle on
     * a 20 MB corpus cost nothing. Every committed convention with
-    * real data is unchanged (4-core sf0.1 → 8; 10×/50×/100× soaks →
-    * 64/256/544 on the noAqe side, memFactor-bound on the parent);
-    * only the small-data/many-core corner loses the floor tax. */
+    * real data is unchanged (4-core sf0.1 → 8; 10×/50× soaks →
+    * 64/288 on the noAqe side, memFactor-bound on the parent);
+    * only the small-data/many-core corner loses the floor tax.
+    *
+    * GRADUATED density above 1 GB (r14 optimization round, guide §2.2
+    * — fewer, larger partitions as data grows; the r13 verdict's one
+    * scale-killer): a flat 4 MB/partition resolves a 100 TB input to
+    * ~26 M tasks — the task-count and M×R-block explosion §2.2 warns
+    * about, the same failure the floor removal fixed in miniature.
+    * Density therefore grows as 4 MB·sqrt(bytes/1 GB) past 1 GB,
+    * clamped at 128 MB/partition (the low end of §2.2's 100 MB–1 GB
+    * recommendation, reached at ~1 TB): widths grow as sqrt(bytes)
+    * through the transition, then linearly at 128 MB/partition —
+    * 100 TB resolves to ~819 k tasks, not 26 M. Every measured small
+    * point is unchanged (≤1 GB keeps the swept 4 MB exactly; the
+    * 10×/50× soak replicas sit below the knee), and the 100× replica
+    * (2.1 GB) coarsens 544 → 384 — inside the r11 sweep's measured
+    * optimum band (342 → 23.7 s, 512 → 24.6 s, vs the 160-width
+    * memory cliff at 47 s; ~5.7 MB/partition keeps a >2× margin from
+    * that cliff) — re-verified by this round's 100× soak. */
   private[graft] def widthFor(dirBytes: Long, cores: Int): Int = {
-    val dense = ((dirBytes + (4L << 20) - 1) / (4L << 20)).toInt
+    val gb = 1L << 30
+    val densityBytes: Long =
+      if (dirBytes <= gb) 4L << 20
+      else math.min(128L << 20,
+        ((4L << 20) * math.sqrt(dirBytes.toDouble / gb)).toLong)
+    val dense = ((dirBytes + densityBytes - 1) / densityBytes).toInt
     if (dense <= cores) math.max(1, dense)
     else ((dense + cores - 1) / cores) * cores
   }

@@ -578,7 +578,21 @@ class PlanSpec extends SparkSpec {
     // above the core count: round up to a core multiple (no change)
     assert(widthFor(20L << 20, 4) == 8)       // committed 4-core bench
     assert(widthFor(189L << 20, 32) == 64)    // 10x replica convention
-    assert(widthFor(2100L << 20, 32) == 544)  // 100x replica convention
+  }
+
+  test("width density graduates with total size — bounded tasks at TB scale (r14)") {
+    import GraftSession.widthFor
+    // past 1 GB the per-partition density grows as 4 MB·sqrt(bytes/GB)
+    // (capped at 128 MB/partition): the flat 4 MB rule resolved 100 TB
+    // to ~26 M tasks — guide §2.2's task/block explosion. Measured
+    // points stay in their swept optima: the 100× replica coarsens
+    // 544 → 384, inside the r11 sweep band (342 → 23.7 s, 512 →
+    // 24.6 s; the memory cliff at width 160 reads 47 s), re-verified
+    // green by the r14 100× soak.
+    assert(widthFor(1L << 30, 32) == 256)       // knee: exactly 1 GB keeps 4 MB
+    assert(widthFor(2100L << 20, 32) == 384)    // 100x replica convention
+    assert(widthFor(1L << 40, 32) == 8192)      // 1 TB → 128 MB/partition
+    assert(widthFor(100L << 40, 32) == 819200)  // 100 TB: 819 k tasks, not 26 M
   }
 
   test("domain cap: salted local top-K guards the per-source window") {
