@@ -1988,6 +1988,22 @@ object Relational {
   // unhinted): at test SF the planner would otherwise broadcast the
   // statically-small sides, and the pinned plan must be the one that
   // survives 100×.
+  // r14 floor pin (VERDICT r13 item 5; dev/expr_triangle_r19.txt):
+  // the sf0.1 wall (~2.4 s, the board's slowest visible row) is NOT
+  // compute — DevProfile: 16 jobs, 2.12 s of 2.67 s wall is AQE
+  // job-barrier + scheduling floor, task time 5.96 s over 32 slots
+  // with zero spill, no dominant stage beyond the wedge/closure pair.
+  // The one candidate cut (run in the noAqe child like the shingle
+  // family — triangle is the same fixed merge-hinted cascade) was
+  // A/B'd interleaved same-JVM at BOTH scales: −25% wall at sf0.1
+  // (barrier savings) but 1.7–2× WORSE wall and +20–55% CPU at the
+  // 10× replica, where AQE's runtime coalescing of the wedge/closure
+  // exchanges outweighs the barrier cost — rejected; the sf0.1 gap is
+  // the scheduling floor amortizing away at scale. A Bloom/semi-join
+  // pre-filter of wedges before the closure exchange was considered
+  // and rejected on the scale stance: a pair filter is O(edges) state
+  // that must broadcast — the same O(data) driver structure the
+  // degree-table rule above already forbids at the 100 TB point.
   // ------------------------------------------------- BFS hop distances
   /** Single-source BFS over the part co-purchase graph — the iterative
     * frontier-expansion pattern (Pregel's core loop) next to pagerank's
