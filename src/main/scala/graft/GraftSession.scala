@@ -34,6 +34,14 @@ object GraftSession {
     * real data is unchanged (4-core sf0.1 → 8; 10×/50× soaks →
     * 64/288 on the noAqe side, memFactor-bound on the parent);
     * only the small-data/many-core corner loses the floor tax.
+    * The residual CONTENTION term (at fixed width 8, 8→32 threads
+    * still inflates family CPU 17.8→28.3 s) is pinned as box physics
+    * (r14, dev/expr_contention_r19.txt): off-heap execution memory
+    * cuts GC ~35% but leaves task CPU flat, G1 region sizing is
+    * neutral-to-worse — shared memory bandwidth/LLC at 32 hash-heavy
+    * threads, not allocator-side, so the CPU column at high core
+    * counts must be read against this floor, not against the 8-thread
+    * number.
     *
     * GRADUATED density above 1 GB (r14 optimization round, guide §2.2
     * — fewer, larger partitions as data grows; the r13 verdict's one

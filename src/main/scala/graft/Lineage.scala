@@ -31,14 +31,33 @@ import org.apache.spark.storage.StorageLevel
   * Use plain `localCheckpoint()` directly only for BOUNDED
   * intermediates (vocab-sized BPE tables, partition-count-sized
   * skyline prefixes, df-capped key lists) where heap residency is
-  * O(1) in the corpus. */
+  * O(1) in the corpus.
+  *
+  * MEMORY_AND_DISK_SER for the factor-1 regime was A/B'd and REJECTED
+  * (r14, dev/expr_cutlevel_r19.txt, interleaved 10×/32-core, identity
+  * asserted): it halves the GC ratio where elevated (pagerank 8.0 →
+  * 3.6% of CPU) but the per-iteration serialize/deserialize costs
+  * +25–54% task CPU and +14–27% wall on the graph family — GC on the
+  * default is already ≤5% of steady task time at 100× (r13 gc lens),
+  * so the deserialized rows stay. */
 object Lineage {
   def cut(df: DataFrame): DataFrame = {
     val factor = df.sparkSession.conf.getOption("graft.dataFactor")
       .flatMap(_.toIntOption).getOrElse(1)
-    if (factor > 1)
-      df.localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
-    else df.localCheckpoint()
+    // dev experiment knob (r14, VERDICT item 4 — checkpoint storage
+    // level for the iterative graph family's GC term): overrides the
+    // data-sized level below; default unchanged. Conf first so a
+    // same-JVM interleaved A/B can flip it per shape.
+    df.sparkSession.conf.getOption("graft.cutLevel").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_CUT_LEVEL")) match {
+      case Some(lvl) =>
+        df.localCheckpoint(eager = true,
+          storageLevel = StorageLevel.fromString(lvl))
+      case None =>
+        if (factor > 1)
+          df.localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
+        else df.localCheckpoint()
+    }
   }
 
   /** Materialize-once for a subtree consumed by SEVERAL branches of ONE
