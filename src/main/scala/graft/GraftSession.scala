@@ -78,7 +78,7 @@ object GraftSession {
     val pFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m")
-    val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10")
+    val broadcastMb = sys.env.get("SPARK_GRAFT_BROADCAST_MB")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -100,13 +100,11 @@ object GraftSession {
         s"${advisoryMb}m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // dev experiment knob (r13 cpu-alpha attribution): the decade
-      // chain's largest cpu-alpha rows are AQE broadcast->shuffle
-      // regime crossings — build sides that fit the 10 MB default at
-      // 10x cross it at 100x and the fact side starts exchanging.
-      // Default unchanged (10 MB, Spark's own); the knob exists to
-      // measure what a memory-sized threshold would buy at scale.
-      .config("spark.sql.autoBroadcastJoinThreshold", s"${broadcastMb}m")
+      // broadcast threshold: Spark's 10 MB default here; re-set to the
+      // data-tiered value after the dataFactor probe below (an explicit
+      // SPARK_GRAFT_BROADCAST_MB always wins — the r13 sweep knob)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        s"${broadcastMb.getOrElse("10")}m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // Whole-stage-codegen CLASS cache (static conf, default 100
@@ -220,6 +218,28 @@ object GraftSession {
     // published so data-sized choices elsewhere (Lineage.cut's
     // checkpoint storage level) key off the same probe
     spark.conf.set("graft.dataFactor", dataFactor.toString)
+    // Data-tiered broadcast threshold (r14, VERDICT r13 item 3 — the
+    // AQE broadcast→shuffle regime crossings, the decade chain's
+    // largest recoverable cpu-α class): build sides that fit the 10 MB
+    // default at 10× cross it at 100× and the FACT side starts
+    // exchanging. Measured twice: the r13 isolated ten-crossing-row
+    // probe at 100× (total task CPU −19%; join_anti 28.6→3.7 s,
+    // join_semi 30.1→4.5 s, time_travel −41%, setops −54%; trade_volume
+    // +19% / late_lines +7% as the cost side) and this round's full
+    // 165-query 100× board under both thresholds (dev/
+    // soak_full_board_100x_r19.json vs soak_100x_r19_b64.json: 0
+    // failures both arms, totals flat-or-better, join_anti CPU
+    // 43.5→1.3 s, join_semi 41.7→1.6 s, setops −71%, time_travel −48%).
+    // 64 MB is memory-sized for the envelope the factor>1 regime
+    // already requires (the soak convention's 1.5 GB/core — a ≤64 MB
+    // serialized estimate deserializes to a few hundred MB, a fraction
+    // of one slot's share, held once per executor). dataFactor 1 (all
+    // committed small-SF conventions) keeps Spark's 10 MB default —
+    // plan-identity by construction, and the r13 DevExplain check
+    // showed the crossing rows already fully broadcast there. The env
+    // knob above still wins everywhere.
+    if (broadcastMb.isEmpty && dataFactor > 1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     // Data-sized AQE coalescing target (r10 100×-soak finding): the
     // fixed 64 MB advisory is COMPRESSED shuffle bytes — at the soak
     // heap (250 MB/slot) one 64 MB partition deserializes + builds

@@ -595,6 +595,14 @@ class PlanSpec extends SparkSpec {
     assert(widthFor(100L << 40, 32) == 819200)  // 100 TB: 819 k tasks, not 26 M
   }
 
+  test("broadcast threshold keeps Spark's 10 MB default at dataFactor 1 (r14)") {
+    // the data-tiered 64 MB applies ONLY past the 512 MB probe point
+    // (dataFactor > 1); every committed small-SF convention — this test
+    // session included (no SPARK_GRAFT_SF_DIR) — must keep plan
+    // identity with the r13 tree by construction
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10m")
+  }
+
   test("domain cap: salted local top-K guards the per-source window") {
     // two row_number passes — the (source, doc_id%16) local cap that
     // bounds any mega-domain's sort at 1/16th, then the per-source
